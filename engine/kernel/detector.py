@@ -1,0 +1,120 @@
+"""Document-type detector kernel (SURVEY.md §2.3 T10).
+
+Weighted keyword + regex-pattern classifier re-derived from the
+reference detector (/root/reference/backend/app/services/pdf/detector.py
+:50-320). The weight tables below are parity *data* (cited constants),
+not copied code: keyword score per hit = w + 0.5*w*min(count-1, 3);
+pattern score per hit = w * (1 + (min(matches,5)-1)*0.3); combined
+0.6*kw + 0.4*pat, normalized by 15.0, capped at 1.0; argmax wins if
+confidence >= min_confidence (ties go to invoice), else 'unknown'.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+# (keyword, weight) — detector.py:50-86
+INVOICE_KEYWORDS = (
+    ("invoice", 3.0), ("invoice number", 3.0), ("invoice #", 3.0),
+    ("inv-", 2.5), ("invoice date", 2.5), ("due date", 2.0),
+    ("payment terms", 2.0), ("bill to", 2.5), ("ship to", 1.5),
+    ("purchase order", 2.0), ("po number", 2.0), ("po #", 2.0),
+    ("subtotal", 2.0), ("total amount", 2.0), ("grand total", 2.0),
+    ("balance due", 2.5), ("amount due", 2.5), ("tax", 1.5),
+    ("vat", 1.5), ("gst", 1.5), ("discount", 1.0), ("shipping", 1.0),
+    ("quantity", 1.0), ("qty", 1.0), ("unit price", 1.5), ("rate", 0.8),
+    ("description", 0.5), ("item", 0.5), ("payment", 1.0), ("remit", 1.5),
+    ("vendor", 1.5), ("supplier", 1.5),
+)
+
+# (keyword, weight) — detector.py:88-142
+RESUME_KEYWORDS = (
+    ("resume", 3.5), ("curriculum vitae", 3.5), ("cv", 2.5),
+    ("career objective", 3.0), ("professional summary", 3.0),
+    ("work experience", 3.5), ("professional experience", 3.5),
+    ("employment history", 3.0), ("work history", 3.0),
+    ("education", 2.5), ("skills", 2.5), ("technical skills", 3.0),
+    ("core competencies", 2.5), ("key skills", 2.5),
+    ("certifications", 2.5), ("certificates", 2.0),
+    ("qualifications", 2.0), ("references", 2.0),
+    ("references available", 2.5), ("achievements", 2.0),
+    ("accomplishments", 2.0), ("projects", 2.0),
+    ("personal projects", 2.5), ("bachelor", 2.0), ("master", 2.0),
+    ("degree", 2.0), ("university", 1.5), ("college", 1.5),
+    ("gpa", 2.0), ("cgpa", 2.0), ("graduated", 1.5), ("graduation", 1.5),
+    ("proficient", 1.5), ("experienced in", 2.0),
+    ("responsible for", 1.5), ("years of experience", 2.5),
+    ("yrs experience", 2.5), ("linkedin", 2.5), ("github", 2.0),
+    ("portfolio", 2.0), ("languages", 1.5), ("fluent", 1.5),
+    ("native speaker", 2.0), ("seeking position", 2.5),
+    ("looking for opportunities", 2.5), ("career goals", 2.0),
+)
+
+# (pattern, weight) — detector.py:145-160
+INVOICE_PATTERNS = (
+    (r"inv(?:oice)?[\s\-#:]*(?:no\.?|number)?[\s\-#:]*[A-Z0-9\-]+", 2.5),
+    (r"#\s*\d{4,}", 1.0),
+    (r"(?:invoice|due|payment)\s*date\s*[:\-]?\s*\d", 2.0),
+    (r"\$[\d,]+\.?\d*", 1.5),
+    (r"(?:USD|EUR|GBP|CAD)\s*[\d,]+\.?\d*", 1.5),
+    (r"\d+\s*(?:x|@)\s*\$?[\d,]+\.?\d*", 1.5),
+    (r"(?:sub)?total\s*[:\-]?\s*\$?[\d,]+\.?\d*", 2.0),
+    (r"tax\s*\(?[\d.]+%?\)?", 1.5),
+)
+
+# (pattern, weight) — detector.py:162-177
+RESUME_PATTERNS = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", 1.5),
+    (r"(?:\+\d{1,3}[\s\-]?)?\(?\d{3}\)?[\s\-]?\d{3}[\s\-]?\d{4}", 1.0),
+    (r"linkedin\.com/in/[\w\-]+", 2.0),
+    (r"github\.com/[\w\-]+", 1.5),
+    (r"(?:19|20)\d{2}\s*[-–]\s*(?:(?:19|20)\d{2}|present|current)", 2.0),
+    (r"(?:B\.?S\.?|B\.?A\.?|M\.?S\.?|M\.?A\.?|Ph\.?D\.?|MBA)", 2.0),
+    (r"GPA\s*[:\-]?\s*[0-4]\.\d+", 2.0),
+)
+
+_MAX_POSSIBLE = 15.0  # normalization constant (detector.py:225)
+
+_INV_PAT = tuple((re.compile(p, re.IGNORECASE), w) for p, w in INVOICE_PATTERNS)
+_RES_PAT = tuple((re.compile(p, re.IGNORECASE), w) for p, w in RESUME_PATTERNS)
+
+
+def _keyword_score(lower_text: str, table) -> float:
+    total = 0.0
+    for kw, w in table:
+        count = lower_text.count(kw)
+        if count:
+            total += w + (w * 0.5 * min(count - 1, 3))
+    return total
+
+
+def _pattern_score(text: str, compiled) -> float:
+    total = 0.0
+    for pat, w in compiled:
+        n = len(pat.findall(text))
+        if n:
+            total += w * (1 + (min(n, 5) - 1) * 0.3)
+    return total
+
+
+def detect_document_type(text: str, min_confidence: float = 0.3) -> dict[str, Any]:
+    """Classify text as invoice/resume/unknown with confidence scores."""
+    lower = text.lower()
+    inv = _keyword_score(lower, INVOICE_KEYWORDS) * 0.6 + _pattern_score(text, _INV_PAT) * 0.4
+    res = _keyword_score(lower, RESUME_KEYWORDS) * 0.6 + _pattern_score(text, _RES_PAT) * 0.4
+    inv_conf = min(1.0, inv / _MAX_POSSIBLE)
+    res_conf = min(1.0, res / _MAX_POSSIBLE)
+
+    if inv_conf >= res_conf and inv_conf >= min_confidence:
+        doc_type, confidence = "invoice", inv_conf
+    elif res_conf > inv_conf and res_conf >= min_confidence:
+        doc_type, confidence = "resume", res_conf
+    else:
+        doc_type, confidence = "unknown", max(inv_conf, res_conf)
+
+    return {
+        "document_type": doc_type,
+        "confidence": confidence,
+        "scores": {"invoice": inv_conf, "resume": res_conf},
+    }

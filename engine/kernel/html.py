@@ -1,0 +1,184 @@
+"""HTML main-content extractor (north_star: boilerplate strip).
+
+From-scratch block-level boilerplate classifier in the spirit of
+Readability / trafilatura / jusText, built on text-density and
+link-density heuristics (no external HTML parser — deterministic
+regex tokenization). This generalizes the reference's repeated-line
+boilerplate removal (SURVEY.md §2.3 T4) to markup payloads.
+
+Algorithm:
+  1. Drop comments and <script>/<style>/<noscript>/<svg> subtrees.
+  2. Segment the document into blocks at block-level tag boundaries,
+     tracking for each block: visible text, link-text length, tag count
+     and class/id boilerplate hints from the nearest opening container.
+  3. Score each block: link density (link_chars/chars), text density
+     (chars per markup tag), stopword ratio, length; class/id hints
+     (nav/footer/sidebar/comment/menu vs article/content/main/post)
+     shift the decision.
+  4. Neighborhood smoothing (jusText-style): short undecided blocks
+     adjacent to good blocks are kept; isolated ones dropped.
+Output is the kept blocks joined with blank lines.
+"""
+
+from __future__ import annotations
+
+import re
+
+_DROP_SUBTREES = re.compile(
+    r"<(script|style|noscript|svg|template)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENTS = re.compile(r"<!--.*?-->", re.DOTALL)
+_BLOCK_SPLIT = re.compile(
+    r"<(?:/?)(?:div|p|h[1-6]|li|ul|ol|table|tr|td|th|section|article|aside|"
+    r"header|footer|nav|main|blockquote|pre|figure|figcaption|form|fieldset|"
+    r"br|hr)\b[^>]*/?>",
+    re.IGNORECASE,
+)
+_ANCHOR_TEXT = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+_ANY_TAG = re.compile(r"<[^>]+>")
+_CLASS_ID = re.compile(r"(?:class|id)\s*=\s*[\"']([^\"']*)[\"']", re.IGNORECASE)
+
+_BAD_HINTS = ("nav", "footer", "sidebar", "comment", "menu", "banner",
+              "advert", "promo", "share", "social", "related", "cookie",
+              "breadcrumb", "pagination", "widget")
+_GOOD_HINTS = ("article", "content", "main", "post", "body", "entry", "text",
+               "story")
+
+_STOPWORDS = frozenset(
+    "the a an and or but of to in on for with at by from as is are was were "
+    "be been it this that these those i you he she we they not no yes have "
+    "has had do does did will would can could should about into over under "
+    "your our their his her its if then than so because while during after "
+    "before between out up down off all any both each few more most other "
+    "some such only own same very just also there here when where why how".split()
+)
+
+_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&mdash;", "-"),
+    ("&ndash;", "-"), ("&hellip;", "..."), ("&rsquo;", "'"), ("&lsquo;", "'"),
+    ("&ldquo;", '"'), ("&rdquo;", '"'),
+)
+
+
+def _decode_entities(text: str) -> str:
+    for ent, ch in _ENTITIES:
+        if ent in text:
+            text = text.replace(ent, ch)
+    return text
+
+
+def _visible_text(fragment: str) -> str:
+    return _decode_entities(_ANY_TAG.sub(" ", fragment))
+
+
+def _stopword_ratio(text: str) -> float:
+    words = text.lower().split()
+    if not words:
+        return 0.0
+    return sum(1 for w in words if w in _STOPWORDS) / len(words)
+
+
+class _Block:
+    __slots__ = ("text", "link_chars", "tag_count", "hint")
+
+    def __init__(self, text: str, link_chars: int, tag_count: int, hint: int):
+        self.text = text
+        self.link_chars = link_chars
+        self.tag_count = tag_count
+        self.hint = hint  # -1 bad container, +1 good container, 0 neutral
+
+
+def _segment(html: str) -> list[_Block]:
+    html = _COMMENTS.sub(" ", html)
+    html = _DROP_SUBTREES.sub(" ", html)
+
+    blocks: list[_Block] = []
+    hint_state = 0
+    pos = 0
+    pieces: list[tuple[str, str]] = []  # (boundary_tag, following_fragment)
+    last_tag = ""
+    for m in _BLOCK_SPLIT.finditer(html):
+        pieces.append((last_tag, html[pos : m.start()]))
+        last_tag = m.group(0)
+        pos = m.end()
+    pieces.append((last_tag, html[pos:]))
+
+    for boundary, fragment in pieces:
+        hint = 0
+        cm = _CLASS_ID.search(boundary)
+        token = (cm.group(1).lower() if cm else "") + " " + boundary.lower()
+        if any(b in token for b in _BAD_HINTS):
+            hint = -1
+        elif any(g in token for g in _GOOD_HINTS):
+            hint = 1
+        if boundary.lower().startswith(("</", "<br", "<hr")):
+            hint = hint_state  # closers/void tags inherit container hint
+        else:
+            hint_state = hint
+
+        link_chars = sum(
+            len(_visible_text(a).strip()) for a in _ANCHOR_TEXT.findall(fragment)
+        )
+        tag_count = len(_ANY_TAG.findall(fragment))
+        text = " ".join(_visible_text(fragment).split())
+        if text:
+            blocks.append(_Block(text, link_chars, tag_count, hint))
+    return blocks
+
+
+def _classify(b: _Block) -> int:
+    """1 keep, 0 undecided, -1 drop."""
+    n = len(b.text)
+    link_density = b.link_chars / max(n, 1)
+    text_density = n / (1 + b.tag_count)
+    sw = _stopword_ratio(b.text)
+
+    if b.hint < 0 and link_density > 0.2:
+        return -1
+    if link_density > 0.66:
+        return -1
+    if n >= 80 and link_density < 0.33 and (sw >= 0.15 or text_density >= 40):
+        return 1
+    if b.hint > 0 and n >= 25 and link_density < 0.33:
+        return 1
+    if n < 10:
+        return -1
+    return 0
+
+
+def extract_main_text(html: str) -> str:
+    """Strip boilerplate from an HTML payload; return main content text."""
+    if "<" not in html:
+        return html
+    blocks = _segment(html)
+    if not blocks:
+        return ""
+    labels = [_classify(b) for b in blocks]
+
+    # jusText-style smoothing: undecided blocks adopt a keep label when a
+    # neighbor within distance 1 is kept and they are not link-heavy.
+    final: list[int] = list(labels)
+    for i, lab in enumerate(labels):
+        if lab != 0:
+            continue
+        prev_keep = any(labels[j] == 1 for j in range(max(0, i - 1), i))
+        next_keep = any(
+            labels[j] == 1 for j in range(i + 1, min(len(labels), i + 2))
+        )
+        b = blocks[i]
+        if (prev_keep or next_keep) and b.link_chars / max(len(b.text), 1) < 0.5:
+            final[i] = 1
+        else:
+            final[i] = -1
+
+    kept = [b.text for b, lab in zip(blocks, final) if lab == 1]
+    if not kept:
+        # fall back to the longest low-link block so short docs survive
+        best = max(
+            blocks,
+            key=lambda b: len(b.text) * (1 - min(b.link_chars / max(len(b.text), 1), 1.0)),
+        )
+        kept = [best.text]
+    return "\n\n".join(kept)

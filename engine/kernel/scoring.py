@@ -1,0 +1,182 @@
+"""Skill matching + ATS scoring + confidence kernel (SURVEY.md §2.4–2.5).
+
+Re-derivation of the ATS scorer and confidence math
+(/root/reference/backend/app/services/ats/scorer.py:16-408,
+/root/reference/backend/app/services/extraction/orchestrator.py:430-474,
+/root/reference/backend/app/services/candidate/ranker.py:94-105).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+# synonym table (parity data, scorer.py:16-46)
+SKILL_SYNONYMS: dict[str, tuple[str, ...]] = {
+    "javascript": ("js", "ecmascript", "es6", "es2015"),
+    "typescript": ("ts",),
+    "python": ("py", "python3", "python2"),
+    "kubernetes": ("k8s", "kube"),
+    "postgresql": ("postgres", "psql", "pgsql"),
+    "mongodb": ("mongo",),
+    "elasticsearch": ("elastic", "es"),
+    "amazon web services": ("aws",),
+    "google cloud platform": ("gcp", "google cloud"),
+    "microsoft azure": ("azure",),
+    "machine learning": ("ml",),
+    "artificial intelligence": ("ai",),
+    "natural language processing": ("nlp",),
+    "continuous integration": ("ci",),
+    "continuous deployment": ("cd",),
+    "ci/cd": ("cicd", "ci-cd", "continuous integration/continuous deployment"),
+    "react": ("reactjs", "react.js"),
+    "node": ("nodejs", "node.js"),
+    "vue": ("vuejs", "vue.js"),
+    "angular": ("angularjs", "angular.js"),
+    "dotnet": (".net", "dot net", "asp.net"),
+    "csharp": ("c#", "c sharp"),
+    "cpp": ("c++", "cplusplus"),
+    "sql server": ("mssql", "microsoft sql server"),
+    "restful": ("rest", "rest api", "restful api"),
+    "graphql": ("gql",),
+    "docker": ("containerization", "containers"),
+    "terraform": ("tf", "infrastructure as code", "iac"),
+    "agile": ("scrum", "kanban"),
+}
+
+DEGREE_LEVELS: dict[str, int] = {
+    "phd": 5, "doctorate": 5, "ph.d": 5,
+    "master": 4, "msc": 4, "mba": 4, "ms": 4,
+    "bachelor": 3, "bsc": 3, "ba": 3, "bs": 3,
+    "associate": 2, "diploma": 1, "certificate": 1,
+}
+
+
+def normalize_skill(skill: str) -> str:
+    """scorer.py:49-51."""
+    return skill.lower().strip().replace("-", " ").replace("_", " ")
+
+
+def skill_variations(skill: str) -> set[str]:
+    """All synonyms/variants of a skill (scorer.py:54-69)."""
+    norm = normalize_skill(skill)
+    out = {norm}
+    if norm in SKILL_SYNONYMS:
+        out.update(SKILL_SYNONYMS[norm])
+    for key, syns in SKILL_SYNONYMS.items():
+        if norm == key or norm in syns:
+            out.add(key)
+            out.update(syns)
+    return out
+
+
+def skills_match(a: str, b: str) -> tuple[bool, str]:
+    """Exact / partial(substring) / synonym tiers (scorer.py:72-97)."""
+    s1, s2 = normalize_skill(a), normalize_skill(b)
+    if s1 == s2:
+        return True, "exact"
+    if s1 in s2 or s2 in s1:
+        return True, "partial"
+    if skill_variations(a) & skill_variations(b):
+        return True, "synonym"
+    return False, "none"
+
+
+def experience_score(resume_years: float, min_years: float | None,
+                     max_years: float | None) -> int:
+    """Piecewise experience fit (scorer.py:314-348)."""
+    if min_years is None and max_years is None:
+        return 100
+    if min_years is None:
+        min_years = 0
+    if max_years is None:
+        max_years = min_years + 10
+    if resume_years >= min_years:
+        if resume_years <= max_years:
+            return 100
+        return max(60, 100 - int((resume_years - max_years) * 5))
+    under = min_years - resume_years
+    if under <= 1:
+        return 70
+    if under <= 2:
+        return 50
+    return max(20, 50 - int(under * 10))
+
+
+def education_score(degrees: list[str], required_edu: str) -> int:
+    """Degree-level lattice match (scorer.py:350-408)."""
+    req = (required_edu or "").lower()
+    if not req:
+        return 100
+    if not degrees:
+        return 30
+    req_level = 0
+    for key, level in DEGREE_LEVELS.items():
+        if key in req:
+            req_level = level
+            break
+    cand = 0
+    for d in degrees:
+        dl = d.lower()
+        for key, level in DEGREE_LEVELS.items():
+            if key in dl:
+                cand = max(cand, level)
+    if cand >= req_level:
+        return 100
+    if cand == req_level - 1:
+        return 70
+    return 40
+
+
+def ats_score(matched_required: int, total_required: int,
+              matched_preferred: int, total_preferred: int,
+              matched_keywords: int, total_keywords: int,
+              exp_score: int, edu_score: int) -> dict[str, int]:
+    """Weighted ATS aggregate: skills .40, keywords .25, exp .25, edu .10
+    (scorer.py:207-240)."""
+    required_part = (matched_required / total_required) * 70 if total_required else 70
+    preferred_part = (matched_preferred / total_preferred) * 30 if total_preferred else 30
+    skills = int(required_part + preferred_part)
+    keywords = int((matched_keywords / total_keywords) * 100) if total_keywords else 100
+    overall = int(skills * 0.40 + keywords * 0.25 + exp_score * 0.25 + edu_score * 0.10)
+    return {
+        "skills_match_score": skills,
+        "keyword_match_score": keywords,
+        "experience_match_score": exp_score,
+        "education_match_score": edu_score,
+        "ats_score": overall,
+    }
+
+
+def field_confidence(data: dict[str, Any], required_fields: list[str],
+                     detection_confidence: float) -> dict[str, float]:
+    """A4: presence-based field scores + 0.7/0.3 overall blend
+    (orchestrator.py:430-474)."""
+    scores: dict[str, float] = {}
+    for f in required_fields:
+        v = data.get(f)
+        if f in data and v is not None:
+            base = 0.9
+            if isinstance(v, str) and len(v) > 2:
+                base = 0.95
+            if isinstance(v, (int, float)) and not isinstance(v, bool) and v > 0:
+                base = 0.95
+            scores[f] = base
+        else:
+            scores[f] = 0.0
+    if scores:
+        overall = (sum(scores.values()) / len(scores)) * 0.7 + detection_confidence * 0.3
+    else:
+        overall = detection_confidence * 0.5
+    scores["overall"] = min(1.0, overall)
+    return scores
+
+
+def score_bucket(overall_score: float) -> str:
+    """A7 distribution buckets (ranker.py:94-105)."""
+    if overall_score >= 85:
+        return "excellent"
+    if overall_score >= 70:
+        return "good"
+    if overall_score >= 50:
+        return "acceptable"
+    return "poor"

@@ -1,0 +1,265 @@
+"""Golden tests for T10 (detector), T12 (json repair), T13–T18 + A2
+(normalize), and the scoring kernel (A4/A5, J1 tiers).
+
+Expected values are computed from the reference's documented formulas
+(detector.py:264-320, post_processor.py:27-521, scorer.py:49-408).
+"""
+
+import pytest
+
+from engine.kernel.detector import detect_document_type
+from engine.kernel.jsonrepair import parse_json_loose
+from engine.kernel.normalize import (
+    clean_extracted_data,
+    detect_currency,
+    normalize_line_items,
+    parse_amount,
+    parse_date,
+    post_process_invoice,
+    validate_amounts,
+)
+from engine.kernel.scoring import (
+    ats_score,
+    education_score,
+    experience_score,
+    field_confidence,
+    score_bucket,
+    skills_match,
+)
+
+
+# ---------- T10 detector ----------
+
+def test_detector_keyword_math():
+    from engine.kernel.detector import INVOICE_KEYWORDS, _keyword_score
+
+    # 1 hit → w; 3 hits → w + .5w*min(2,3) = 2w; capped at count-1=3
+    assert _keyword_score("invoice", INVOICE_KEYWORDS) == pytest.approx(3.0)
+    assert _keyword_score("invoice invoice invoice", INVOICE_KEYWORDS) == pytest.approx(6.0)
+    assert _keyword_score(" ".join(["invoice"] * 10), INVOICE_KEYWORDS) == \
+        _keyword_score(" ".join(["invoice"] * 4), INVOICE_KEYWORDS)
+    # note: "invoice" also substring-counts "invoice number" etc. only when present
+    assert _keyword_score("qty", INVOICE_KEYWORDS) == pytest.approx(1.0)
+
+
+def test_detector_pattern_math():
+    from engine.kernel.detector import _INV_PAT, _pattern_score
+
+    # "$1,234.56" hits the $-amount pattern (1.5) AND `#\s*\d{4,}`? no.
+    assert _pattern_score("$1,234.56", _INV_PAT) == pytest.approx(1.5)
+    # 2 matches → w*(1+0.3); cap at 5 matches
+    assert _pattern_score("$1.00 $2.00", _INV_PAT) == pytest.approx(1.5 * 1.3)
+    assert _pattern_score(" ".join(["$1.00"] * 9), _INV_PAT) == \
+        _pattern_score(" ".join(["$1.00"] * 5), _INV_PAT)
+    # the bare word "invoice" matches the inv-number regex via backtracking
+    # (inv + "oice" as the id), same as the reference's Python regex
+    assert _pattern_score("invoice", _INV_PAT) == pytest.approx(2.5)
+    r = detect_document_type("$1,234.56")
+    assert r["document_type"] == "unknown"  # 0.04 < 0.3
+
+
+def test_detector_ties_go_to_invoice_and_unknown_floor():
+    assert detect_document_type("zzz")["document_type"] == "unknown"
+    inv = detect_document_type(
+        "INVOICE\nInvoice Number: INV-2024-001\nBill To: X\nSubtotal: $10\n"
+        "Total Amount: $11\nTax: 8.5%\nDue Date: 2024-01-01"
+    )
+    assert inv["document_type"] == "invoice"
+    assert inv["confidence"] >= 0.3
+    res = detect_document_type(
+        "Resume\nWork Experience\nEducation\nTechnical Skills: Python\n"
+        "john@x.com\nlinkedin.com/in/j\nGPA: 3.8\n2019 - present"
+    )
+    assert res["document_type"] == "resume"
+
+
+# ---------- T12 json ----------
+
+def test_json_direct_fence_brace_repair():
+    assert parse_json_loose('{"a": 1}') == ({"a": 1}, False, "direct")
+    assert parse_json_loose('x ```json\n{"a": 1}\n``` y')[2] == "fence"
+    assert parse_json_loose('noise {"a": 1} noise')[2] == "brace"
+    data, repaired, how = parse_json_loose("{'a': 'b', c: 2,}")
+    assert data == {"a": "b", "c": 2} and repaired
+    data2, rep2, _ = parse_json_loose('{"a": [1, 2]')
+    assert data2 == {"a": [1, 2]} and rep2
+    # braces are balanced before brackets (reference order), so a payload
+    # missing BOTH cannot be repaired: '...2' + '}' + ']' is invalid
+    assert parse_json_loose('{"a": [1, 2')[0] is None
+    assert parse_json_loose("")[2] == "empty"
+    assert parse_json_loose("not json at all")[0] is None
+
+
+# ---------- T14 dates ----------
+
+def test_parse_date_formats():
+    assert parse_date("2024-03-05") == "2024-03-05"
+    assert parse_date("3/5/2024") == "2024-03-05"
+    assert parse_date("3/5/24") == "2024-03-05"
+    assert parse_date("05.03.2024") == "2024-03-05"
+    assert parse_date("05-03-2024") == "2024-03-05"
+    assert parse_date("March 5, 2024") == "2024-03-05"
+    assert parse_date("5 March 2024") == "2024-03-05"
+    assert parse_date("Sept 9, 2024") == "2024-09-09"
+    assert parse_date("gibberish") == "gibberish"  # passthrough
+    assert parse_date(None) is None
+    assert parse_date("") is None
+    # invalid calendar day in strptime-validated form falls through
+    assert parse_date("2/30/2024") == "2/30/2024"
+
+
+# ---------- T15 amounts ----------
+
+def test_parse_amount():
+    assert parse_amount(None) is None
+    assert parse_amount(5) == 5.0
+    assert parse_amount("$1,234.56") == 1234.56
+    assert parse_amount("€1.234,56") == 1234.56  # European format
+    assert parse_amount("1.234,56") == 1234.56
+    assert parse_amount("PKR 5,000") == 5000.0
+    assert parse_amount("-42.5") == -42.5
+    assert parse_amount("n/a") is None
+    assert parse_amount(True) is None
+
+
+# ---------- T16 currency ----------
+
+def test_detect_currency():
+    assert detect_currency({"currency": "eur"}) == "EUR"
+    assert detect_currency({"total_amount": "£99"}) == "GBP"
+    assert detect_currency({}, "price in ₹ today") == "INR"
+    assert detect_currency({}) == "USD"
+
+
+# ---------- T17 line items ----------
+
+def test_normalize_line_items_inference():
+    items = normalize_line_items(
+        [
+            {"description": " A ", "qty": 2, "rate": "$10.50"},
+            {"description": "B", "quantity": 4, "amount": "42.00"},
+            {"description": "C", "unit_price": 5.0, "total": "20"},
+            "not a dict",
+        ]
+    )
+    assert items[0]["amount"] == 21.0  # q*p
+    assert items[0]["description"] == "A"
+    assert items[1]["unit_price"] == 10.5  # a/q
+    assert items[2]["quantity"] == 4  # a/p integral
+    assert len(items) == 3
+    # non-integral quantity is not inferred
+    ni = normalize_line_items([{"unit_price": 3.0, "amount": 10.0}])
+    assert ni[0]["quantity"] is None
+
+
+# ---------- A2 consistency ----------
+
+def test_validate_amounts_tolerance():
+    ok = {
+        "subtotal": 100.0,
+        "tax_amount": 8.5,
+        "total_amount": 108.51,  # off by 0.01 → within tol
+        "line_items": [{"amount": 60.0}, {"amount": 40.01}],
+    }
+    adj, warn = validate_amounts(ok)
+    assert not adj and not warn
+    bad = dict(ok, total_amount=120.0, line_items=[{"amount": 10.0}])
+    adj2, warn2 = validate_amounts(bad)
+    assert adj2 == {"subtotal": -0.1, "total_amount": -0.1}
+    assert "subtotal_mismatch" in warn2 and "total_mismatch" in warn2
+
+
+# ---------- T13 cleaner ----------
+
+def test_clean_extracted_data():
+    out = clean_extracted_data(
+        {
+            "a": "  x  ",
+            "b": "   ",
+            "c": ["", None, "k"],
+            "d": {"e": " y "},
+            "total_amount": "$1,000.00",
+            "line_items": [{"price": "5.00", "quantity": "2"}],
+        }
+    )
+    assert out["a"] == "x" and out["b"] is None and out["c"] == ["k"]
+    assert out["d"]["e"] == "y"
+    assert out["total_amount"] == 1000.0
+    assert out["line_items"][0]["unit_price"] == 5.0  # aliased then coerced
+    assert out["line_items"][0]["quantity"] == 2.0
+
+
+# ---------- T18 composite ----------
+
+def test_post_process_invoice_end_to_end():
+    res = post_process_invoice(
+        {
+            "invoice_number": "INV-1",
+            "invoice_date": "3/5/2024",
+            "total_amount": "$108.50",
+            "subtotal": "$100.00",
+            "tax_amount": "$8.50",
+            "line_items": [{"description": "x", "qty": 2, "rate": "$50.00"}],
+        },
+        original_text="amount $",
+    )
+    d = res["data"]
+    assert d["invoice_date"] == "2024-03-05"
+    assert d["currency"] == "USD"
+    assert d["total_amount"] == 108.5
+    assert d["line_items"][0]["amount"] == 100.0
+    assert res["warnings"] == []
+    assert res["adjustments"].get("overall") == 0.1
+    # missing required fields
+    res2 = post_process_invoice({"vendor_name": "X", "other": None})
+    assert res2["adjustments"]["invoice_number"] == -0.2
+    assert res2["adjustments"]["total_amount"] == -0.2
+
+
+# ---------- scoring ----------
+
+def test_skills_match_tiers():
+    assert skills_match("Python", "python") == (True, "exact")
+    assert skills_match("Machine-Learning", "machine learning") == (True, "exact")
+    assert skills_match("ML", "machine learning") == (True, "synonym")
+    assert skills_match("react", "react native") == (True, "partial")
+    assert skills_match("k8s", "kubernetes") == (True, "synonym")
+    assert skills_match("rust", "cobol") == (False, "none")
+
+
+def test_experience_and_education_scores():
+    assert experience_score(5, 3, 7) == 100
+    assert experience_score(12, 3, 7) == max(60, 100 - 25)
+    assert experience_score(2.5, 3, None) == 70
+    assert experience_score(1, 3, None) == 50
+    assert experience_score(0, 5, None) == max(20, 50 - 50)
+    assert experience_score(4, None, None) == 100
+    assert education_score(["BSc in CS"], "bachelor") == 100
+    # punctuated degrees don't substring-match the level table ("b.s." vs
+    # "bs") — reference behaves the same (scorer.py:372-401)
+    assert education_score(["B.S. in CS"], "bachelor") == 40
+    assert education_score(["bachelor of arts"], "master's degree") == 70
+    assert education_score([], "phd") == 30
+    assert education_score(["certificate"], "") == 100
+
+
+def test_ats_weighted_aggregate():
+    r = ats_score(3, 4, 1, 2, 8, 10, 100, 70)
+    # skills = int(3/4*70 + 1/2*30) = int(52.5+15)=67
+    assert r["skills_match_score"] == 67
+    assert r["keyword_match_score"] == 80
+    assert r["ats_score"] == int(67 * 0.40 + 80 * 0.25 + 100 * 0.25 + 70 * 0.10)
+
+
+def test_field_confidence():
+    s = field_confidence({"a": "xyz", "b": 5, "c": None}, ["a", "b", "c"], 0.6)
+    assert s["a"] == 0.95 and s["b"] == 0.95 and s["c"] == 0.0
+    expected = ((0.95 + 0.95 + 0.0) / 3) * 0.7 + 0.6 * 0.3
+    assert s["overall"] == pytest.approx(expected)
+    assert field_confidence({}, [], 0.8)["overall"] == pytest.approx(0.4)
+
+
+def test_score_buckets():
+    assert [score_bucket(x) for x in (90, 85, 84, 70, 69, 50, 49)] == [
+        "excellent", "excellent", "good", "good", "acceptable", "acceptable", "poor",
+    ]

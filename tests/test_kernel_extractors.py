@@ -1,0 +1,141 @@
+"""Tests for the north-star extractors (HTML boilerplate strip,
+PDF-layout reconstruction) and the fused per-turn kernel."""
+
+import random
+
+from engine.kernel import gen, pdfish
+from engine.kernel.html import extract_main_text
+from engine.kernel.transcript import classify_payload, extract_turn
+
+
+# ---------- HTML ----------
+
+CONTENT = (
+    "This is the main article body and it talks about the system at length "
+    "because the quick analysis shows that distributed systems require "
+    "careful partitioning of state and the operators pipeline within a stage."
+)
+
+
+def _page(content_blocks, nav=True, footer=True):
+    nav_html = (
+        '<div class="nav"><a href="/">Home</a> <a href="/a">News</a> '
+        '<a href="/b">About</a> <a href="/c">Contact</a></div>' if nav else ""
+    )
+    body = "".join(f"<p>{b}</p>" for b in content_blocks)
+    foot = '<div class="footer"><a href="/tos">Terms of Service</a> © 2025</div>' if footer else ""
+    return f"<html><body>{nav_html}<div class='article'>{body}</div>{foot}</body></html>"
+
+
+def test_html_keeps_content_drops_boilerplate():
+    out = extract_main_text(_page([CONTENT, CONTENT]))
+    assert CONTENT in out
+    assert "Home" not in out
+    assert "Terms of Service" not in out
+
+
+def test_html_drops_script_style_comments():
+    html = (
+        "<html><head><style>p{}</style><script>alert(1)</script></head>"
+        f"<body><!-- hidden --><p>{CONTENT}</p></body></html>"
+    )
+    out = extract_main_text(html)
+    assert "alert" not in out and "hidden" not in out and CONTENT in out
+
+
+def test_html_link_farm_dropped():
+    farm = "".join(f'<li><a href="/{i}">link text number {i} here</a></li>' for i in range(10))
+    out = extract_main_text(_page([CONTENT]) .replace("</body>", f"<ul>{farm}</ul></body>"))
+    assert "link text number 7" not in out
+
+
+def test_html_entities_decoded():
+    out = extract_main_text(f"<p>{CONTENT} Fish &amp; Chips &lt;tag&gt;</p>")
+    assert "Fish & Chips <tag>" in out
+
+
+def test_html_fallback_short_doc():
+    # too short for the main rule: falls back to best block, never empty
+    out = extract_main_text("<div><p>short note</p></div>")
+    assert out.strip() == "short note"
+
+
+def test_plain_text_passthrough():
+    assert extract_main_text("no markup here") == "no markup here"
+
+
+# ---------- PDF layout ----------
+
+def test_pdfbox_roundtrip_single_and_two_column():
+    for seed in range(12):
+        rng = random.Random(seed)
+        lines = "\n".join(
+            " ".join(rng.choice(gen._WORDS) for _ in range(rng.randint(3, 5)))
+            for _ in range(rng.randint(6, 14))
+        )
+        for two_col in (False, True):
+            boxes, truth = gen.layout_text_to_boxes(lines, random.Random(seed + 99), two_col)
+            rec = pdfish.reconstruct_text(pdfish.serialize_boxes(boxes))
+            assert rec == truth, f"seed={seed} two_col={two_col}"
+
+
+def test_pdfbox_header_footer_stripped():
+    rng = random.Random(1)
+    boxes, truth = gen.layout_text_to_boxes("alpha beta\ngamma delta\nepsilon zeta\neta theta", rng, False)
+    rec = pdfish.reconstruct_text(pdfish.serialize_boxes(boxes))
+    assert "Quarterly Report" not in rec
+    assert "page" not in rec.lower()
+
+
+def test_pdfbox_malformed_lines_skipped():
+    payload = "%PDFBOX1\nbroken line\n1|50|90|100|100|hello\n1|x|y|z|w|bad"
+    assert pdfish.reconstruct_text(payload) == "hello"
+
+
+# ---------- fused kernel ----------
+
+def test_classify_payload():
+    assert classify_payload("%PDFBOX1\n1|0|0|1|1|x") == "pdfbox"
+    assert classify_payload("<html><body>x</body></html>") == "html"
+    assert classify_payload("plain text") == "plain"
+
+
+def test_extract_turn_invoice_pipeline():
+    rng = gen._rng("t", 1)
+    doc = gen._invoice_doc(rng)
+    r = extract_turn(doc)
+    assert r["doc_type"] == "invoice"
+    assert r["missing_fields"] == []
+    assert r["overall_confidence"] > 0.8
+    assert '"currency": "USD"' in r["fields_json"]
+    assert r["n_chunks"] >= 1
+    assert not r["is_empty"]
+
+
+def test_extract_turn_resume_pipeline():
+    doc = gen._resume_doc(gen._rng("t", 2))
+    r = extract_turn(doc)
+    assert r["doc_type"] == "resume"
+    assert r["missing_fields"] == []
+    assert "email" in r["fields_json"]
+
+
+def test_extract_turn_empty_and_null():
+    r = extract_turn("")
+    assert r["is_empty"] and r["cleaned_text"] == "" and r["spans"] == []
+    r2 = extract_turn(None)
+    assert r2["is_empty"]
+
+
+def test_extract_turn_deterministic():
+    doc = gen.make_turn("conv-9", 3)["text"]
+    assert extract_turn(doc) == extract_turn(doc)
+
+
+def test_generator_deterministic_and_partition_independent():
+    a = gen.make_turn("c-42", 7)
+    b = gen.make_turn("c-42", 7)
+    assert a == b
+    assert gen.turns_for_conv(0, 10) == gen.turns_for_conv(0, 10)
+    # mega-thread skew exists
+    assert gen.turns_for_conv(0, 10) > gen.turns_for_conv(1, 10) * 5
