@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline on sf0.001;
+``queries`` exposes every implemented operator from SURVEY.md §2 plus
+the training-data ops (dedup / similarity / text analysis);
+``oracle_sql`` gives the DuckDB twin for each SQL-expressible one.
+Column names and integer widths are aligned on both sides; doubles are
+rounded identically so the order-insensitive value-hash is FP-stable.
 """
 
 from __future__ import annotations
@@ -15,24 +16,339 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (payload classify → HTML/PDF
+    main-content extraction → clean → chunk spans → detect → field
+    extraction → validate/score) over transcripts derived from the
+    sf0.001 documents table, with stable ordering + salted partitions."""
+    from engine.spark.pipeline import run_extraction, with_stable_order
+    from engine.spark.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    results = run_extraction(t, num_partitions=16)
+    return with_stable_order(results).select(
+        "conv_id", "turn_idx", "turn_seq", "role", "ts", "payload_kind",
+        "doc_type", "cleaned_text", "n_chunks", "estimated_tokens",
+        "quality_score", "overall_confidence", "is_empty", "part_id",
+    )
+
+
+def _ex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over document-derived transcripts (shared by the
+    extraction queries below; deterministic, no LLM)."""
+    from pyspark.sql import functions as F
+
+    from engine.spark.pipeline import run_extraction
+    from engine.spark.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return run_extraction(t, num_partitions=32)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pyspark.sql import functions as F
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from engine.spark import analytics as A
+    from engine.spark import relational as R
+    from engine.spark.pipeline import conversation_rollup
+
+    def extract_turns_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ex(spark, sf_dir).select(
+            "conv_id", "turn_idx", "payload_kind", "doc_type", "cleaned_length",
+            "n_chunks", "estimated_tokens", "is_empty", "quality",
+        )
+
+    def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _ex(spark, sf_dir)
+        return df.select(
+            "conv_id", "turn_idx", F.posexplode_outer("spans").alias("pos", "span")
+        ).select(
+            "conv_id", "turn_idx", "pos",
+            F.col("span.start_char").alias("start_char"),
+            F.col("span.end_char").alias("end_char"),
+            F.col("span.estimated_tokens").alias("span_tokens"),
+        )
+
+    def extract_conversation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return conversation_rollup(_ex(spark, sf_dir))
+
+    def doc_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # T7 as a pure native expression over raw documents (oracle-able)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return docs.select(
+            "doc_id",
+            F.greatest(F.lit(1), F.floor(F.length("text") / 4)).cast("long").alias("est_tokens"),
+            F.length("text").cast("long").alias("n_chars_calc"),
+        )
+
+    return {
+        # relational / reference-semantics operators (SURVEY.md §2.4-2.7)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "top_orders_per_segment": R.top_orders_per_segment,
+        "score_distribution": R.score_distribution,
+        "customers_without_orders": R.customers_without_orders,
+        "suppliers_in_region": R.suppliers_in_region,
+        "order_consistency": R.order_consistency,
+        "event_set_ops": R.event_set_ops,
+        "sessionize_events": R.sessionize_events,
+        "event_props_json": R.event_props_json,
+        "part_type_shares": R.part_type_shares,
+        # training-data ops
+        "dedup_exact": A.dedup_exact,
+        "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": A.dedup_minhash_lsh,   # rows-only (LSH)
+        "dedup_simhash": A.dedup_simhash,           # rows-only (bit ops)
+        "simsearch_bruteforce": A.simsearch_bruteforce,
+        "simsearch_ivf": A.simsearch_ivf,
+        "lang_id": A.lang_id,
+        "text_quality": A.text_quality,
+        "token_count": A.token_count,
+        "fingerprint": A.fingerprint,
+        # extraction pipeline (kernel-backed; rows-only vs oracle)
+        "extract_turns_scalar": extract_turns_scalar,
+        "extract_spans": extract_spans,
+        "extract_conversation_rollup": extract_conversation_rollup,
+        "doc_token_estimate": doc_token_estimate,
+    }
+
+
+_LANGS = {
+    "en": ("the", "and", "of", "is", "to"),
+    "es": ("el", "la", "que", "de", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+
+def _hits(word: str) -> str:
+    token = f" {word} "
+    return (
+        f"CAST((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', '{token}', ''))) / {len(token)} AS INT)"
+    )
+
+
+def _lang_scores() -> str:
+    return ", ".join(
+        "(" + " + ".join(_hits(w) for w in words) + f") AS s_{lang}"
+        for lang, words in _LANGS.items()
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_pred_case = (
+        "CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und' "
+        + " ".join(
+            f"WHEN s_{l} = greatest(s_en, s_es, s_de, s_fr) THEN '{l}'"
+            for l in _LANGS
+        )
+        + " ELSE 'und' END"
+    )
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice, rnk
+            FROM (
+                SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                       CAST(row_number() OVER (
+                           PARTITION BY c.c_mktsegment
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey
+                       ) AS BIGINT) AS rnk
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ) WHERE rnk <= 3
+        """,
+        "score_distribution": """
+            SELECT CASE WHEN o_totalprice >= 300000 THEN 'excellent'
+                        WHEN o_totalprice >= 150000 THEN 'good'
+                        WHEN o_totalprice >= 50000 THEN 'acceptable'
+                        ELSE 'poor' END AS bucket,
+                   count(*) AS n,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM orders GROUP BY bucket
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "suppliers_in_region": """
+            SELECT s_suppkey, s_name FROM supplier s
+            WHERE EXISTS (
+                SELECT 1 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'AMERICA' AND n.n_nationkey = s.s_nationkey)
+        """,
+        "order_consistency": """
+            WITH ls AS (
+                SELECT l_orderkey,
+                       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                           AS line_revenue
+                FROM lineitem GROUP BY l_orderkey)
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, line_revenue,
+                   (abs(o_totalprice - line_revenue) > 0.02) AS mismatch
+            FROM orders JOIN ls ON o_orderkey = l_orderkey
+        """,
+        "event_set_ops": """
+            WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+                 e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+                 clean AS (SELECT user_id FROM p EXCEPT SELECT user_id FROM e),
+                 v AS (SELECT user_id, count(*) AS n_views FROM events
+                       WHERE event_type = 'view' GROUP BY user_id)
+            SELECT c.user_id, coalesce(v.n_views, 0) AS n_views
+            FROM clean c LEFT JOIN v ON c.user_id = v.user_id
+        """,
+        "sessionize_events": """
+            WITH m AS (
+                SELECT user_id, event_id, value, ts,
+                       CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                                    - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, value,
+                       CAST(sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                FROM m)
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   round(sum(value), 4) AS session_value
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "event_props_json": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(k), 4) AS avg_k, max(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS INT) AS k
+                  FROM events)
+            GROUP BY event_type
+        """,
+        "part_type_shares": """
+            SELECT p.p_brand, split_part(p.p_type, ' ', 1) AS type_class,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand, type_class
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, count(*) AS dup_count,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+                FROM documents WHERE doc_id < 50
+            ), idx AS (
+                SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                FROM words WHERE len(w) >= 3
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM idx
+            ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icount
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(icount / (na.n + nb.n - icount), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE round(icount / (na.n + nb.n - icount), 6) >= 0.1
+        """,
+        "simsearch_bruteforce": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+                 sims AS (
+                     SELECT q.query_id, e.vec_id,
+                            round(list_dot_product(q.qv, e.v)
+                                  / (sqrt(list_dot_product(q.qv, q.qv))
+                                     * sqrt(list_dot_product(e.v, e.v))), 5) AS cosine
+                     FROM e, q WHERE e.vec_id != q.query_id),
+                 r AS (SELECT query_id, vec_id, cosine,
+                              CAST(row_number() OVER (
+                                  PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+                       FROM sims)
+            SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+        """,
+        "simsearch_ivf": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 b AS (SELECT vec_id, v,
+                              (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+                            + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+                            + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+                            + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+                            + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+                            + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+                       FROM e),
+                 q AS (SELECT vec_id AS query_id, v AS qv, bucket
+                       FROM b WHERE vec_id < 20),
+                 sims AS (
+                     SELECT q.query_id, b.vec_id,
+                            round(list_dot_product(q.qv, b.v)
+                                  / (sqrt(list_dot_product(q.qv, q.qv))
+                                     * sqrt(list_dot_product(b.v, b.v))), 5) AS cosine
+                     FROM b JOIN q ON b.bucket = q.bucket
+                     WHERE b.vec_id != q.query_id),
+                 r AS (SELECT query_id, vec_id, cosine,
+                              CAST(row_number() OVER (
+                                  PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+                       FROM sims)
+            SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 3
+        """,
+        "lang_id": f"""
+            SELECT doc_id, s_en, s_es, s_de, s_fr, {lang_pred_case} AS lang_pred
+            FROM (SELECT doc_id, {_lang_scores()} FROM documents)
+        """,
+        "text_quality": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 6) AS digit_ratio,
+                   round(({en_hits}) / len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')), 6) AS stopword_ratio,
+                   round((length(text) - len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) + 1)
+                         / len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')), 6) AS avg_word_len
+            FROM documents
+        """.replace("{en_hits}", " + ".join(_hits(w) for w in _LANGS["en"])),
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS ws_tokens,
+                   greatest(1, CAST(floor(length(text) / 4) AS BIGINT)) AS est_tokens,
+                   CAST((length(m) - length(replace(m, chr(1), '')))
+                        + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS bpeish_tokens
+            FROM (SELECT doc_id, text,
+                         regexp_replace(text, '[A-Za-z0-9]+', chr(1), 'g') AS m
+                  FROM documents)
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "doc_token_estimate": """
+            SELECT doc_id,
+                   greatest(1, CAST(floor(length(text) / 4) AS BIGINT)) AS est_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc
+            FROM documents
+        """,
+        # extract_turns_scalar / extract_spans / extract_conversation_rollup /
+        # dedup_minhash_lsh / dedup_simhash: intentionally no oracle —
+        # kernel-backed whole-document Python semantics (rows-only check);
+        # their correctness gate is the per-turn oracle-equality pytest.
+    }

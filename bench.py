@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline extraction pipeline plus representative operator
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+  {"metric": ..., "value": turns/sec, "unit": "turns/sec",
+   "queries": {name: sec, ...}, "sf": ..., ...}
+
+Extraction volume comes from the deterministic synthetic transcript
+generator (seeded, partition-invariant) scaled by the sf of the data
+dir, plus transcripts derived from the documents table — no external
+data. Set SPARK_GRAFT_SCALING=1 to also run the same extraction at
+local[8] vs local[32] and report N→4N scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _extraction_inputs(spark, sf_dir: str, n_convs: int):
+    from engine.spark.transcripts import (
+        synthesize_transcripts,
+        transcripts_from_documents,
+    )
+
+    synth = synthesize_transcripts(spark, n_convs, scale_turns=8)
+    docs = transcripts_from_documents(spark, sf_dir)
+    return synth.unionByName(docs)
+
+
+def _run_extraction(spark, sf_dir: str, n_convs: int) -> tuple[int, float]:
+    from pyspark.sql import functions as F
+
+    from engine.spark.pipeline import run_extraction
+
+    t = _extraction_inputs(spark, sf_dir, n_convs)
+    t0 = time.time()
+    res = run_extraction(t)
+    agg = res.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_empty").cast("long")).alias("empty"),
+        F.sum("bytes_in").alias("bytes_in"),
+    ).collect()[0]
+    wall = time.time() - t0
+    return int(agg.n), wall
+
+
+def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    names = [
+        "q1_pricing_summary",
+        "top_orders_per_segment",
+        "order_consistency",
+        "sessionize_events",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "simsearch_bruteforce",
+        "simsearch_ivf",
+        "lang_id",
+        "token_count",
+    ]
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    from engine.spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = _sf_of(sf_dir)
+    # extraction volume scales with sf: sf0.1 → ~5000 conversations
+    n_convs = max(200, int(50000 * sf))
+
+    spark = get_spark("bench", cpus=cpus)
+    n_turns, extract_wall = _run_extraction(spark, sf_dir, n_convs)
+    turns_per_sec = n_turns / extract_wall
+    queries = _bench_queries(spark, sf_dir)
+    queries["extract_pipeline"] = round(extract_wall, 3)
+    spark.stop()
+
+    result = {
+        "metric": "extraction throughput (turns/sec), local[%d]" % cpus,
+        "value": round(turns_per_sec, 1),
+        "unit": "turns/sec",
+        "queries": queries,
+        "sf": sf,
+        "turns": n_turns,
+        "cpus": cpus,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scaling = {}
+        for c in (8, 32):
+            s = get_spark(f"bench-scale-{c}", cpus=c, shuffle_partitions=max(c, 8))
+            n, wall = _run_extraction(s, sf_dir, n_convs)
+            scaling[f"local[{c}]"] = {
+                "turns": n,
+                "wall_s": round(wall, 2),
+                "turns_per_sec": round(n / wall, 1),
+            }
+            s.stop()
+        eff = (
+            scaling["local[32]"]["turns_per_sec"]
+            / scaling["local[8]"]["turns_per_sec"]
+        ) / 4.0
+        scaling["efficiency_8_to_32"] = round(eff, 3)
+        result["scaling"] = scaling
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,331 @@
+"""Training-data pipeline operators over documents/embeddings tables:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+search (brute-force cosine, sign-bucketed IVF), and text analysis
+(language-ID heuristic, quality scoring, token counting, fingerprint).
+
+Design notes (100 TB path):
+- Everything here is native Catalyst expressions — no Python UDFs.
+- Exact dedup: one hash-groupBy shuffle on md5(text).
+- MinHash: shingle explode → 32-way min-agg (one shuffle, map-side
+  partial agg) → band explode → bucket groupBy; candidate pairs only
+  ever materialize within a bucket, never the cross product.
+- Brute-force ANN broadcasts the (small) query side so the big side
+  never shuffles; the IVF variant prunes by sign-bucket equality join.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+MINHASH_K = 32
+LSH_BANDS = 8  # 8 bands x 4 rows
+NGRAM_N = 3
+
+
+def _docs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup
+
+def dedup_exact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact dedup groups: content hash → count + representative id."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def _shingles(docs: "DataFrame") -> "DataFrame":
+    """Word 3-gram shingles per doc (native: split + sequence + transform)."""
+    toks = docs.select(
+        "doc_id",
+        F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ").alias("w"),
+    ).filter(F.size("w") >= NGRAM_N)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - NGRAM_N),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i + 1), F.element_at("w", i + 2),
+                    F.element_at("w", i + 3)
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def dedup_minhash_lsh(
+    spark: "SparkSession", sf_dir: str, jaccard_threshold: float = 0.5
+) -> "DataFrame":
+    """MinHash(32) + LSH(8 bands x 4) candidate pairs, LSH-bucket join
+    only (no cross product), verified by estimated signature agreement."""
+    sh = _shingles(_docs(spark, sf_dir))
+    sig = sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.xxhash64("shingle", F.lit(seed))) for seed in range(MINHASH_K)]
+        ).alias("sig")
+    )
+    rows_per_band = MINHASH_K // LSH_BANDS
+    # band fingerprint = hash of (band_id, its signature slice); the sig
+    # array rides along so the pair stage needs NO join back to sig
+    # (a re-join would recompute the shingle+min-agg subtree per side)
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.xxhash64(b, F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    est = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v
+                    )
+                )
+                / MINHASH_K
+            ).alias("est_jaccard"),
+        )
+        # a pair can collide in several bands → keep one row
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
+    return est.filter(F.col("est_jaccard") >= jaccard_threshold)
+
+
+def dedup_simhash(spark: "SparkSession", sf_dir: str, max_hamming: int = 6) -> "DataFrame":
+    """64-bit SimHash near-dup pairs; pre-bucketed by the top 16 bits so
+    the join is bucket-local, verified by full hamming distance."""
+    sh = _shingles(_docs(spark, sf_dir)).withColumn("h", F.xxhash64("shingle"))
+    # narrow two-phase bit-vote (a 64-column agg expression tree chokes
+    # codegen): explode to (doc_id, bit, ±1), partial-agg the votes,
+    # then OR the winning bits back into one long
+    votes = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        # F.shiftrightunsigned only takes literal shift counts → SQL expr
+        F.when(
+            F.expr("shiftrightunsigned(h, bit)").bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1).alias("vote"),
+    )
+    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    simhash = bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+        ).alias("simhash")
+    ).withColumn("bucket", F.shiftrightunsigned("simhash", 48))
+    a, b = simhash.alias("a"), simhash.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_ngram_jaccard(
+    spark: "SparkSession", sf_dir: str, max_doc_id: int = 50, min_jaccard: float = 0.1
+) -> "DataFrame":
+    """Exact word-3-gram Jaccard over a bounded id range (the verify
+    stage of dedup; SQL-expressible → DuckDB oracle)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < max_doc_id)
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def simsearch_bruteforce(
+    spark: "SparkSession", sf_dir: str, n_queries: int = 5, k: int = 10
+) -> "DataFrame":
+    """Top-k cosine neighbors for the first n_queries vectors —
+    broadcast the query side; corpus side never shuffles until the
+    final per-query top-k window."""
+    embs = _embs(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = embs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    scored = embs.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = scored.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("q"), F.col("v")), 5).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def simsearch_ivf(
+    spark: "SparkSession", sf_dir: str, n_queries: int = 20, sign_dims: int = 6
+) -> "DataFrame":
+    """Scale path: sign-bucket IVF — vectors partition into 2^sign_dims
+    buckets by the signs of their first dims; a query only scans its own
+    bucket (bucket-equality join instead of a cross product)."""
+    embs = _embs(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    def bucket(col):
+        return sum(
+            F.when(F.element_at(col, i + 1) > 0, 2**i).otherwise(0)
+            for i in range(sign_dims)
+        )
+    bucketed = embs.withColumn("bucket", bucket(F.col("v")))
+    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket")
+    )
+    cand = bucketed.join(F.broadcast(queries), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = cand.select(
+        "query_id", "vec_id", F.round(_cosine(F.col("q"), F.col("v")), 5).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "vec_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# ----------------------------------------------------------- text analysis
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "to"),
+    "es": ("el", "la", "que", "de", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+
+def _substr_count(col, needle: str):
+    # occurrences of ' needle ' in padded lowered text — identical
+    # arithmetic is used in the DuckDB oracle
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    token = f" {needle} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(token), F.lit(""))))
+        / len(token)
+    ).cast("int")
+
+
+def lang_id(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """N-gram/stopword language-ID heuristic: argmax of marker-word hit
+    counts, 'und' (undetermined) when nothing matches."""
+    docs = _docs(spark, sf_dir)
+    scores = docs.select(
+        "doc_id",
+        *[
+            sum(_substr_count(F.col("text"), w) for w in words).alias(f"s_{lang}")
+            for lang, words in _LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_MARKERS])
+    pred = F.when(best <= 0, "und")
+    for lang in _LANG_MARKERS:  # first-match tie-break, fixed order
+        pred = pred.when(F.col(f"s_{lang}") == best, lang)
+    return scores.select(
+        "doc_id", *[f"s_{l}" for l in _LANG_MARKERS], pred.otherwise("und").alias("lang_pred")
+    )
+
+
+def text_quality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Quality scoring: length/punctuation/stopword/digit ratios +
+    mean word length — the native analogue of the kernel's P5 gate."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+    stop_hits = sum(_substr_count(F.col("text"), w) for w in _LANG_MARKERS["en"])
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_calc"),
+        F.size(words).cast("long").alias("n_words"),
+        F.round(F.length(F.regexp_replace("text", r"[^.,;:!?]", "")) / n_chars, 6).alias("punct_ratio"),
+        F.round(F.length(F.regexp_replace("text", r"[^0-9]", "")) / n_chars, 6).alias("digit_ratio"),
+        F.round(stop_hits / F.size(words), 6).alias("stopword_ratio"),
+        F.round((n_chars - F.size(words) + 1) / F.size(words), 6).alias("avg_word_len"),
+    )
+
+
+def token_count(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Token counting: whitespace words + chars/4 estimate (T7) + a
+    BPE-ish subword proxy (alnum runs + punctuation marks counted
+    separately)."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+    # mark each alnum run with \x01 then count marks = number of runs
+    marked = F.regexp_replace("text", "[A-Za-z0-9]+", "\x01")
+    alnum_runs = F.length(marked) - F.length(F.replace(marked, F.lit("\x01"), F.lit("")))
+    punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("ws_tokens"),
+        F.greatest(F.lit(1), F.floor(F.length("text") / 4)).cast("long").alias("est_tokens"),
+        (alnum_runs + punct).cast("long").alias("bpeish_tokens"),
+    )
+
+
+def fingerprint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Document fingerprint: md5 over whitespace-normalized lowered text
+    (rolling-hash analogue; stable under reflow)."""
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

@@ -1,0 +1,116 @@
+"""Pipeline assembly: stable ordering, salted skew-safe partitioning,
+the fused extraction stage, and native post-processing expressions.
+
+Scale design (SURVEY.md §4.2):
+- Stable total order (north rule W2): row_number over
+  (conv_id, turn_idx, ts) — Spark has no implicit row order, so every
+  equality comparison and every ordered sink sorts on this key.
+- Salted partitioning: the extraction stage partitions on
+  pmod(xxhash64(conv_id, turn_block), P) where turn_block =
+  floor(turn_idx / SKEW_BLOCK). A mega-thread (10^8-turn conversation)
+  therefore spreads across ceil(turns/SKEW_BLOCK) partitions instead
+  of pinning one task; extraction is per-turn independent so this is
+  safe, and any later per-conversation aggregation does a two-phase
+  (partial per salt → final per conv_id) rollup.
+- Everything after the single Python hop is Catalyst expressions
+  (whole-stage codegen): token math, quality gates, bucketing.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from engine.spark.stage import extract_turns
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+# turns per salt block: one block ≈ one task's worth of a mega-thread
+SKEW_BLOCK = 10_000
+
+
+def part_expr(num_partitions: int, skew_block: int = SKEW_BLOCK) -> "Column":
+    """Deterministic partition id: hash of (conv_id, turn block)."""
+    return F.pmod(
+        F.xxhash64(F.col("conv_id"), (F.col("turn_idx") / F.lit(skew_block)).cast("long")),
+        F.lit(num_partitions),
+    ).cast("int")
+
+
+def with_stable_order(df: "DataFrame") -> "DataFrame":
+    """North-rule W2: total, deterministic per-conversation ordering."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    return df.withColumn("turn_seq", F.row_number().over(w))
+
+
+def run_extraction(
+    df: "DataFrame",
+    num_partitions: int | None = None,
+    skew_block: int = SKEW_BLOCK,
+) -> "DataFrame":
+    """Salted repartition → fused extraction stage → native post columns."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    salted = df.withColumn("part_id", part_expr(num_partitions, skew_block))
+    # repartition on the salt so one task never owns a whole mega-thread
+    salted = salted.repartition(num_partitions, "part_id")
+    extracted = extract_turns(salted.drop("part_id"))
+    return with_native_post(
+        extracted.withColumn("part_id", part_expr(num_partitions, skew_block))
+    )
+
+
+def with_native_post(df: "DataFrame") -> "DataFrame":
+    """Post-extraction analytics as pure Catalyst expressions
+    (whole-stage codegen; no Python). Each mirrors a kernel formula and
+    tests assert native == kernel on the overlap (SURVEY.md §7.1.4)."""
+    return (
+        df
+        # T7 natively: max(1, len/4) — proves parity with kernel tokens
+        .withColumn(
+            "estimated_tokens_native",
+            F.greatest(F.lit(1), F.floor(F.length("cleaned_text") / 4)).cast("int"),
+        )
+        # A7-style quality bucket over the P5 score
+        .withColumn(
+            "quality_bucket",
+            F.when(F.col("quality_score") >= 85, "excellent")
+            .when(F.col("quality_score") >= 70, "good")
+            .when(F.col("quality_score") >= 50, "acceptable")
+            .otherwise("poor"),
+        )
+        # chunk accounting from the spans array (higher-order fns, no UDF)
+        .withColumn(
+            "span_token_sum",
+            F.aggregate(
+                "spans", F.lit(0), lambda acc, s: acc + s["estimated_tokens"]
+            ),
+        )
+    )
+
+
+def conversation_rollup(results: "DataFrame") -> "DataFrame":
+    """Per-conversation aggregate with two-phase salt-safe execution.
+
+    Phase 1 aggregates per (conv_id, salt block) — map-side combine on
+    the already-salted layout — phase 2 merges blocks per conv_id, so
+    no single reducer sees a whole mega-thread's rows.
+    """
+    block = (F.col("turn_idx") / F.lit(SKEW_BLOCK)).cast("long").alias("blk")
+    partial = results.groupBy("conv_id", block).agg(
+        F.count("*").alias("n"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum(F.col("is_empty").cast("long")).alias("n_empty"),
+        F.sum("estimated_tokens").alias("tokens"),
+        F.max("quality_score").alias("max_q"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.sum("n").alias("n_turns"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("n_empty").alias("n_empty"),
+        F.sum("tokens").alias("tokens"),
+        F.max("max_q").alias("max_quality_score"),
+    )

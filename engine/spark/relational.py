@@ -1,0 +1,185 @@
+"""Relational operators over the driver's TPC-H-ish tables, mapping the
+reference's aggregation/join/window/set semantics (SURVEY.md §2.4–2.7)
+onto table-scale data. Each has an ANSI-SQL oracle twin in
+__spark_entry__.oracle_sql. All aggregates are rounded identically on
+both sides so the driver's value-hash is FP-stable.
+
+Scale notes: joins against small dims (region/nation/supplier) are
+explicitly broadcast; aggregations rely on map-side partial agg; the
+ranking windows partition on the natural key so no global sort occurs.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+
+def _t(spark: "SparkSession", sf_dir: str, name: str) -> "DataFrame":
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q1_pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q1 shape (A1/A6 batch roll-up analogue): grouped money math."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_orders_per_segment(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """W1 ranking analogue: top-3 orders by revenue within each market
+    segment (window + broadcast dim join)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def score_distribution(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """A7 bucket roll-up: order value buckets (percentile analogue of the
+    ranker's excellent/good/acceptable/poor bands)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 300000, "excellent")
+        .when(F.col("o_totalprice") >= 150000, "good")
+        .when(F.col("o_totalprice") >= 50000, "acceptable")
+        .otherwise("poor")
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+def customers_without_orders(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """P3/J1 anti-join analogue: required-relation missing → anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def suppliers_in_region(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """J1 semi-join tier: suppliers located in AMERICA-region nations
+    (two broadcast dims, one semi join)."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nat_am = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "left_semi")
+    return sup.join(
+        F.broadcast(nat_am), sup.s_nationkey == nat_am.n_nationkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def order_consistency(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """A2 amount-consistency analogue at table scale: per-order line
+    revenue vs o_totalprice with the reference's warning semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))),
+            2,
+        ).alias("line_revenue")
+    )
+    j = orders.join(line_sums, orders.o_orderkey == line_sums.l_orderkey)
+    return j.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "line_revenue",
+        (F.abs(F.col("o_totalprice") - F.col("line_revenue")) > 0.02).alias("mismatch"),
+    )
+
+
+def event_set_ops(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SO1–SO4 analogue: users who purchased but never errored
+    (EXCEPT), with their view counts."""
+    ev = _t(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    clean = purchasers.exceptAll(erroring)
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.count("*").alias("n_views")
+    )
+    return (
+        clean.join(views, "user_id", "left")
+        .select("user_id", F.coalesce("n_views", F.lit(0)).alias("n_views"))
+    )
+
+
+def sessionize_events(spark: "SparkSession", sf_dir: str, gap_minutes: int = 30) -> "DataFrame":
+    """W2 ordering at work: lag-based sessionization per user (the
+    stable-order window pattern the north rule requires)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ: route through ltz (session tz is UTC)
+    # before the epoch-seconds cast, matching DuckDB floor(epoch(ts))
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    sessioned = marked.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessioned.withColumn("session_seq", F.col("session_seq").cast("long")).groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+def event_props_json(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """§2.8 json family: parse the props JSON column natively."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def part_type_shares(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """§2.8 string family + A5-ish ratio math: revenue share by part
+    brand with string-extracted type class."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", F.substring_index("p_type", " ", 1).alias("type_class")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand", "type_class").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )

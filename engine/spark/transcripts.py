@@ -1,0 +1,97 @@
+"""Distributed deterministic transcript synthesis.
+
+Two sources for the (conv_id, turn_idx, role, text, tool, ts) table:
+
+1. ``synthesize_transcripts`` — pure generator scale-out: spark.range
+   over conversation indices, mapInPandas expanding each conversation
+   into its turns via engine.kernel.gen (seeded per (conv_id,
+   turn_idx), so output is identical regardless of partitioning or
+   parallelism). Includes deterministic mega-thread skew.
+
+2. ``transcripts_from_documents`` — derives turns from the driver's
+   documents.parquet: each document becomes a conversation whose turns
+   are its paragraphs (deterministic split), exercising the pipeline
+   against external text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from engine.spark.schemas import TRANSCRIPT_SCHEMA
+
+if TYPE_CHECKING:
+    import pandas as pd
+    from pyspark.sql import DataFrame, SparkSession
+
+
+def synthesize_transcripts(
+    spark: "SparkSession",
+    n_convs: int,
+    scale_turns: int = 8,
+    parallelism: int | None = None,
+) -> "DataFrame":
+    """Deterministic synthetic transcript table with heavy-tailed skew."""
+    parallelism = parallelism or spark.sparkContext.defaultParallelism
+
+    def expand(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from engine.kernel.gen import make_turn, turns_for_conv
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "conv_id": [], "turn_idx": [], "role": [],
+                "text": [], "tool": [], "ts_us": [],
+            }
+            for conv_index in pdf["id"].tolist():
+                conv_id = f"conv-{conv_index:09d}"
+                for turn_idx in range(turns_for_conv(conv_index, scale_turns)):
+                    t = make_turn(conv_id, turn_idx)
+                    rows["conv_id"].append(conv_id)
+                    rows["turn_idx"].append(turn_idx)
+                    rows["role"].append(t["role"])
+                    rows["text"].append(t["text"])
+                    rows["tool"].append(t["tool"])
+                    rows["ts_us"].append(t["ts_us"])
+            out = pd.DataFrame(rows)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    raw_schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts_us long"
+    )
+    base = spark.range(0, n_convs, 1, parallelism)
+    df = base.mapInPandas(expand, raw_schema)
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    ).drop("ts_us").select([f.name for f in TRANSCRIPT_SCHEMA.fields])
+
+
+def transcripts_from_documents(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Turn the driver's documents table into transcripts: one
+    conversation per document, one turn per paragraph (native split —
+    no Python), roles alternating user/assistant."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    paras = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.posexplode(F.split(F.col("text"), r"\n\n+")).alias("turn_idx", "text"),
+    )
+    return paras.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_micros(
+            F.lit(1735689600_000_000)
+            + F.pmod(F.xxhash64("conv_id"), F.lit(10_000_000)) * 1_000_000
+            + F.col("turn_idx").cast("long") * 30_000_000
+        ).alias("ts"),
+    )

@@ -1,0 +1,77 @@
+"""Quality gates for the non-oracle dedup operators: plant known
+near-duplicates in a documents-shaped table and require MinHash+LSH and
+SimHash to surface them without false positives among unrelated docs."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.spark.analytics import dedup_minhash_lsh, dedup_simhash
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega red green blue cyan "
+    "magenta yellow black white stone river mountain forest cloud rain snow"
+).split()
+
+
+def _doc(rng, n=120):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    rng = random.Random(42)
+    docs = []
+    for i in range(40):
+        docs.append((i, _doc(rng), "en", f"src{i}", 0))
+    # plant 3 near-dup pairs: copy with a few word substitutions
+    for pair, base_id in enumerate((3, 11, 27)):
+        base = docs[base_id][1].split()
+        for j in range(4):
+            base[rng.randrange(len(base))] = rng.choice(WORDS)
+        docs.append((100 + pair, " ".join(base), "en", "dup", 0))
+    # and one exact duplicate
+    docs.append((200, docs[5][1], "en", "dup", 0))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path_factory.mktemp("planted"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, planted_dir):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, planted_dir, jaccard_threshold=0.5).collect()
+    }
+    assert (3, 100) in pairs
+    assert (11, 101) in pairs
+    assert (27, 102) in pairs
+    assert (5, 200) in pairs  # exact dup → jaccard 1.0
+    # no false positives among unrelated docs (both ids < 100)
+    fp = [p for p in pairs if p[0] < 100 and p[1] < 100 and p != (5, 200)]
+    assert not fp, fp
+
+
+def test_simhash_finds_exact_dup(spark, planted_dir):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash(spark, planted_dir, max_hamming=10).collect()
+    }
+    assert pairs.get((5, 200)) == 0  # identical text → distance 0
+    near = [p for p in pairs if p in {(3, 100), (11, 101), (27, 102)}]
+    assert near, "simhash should catch at least one planted near-dup"
+
+
+def test_minhash_estimates_track_true_jaccard(spark, planted_dir):
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_minhash_lsh(spark, planted_dir, jaccard_threshold=0.0).collect()
+    }
+    assert est[(5, 200)] == 1.0
+    for p in ((3, 100), (11, 101), (27, 102)):
+        if p in est:
+            assert est[p] > 0.4

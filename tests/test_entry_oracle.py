@@ -1,0 +1,91 @@
+"""Local replica of the driver's correctness gate: every queries()
+entry with an oracle_sql() twin must match DuckDB on the same parquet
+(row count + order-insensitive values), at sf0.01 like the driver."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, int):
+        return int(v)
+    return str(v)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+
+
+ORACLED = sorted(set(entry_mod.oracle_sql()) & set(entry_mod.queries()))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    assert sorted(cols) == sorted(ocols), f"{name}: column names differ"
+    assert len(spark_rows) == len(orows), f"{name}: row count differs"
+    a = _normalize(spark_rows, cols)
+    b = _normalize(orows, ocols)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    assert not mism, f"{name}: first mismatch {a[mism[0]]} vs {b[mism[0]]}"
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_rows_only_queries_run(spark):
+    """Queries intentionally without an oracle still must execute and
+    return a stable schema at small scale."""
+    qs = entry_mod.queries()
+    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0
+        assert df.columns
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert df.filter("is_empty").count() < n  # extraction actually extracts

@@ -1,0 +1,160 @@
+"""Spark-side gate: per-turn equality vs the single-node oracle under
+stable (conv_id, turn_idx, ts) ordering (the north rule), salted-skew
+partitioning sanity, native==kernel expression parity, checkpoint
+resume, and parallelism-invariance of the synthesizer."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.kernel.transcript import extract_turn
+from engine.spark.pipeline import (
+    conversation_rollup,
+    part_expr,
+    run_extraction,
+    with_stable_order,
+)
+from engine.spark.transcripts import synthesize_transcripts
+
+N_CONVS = 24
+SCALE_TURNS = 4
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return synthesize_transcripts(spark, N_CONVS, SCALE_TURNS, parallelism=4).persist()
+
+
+@pytest.fixture(scope="module")
+def results(spark, transcripts):
+    return run_extraction(transcripts, num_partitions=8).persist()
+
+
+def test_per_turn_equality_vs_oracle(transcripts, results):
+    """THE gate: Spark output == kernel oracle, keyed by stable order."""
+    inputs = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in transcripts.select("conv_id", "turn_idx", "text").collect()
+    }
+    got = results.select(
+        "conv_id", "turn_idx", "cleaned_text", "spans", "doc_type",
+        "fields_json", "overall_confidence", "n_chunks",
+    ).collect()
+    assert len(got) == len(inputs)
+    mismatches = 0
+    for row in got:
+        oracle = extract_turn(inputs[(row.conv_id, row.turn_idx)])
+        assert row.cleaned_text == oracle["cleaned_text"], (row.conv_id, row.turn_idx)
+        spark_spans = [
+            # bracket access: Row.index shadows the namedtuple method
+            (s["content"], s["index"], s["start_char"], s["end_char"], s["estimated_tokens"])
+            for s in row.spans
+        ]
+        oracle_spans = [
+            (s["content"], s["index"], s["start_char"], s["end_char"], s["estimated_tokens"])
+            for s in oracle["spans"]
+        ]
+        assert spark_spans == oracle_spans
+        assert row.doc_type == oracle["doc_type"]
+        assert json.loads(row.fields_json) == json.loads(oracle["fields_json"])
+        assert row.overall_confidence == pytest.approx(oracle["overall_confidence"])
+    assert mismatches == 0
+
+
+def test_stable_ordering_window(transcripts):
+    ordered = with_stable_order(transcripts)
+    rows = ordered.filter(F.col("conv_id") == "conv-000000001").orderBy("turn_seq").collect()
+    assert [r.turn_seq for r in rows] == list(range(1, len(rows) + 1))
+    assert [r.turn_idx for r in rows] == sorted(r.turn_idx for r in rows)
+
+
+def test_salted_partitioning_splits_mega_thread(spark, transcripts):
+    # conv index 0 is the mega-thread; with a small skew block it must
+    # span multiple partitions
+    parts = (
+        transcripts.filter(F.col("conv_id") == "conv-000000000")
+        .withColumn("p", part_expr(8, skew_block=16))
+        .select("p").distinct().count()
+    )
+    assert parts > 1
+    # and the partition id is a pure function of the key (stable on recompute)
+    a = transcripts.withColumn("p", part_expr(8)).groupBy("p").count().collect()
+    b = transcripts.withColumn("p", part_expr(8)).groupBy("p").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_native_expressions_match_kernel(results):
+    # T7 parity: native greatest(1, floor(len/4)) == kernel estimated_tokens
+    bad = results.filter(
+        (F.col("cleaned_length") > 0)
+        & (F.col("estimated_tokens_native") != F.col("estimated_tokens"))
+    ).count()
+    assert bad == 0
+    # span token sum equals aggregate over kernel spans
+    bad2 = results.filter(
+        F.col("span_token_sum")
+        != F.aggregate("spans", F.lit(0), lambda a, s: a + s["estimated_tokens"])
+    ).count()
+    assert bad2 == 0
+
+
+def test_synthesizer_parallelism_invariant(spark):
+    """Same table at 1 and 4 partitions — partitioning must not leak
+    into content (the property that makes N vs 4N scaling comparable)."""
+    a = synthesize_transcripts(spark, 6, 3, parallelism=1)
+    b = synthesize_transcripts(spark, 6, 3, parallelism=4)
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    assert diff == 0
+
+
+def test_conversation_rollup_counts(transcripts, results):
+    roll = {r.conv_id: r for r in conversation_rollup(results).collect()}
+    truth = {
+        r.conv_id: r["count"]
+        for r in transcripts.groupBy("conv_id").count().collect()
+    }
+    assert {k: v.n_turns for k, v in roll.items()} == truth
+    assert all(v.bytes_in > 0 for v in roll.values())
+
+
+def test_checkpoint_resume(spark, transcripts, tmp_path_factory):
+    """Kill after 1 committed slice → resume → identical final table."""
+    from engine.spark.job import run_checkpointed
+
+    out_a = str(tmp_path_factory.mktemp("ckpt_a"))
+    out_b = str(tmp_path_factory.mktemp("ckpt_b"))
+
+    # one-shot reference run
+    ref = run_checkpointed(spark, transcripts, out_a, num_partitions=8)
+    ref_rows = {
+        (r.conv_id, r.turn_idx): r.cleaned_text
+        for r in ref.select("conv_id", "turn_idx", "cleaned_text").collect()
+    }
+
+    # crashed run: commits 1 of 4 slices then dies
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            spark, transcripts, out_b, num_partitions=8, fail_after_batches=1
+        )
+    done_after_crash = spark.read.parquet(f"{out_b}/checkpoints").count()
+    assert 0 < done_after_crash < 8
+
+    # resume: finishes only the remaining partitions
+    res = run_checkpointed(spark, transcripts, out_b, num_partitions=8)
+    res_rows = {
+        (r.conv_id, r.turn_idx): r.cleaned_text
+        for r in res.select("conv_id", "turn_idx", "cleaned_text").collect()
+    }
+    assert res_rows == ref_rows
+
+    # metrics table materialized with per-partition throughput
+    metrics = spark.read.parquet(f"{out_b}/metrics")
+    assert metrics.filter(F.col("turns_per_sec") > 0).count() > 0
+    # lineage manifests exist for completed partitions
+    import glob
+    assert len(glob.glob(f"{out_b}/manifests/part-*.json")) > 0
+
+    # re-running a completed run is a no-op returning the same table
+    again = run_checkpointed(spark, transcripts, out_b, num_partitions=8)
+    assert again.count() == len(ref_rows)
