@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": R.sessionize_events,
         "event_props_json": R.event_props_json,
         "part_type_shares": R.part_type_shares,
+        "ats_keyword_match": R.ats_keyword_match,
+        "candidate_pairwise": R.candidate_pairwise,
         # training-data ops
         "dedup_exact": A.dedup_exact,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
@@ -238,6 +240,54 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand, type_class
+        """,
+        "ats_keyword_match": """
+            WITH h AS (
+                SELECT doc_id,
+                       (CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'filter') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'window') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'partition') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'shuffle') THEN 1 ELSE 0 END) AS req,
+                       (CASE WHEN contains(lower(text), 'merge') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'batch') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'stream') THEN 1 ELSE 0 END) AS pref
+                FROM documents),
+            s AS (
+                SELECT doc_id, req, pref,
+                       CAST(floor((req / 5) * 70 + (pref / 3) * 30) AS INT) AS ats_score
+                FROM h)
+            SELECT doc_id,
+                   CAST(req AS INT) AS matched_required,
+                   CAST(pref AS INT) AS matched_preferred,
+                   ats_score,
+                   CASE WHEN ats_score >= 85 THEN 'excellent'
+                        WHEN ats_score >= 70 THEN 'good'
+                        WHEN ats_score >= 50 THEN 'acceptable'
+                        ELSE 'poor' END AS bucket
+            FROM s
+        """,
+        "candidate_pairwise": """
+            WITH h AS (
+                SELECT doc_id,
+                       (CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'filter') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'window') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'partition') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'shuffle') THEN 1 ELSE 0 END) AS req,
+                       (CASE WHEN contains(lower(text), 'merge') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'batch') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'stream') THEN 1 ELSE 0 END) AS pref
+                FROM documents WHERE doc_id < 20),
+            s AS (
+                SELECT doc_id,
+                       CAST(floor((req / 5) * 70 + (pref / 3) * 30) AS INT) AS ats_score
+                FROM h)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.ats_score AS score_a, b.ats_score AS score_b,
+                   CAST(a.ats_score - b.ats_score AS INT) AS score_diff,
+                   CASE WHEN a.ats_score - b.ats_score >= 0 THEN 1 ELSE 2 END AS winner
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash, count(*) AS dup_count,

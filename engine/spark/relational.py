@@ -183,3 +183,56 @@ def part_type_shares(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+def ats_keyword_match(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """J2/A5 analogue at table scale: broadcast JD keyword list matched
+    by substring containment against each document (scorer.py:197-206
+    keyword containment + :219-240 ratio scoring), ATS-style score out
+    of 100 with the reference's skills/keywords weighting collapsed to
+    the keyword tier."""
+    docs = _t(spark, sf_dir, "documents")
+    required = ["join", "filter", "window", "partition", "shuffle"]
+    preferred = ["merge", "batch", "stream"]
+    lower = F.lower(F.col("text"))
+    req_hits = sum(
+        F.when(F.instr(lower, kw) > 0, 1).otherwise(0) for kw in required
+    )
+    pref_hits = sum(
+        F.when(F.instr(lower, kw) > 0, 1).otherwise(0) for kw in preferred
+    )
+    # required 70% + preferred 30%; explicit floor — Spark's int cast
+    # truncates while DuckDB's rounds, and Python int() (scorer.py:219)
+    # truncates, so floor is the portable spelling
+    score = F.floor(
+        (req_hits / len(required)) * 70 + (pref_hits / len(preferred)) * 30
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        req_hits.cast("int").alias("matched_required"),
+        pref_hits.cast("int").alias("matched_preferred"),
+        score.alias("ats_score"),
+        F.when(score >= 85, "excellent")
+        .when(score >= 70, "good")
+        .when(score >= 50, "acceptable")
+        .otherwise("poor")
+        .alias("bucket"),
+    )
+
+
+def candidate_pairwise(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """J3 analogue: pairwise comparison of top candidates — self-join of
+    the ATS scores over a bounded id range with set ops on matched
+    keyword bitmasks (ranker.py:167-252 winner rule: ties → first)."""
+    scored = ats_keyword_match(spark, sf_dir).filter(F.col("doc_id") < 20)
+    a, b = scored.alias("a"), scored.alias("b")
+    j = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    diff = F.col("a.ats_score") - F.col("b.ats_score")
+    return j.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.ats_score").alias("score_a"),
+        F.col("b.ats_score").alias("score_b"),
+        diff.cast("int").alias("score_diff"),
+        F.when(diff >= 0, 1).otherwise(2).alias("winner"),
+    )

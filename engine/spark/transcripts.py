@@ -33,8 +33,14 @@ def synthesize_transcripts(
     n_convs: int,
     scale_turns: int = 8,
     parallelism: int | None = None,
+    shuffle_rows: bool = False,
 ) -> "DataFrame":
-    """Deterministic synthetic transcript table with heavy-tailed skew."""
+    """Deterministic synthetic transcript table with heavy-tailed skew.
+
+    shuffle_rows=True scatters rows by hash(conv_id, turn_idx) so the
+    on-disk/DAG order is NOT turn order (FIXTURES.md §1) — consumers
+    must rely on the stable-order window, never implicit order.
+    """
     parallelism = parallelism or spark.sparkContext.defaultParallelism
 
     def expand(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -67,9 +73,12 @@ def synthesize_transcripts(
     )
     base = spark.range(0, n_convs, 1, parallelism)
     df = base.mapInPandas(expand, raw_schema)
-    return df.withColumn(
+    out = df.withColumn(
         "ts", F.timestamp_micros(F.col("ts_us"))
     ).drop("ts_us").select([f.name for f in TRANSCRIPT_SCHEMA.fields])
+    if shuffle_rows:
+        out = out.repartition(parallelism, F.xxhash64("conv_id", "turn_idx"))
+    return out
 
 
 def transcripts_from_documents(spark: "SparkSession", sf_dir: str) -> "DataFrame":

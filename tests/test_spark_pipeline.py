@@ -118,6 +118,36 @@ def test_conversation_rollup_counts(transcripts, results):
     assert all(v.bytes_in > 0 for v in roll.values())
 
 
+def test_shuffled_input_same_results_under_stable_order(spark):
+    """FIXTURES §1: rows arrive in scattered order — results keyed by
+    (conv_id, turn_idx) must be identical to the ordered run."""
+    ordered = synthesize_transcripts(spark, 8, 3, parallelism=2)
+    shuffled = synthesize_transcripts(spark, 8, 3, parallelism=2, shuffle_rows=True)
+    a = {
+        (r.conv_id, r.turn_idx): r.cleaned_text
+        for r in run_extraction(ordered, num_partitions=4)
+        .select("conv_id", "turn_idx", "cleaned_text").collect()
+    }
+    b = {
+        (r.conv_id, r.turn_idx): r.cleaned_text
+        for r in run_extraction(shuffled, num_partitions=4)
+        .select("conv_id", "turn_idx", "cleaned_text").collect()
+    }
+    assert a == b
+
+
+def test_duplicate_ts_ties_broken_by_turn_idx(spark):
+    t = synthesize_transcripts(spark, 4, 4, parallelism=2)
+    # generator quantizes ts per turn pair → duplicates exist
+    dups = (
+        t.groupBy("conv_id", "ts").count().filter(F.col("count") > 1).count()
+    )
+    assert dups > 0
+    ordered = with_stable_order(t)
+    rows = ordered.filter(F.col("conv_id") == "conv-000000001").orderBy("turn_seq").collect()
+    assert [r.turn_idx for r in rows] == sorted(r.turn_idx for r in rows)
+
+
 def test_checkpoint_resume(spark, transcripts, tmp_path_factory):
     """Kill after 1 committed slice → resume → identical final table."""
     from engine.spark.job import run_checkpointed
