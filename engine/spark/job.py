@@ -73,6 +73,12 @@ def run_checkpointed(
     manifest_dir = f"{out_dir}/manifests"
     os.makedirs(manifest_dir, exist_ok=True)
 
+    # slice commits rely on dynamic partition overwrite (idempotent
+    # re-commit of ONLY the touched part_id dirs); static mode would
+    # wipe previously committed slices — set it here, not in session
+    # factory, so spark-submit sessions are safe too
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
     done = _completed_parts(spark, ckpt_dir, run_id)
     todo = [p for p in range(num_partitions) if p not in done]
     if not todo:

@@ -118,6 +118,23 @@ def test_conversation_rollup_counts(transcripts, results):
     assert all(v.bytes_in > 0 for v in roll.values())
 
 
+def test_checkpointed_job_survives_static_overwrite_conf(spark, transcripts, tmp_path_factory):
+    """Regression: a vanilla spark-submit session defaults to STATIC
+    partitionOverwriteMode, which made each slice commit wipe previous
+    slices (caught driving jobs/extract_job.py). run_checkpointed must
+    force dynamic mode itself."""
+    from engine.spark.job import run_checkpointed
+
+    out = str(tmp_path_factory.mktemp("static_conf"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        res = run_checkpointed(spark, transcripts, out, num_partitions=8)
+        assert res.count() == transcripts.count()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def test_shuffled_input_same_results_under_stable_order(spark):
     """FIXTURES §1: rows arrive in scattered order — results keyed by
     (conv_id, turn_idx) must be identical to the ordered run."""
