@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_type_shares": R.part_type_shares,
         "ats_keyword_match": R.ats_keyword_match,
         "candidate_pairwise": R.candidate_pairwise,
+        "revenue_by_nation": R.revenue_by_nation,
+        "text_preview": R.text_preview,
+        "date_normalize": R.date_normalize,
         # training-data ops
         "dedup_exact": A.dedup_exact,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
@@ -240,6 +243,45 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand, type_class
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n.n_name
+        """,
+        "text_preview": """
+            SELECT doc_id,
+                   CASE WHEN length(text) <= 100 THEN text
+                        ELSE regexp_replace(text[1:100], ' [^ ]*$', '') || '...'
+                   END AS preview
+            FROM documents
+        """,
+        "date_normalize": """
+            WITH r AS (
+                SELECT o_orderkey, o_orderdate,
+                       strftime(o_orderdate, '%m/%d/%Y') AS rendered_us,
+                       strftime(o_orderdate, '%d.%m.%Y') AS rendered_eu
+                FROM orders),
+            p AS (
+                SELECT o_orderkey, o_orderdate, rendered_us, rendered_eu,
+                       CAST(coalesce(try_strptime(rendered_us, '%Y-%m-%d'),
+                                     try_strptime(rendered_us, '%m/%d/%Y'),
+                                     try_strptime(rendered_us, '%d.%m.%Y')) AS DATE) AS parsed_us,
+                       CAST(coalesce(try_strptime(rendered_eu, '%Y-%m-%d'),
+                                     try_strptime(rendered_eu, '%m/%d/%Y'),
+                                     try_strptime(rendered_eu, '%d.%m.%Y')) AS DATE) AS parsed_eu
+                FROM r)
+            SELECT o_orderkey, rendered_us, rendered_eu, parsed_us, parsed_eu,
+                   (parsed_us = CAST(o_orderdate AS DATE)
+                    AND parsed_eu = CAST(o_orderdate AS DATE)) AS roundtrip_ok
+            FROM p
         """,
         "ats_keyword_match": """
             WITH h AS (

@@ -92,9 +92,15 @@ def _keyword_score(lower_text: str, table) -> float:
 def _pattern_score(text: str, compiled) -> float:
     total = 0.0
     for pat, w in compiled:
-        n = len(pat.findall(text))
+        # the score caps at 5 matches (detector.py:314), so stop
+        # scanning there — identical result, no full-document findall
+        n = 0
+        for _ in pat.finditer(text):
+            n += 1
+            if n == 5:
+                break
         if n:
-            total += w * (1 + (min(n, 5) - 1) * 0.3)
+            total += w * (1 + (n - 1) * 0.3)
     return total
 
 

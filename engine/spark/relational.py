@@ -236,3 +236,71 @@ def candidate_pairwise(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         diff.cast("int").alias("score_diff"),
         F.when(diff >= 0, 1).otherwise(2).alias("winner"),
     )
+
+
+def revenue_by_nation(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q5 shape: multi-join (fact ⋈ fact ⋈ dims) revenue rollup
+    by customer nation, date-bounded; dims broadcast."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def text_preview(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """W3 truncation: 100-char word-snapped preview with ellipsis,
+    exactly the reference's get_text_preview semantics
+    (extractor.py:209-223: text[:N].rsplit(' ', 1)[0] + '...')."""
+    docs = _t(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 100)
+    snapped = F.regexp_replace(head, " [^ ]*$", "")
+    return docs.select(
+        "doc_id",
+        F.when(F.length("text") <= 100, F.col("text"))
+        .otherwise(F.concat(snapped, F.lit("...")))
+        .alias("preview"),
+    )
+
+
+def date_normalize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """T14 natively: render o_orderdate into US/EU string styles, then
+    re-normalize through the coalesce(to_date(...)) chain in the
+    reference's rule order (ISO → m/d/Y → d.m.Y,
+    post_processor.py:50-62) and check the round trip."""
+    rendered = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("truth"),
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("rendered_us"),
+        F.date_format("o_orderdate", "dd.MM.yyyy").alias("rendered_eu"),
+    )
+
+    def chain(name: str):
+        # try_to_date: Spark 4's to_date raises on unparseable input
+        return F.coalesce(
+            F.expr(f"try_to_date({name}, 'yyyy-MM-dd')"),
+            F.expr(f"try_to_date({name}, 'MM/dd/yyyy')"),
+            F.expr(f"try_to_date({name}, 'dd.MM.yyyy')"),
+        )
+
+    return rendered.select(
+        "o_orderkey",
+        "rendered_us",
+        "rendered_eu",
+        chain("rendered_us").alias("parsed_us"),
+        chain("rendered_eu").alias("parsed_eu"),
+        (
+            (chain("rendered_us") == F.col("truth"))
+            & (chain("rendered_eu") == F.col("truth"))
+        ).alias("roundtrip_ok"),
+    )
