@@ -71,6 +71,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def extract_conversation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return conversation_rollup(_ex(spark, sf_dir))
 
+    def validate_invoice_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # P4 natively over extraction output (kernel parity in
+        # tests/test_validators.py); rows-only vs oracle. Runs over the
+        # synthetic transcripts (the documents corpus has no invoices,
+        # which would make this check vacuous).
+        from engine.spark.pipeline import run_extraction
+        from engine.spark.transcripts import synthesize_transcripts
+        from engine.spark.validation import validate_invoice_extractions
+
+        t = synthesize_transcripts(spark, 120, 4)
+        return validate_invoice_extractions(run_extraction(t, num_partitions=32))
+
     def doc_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # T7 as a pure native expression over raw documents (oracle-able)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -112,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_turns_scalar": extract_turns_scalar,
         "extract_spans": extract_spans,
         "extract_conversation_rollup": extract_conversation_rollup,
+        "validate_invoice_fields": validate_invoice_fields,
         "doc_token_estimate": doc_token_estimate,
     }
 

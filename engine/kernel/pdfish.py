@@ -163,6 +163,20 @@ def reconstruct_text(payload: str) -> str:
     return "\n\n".join(p.strip() for p in out_pages if p.strip()).strip()
 
 
+def page_stats(payload: str) -> tuple[int, int, int]:
+    """(pages_processed, total_chars, pages_with_text) for the P1
+    scanned-document heuristics (extractor.py:81-92)."""
+    pages: dict[int, int] = {}
+    for b in parse_boxes(payload):
+        pages[b.page] = pages.get(b.page, 0) + len(b.text)
+    if not pages:
+        return 0, 0, 0
+    n_pages = max(pages) if pages else 0
+    total = sum(pages.values())
+    with_text = sum(1 for v in pages.values() if v >= 1)
+    return max(n_pages, len(pages)), total, with_text
+
+
 def serialize_boxes(boxes: list[Box]) -> str:
     """Inverse of parse_boxes (used by the synthetic generator)."""
     lines = [SENTINEL]

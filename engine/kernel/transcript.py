@@ -47,10 +47,13 @@ def extract_turn(
     payload_kind = classify_payload(text)
     if payload_kind == "pdfbox":
         main_text = pdfish.reconstruct_text(text)
+        pages, chars, pages_with_text = pdfish.page_stats(text)
     elif payload_kind == "html":
         main_text = html.extract_main_text(text)
+        pages, chars, pages_with_text = 1, len(main_text), 1 if main_text.strip() else 0
     else:
         main_text = text
+        pages, chars, pages_with_text = 1, len(main_text), 1 if main_text.strip() else 0
 
     cleaned, metrics = textclean.clean_text(main_text)
     quality = textclean.assess_quality(metrics)
@@ -72,8 +75,11 @@ def extract_turn(
     missing = [f for f in required if data.get(f) in (None, "")]
     confidence = scoring_confidence(data, required, detection["confidence"])
 
+    from engine.kernel.validators import scanned_like
+
     return {
         "payload_kind": payload_kind,
+        "is_scannedlike": scanned_like(pages, chars, pages_with_text),
         "cleaned_text": cleaned,
         "spans": spans,
         "doc_type": doc_type,

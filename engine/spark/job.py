@@ -30,7 +30,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
 
-from engine.spark.pipeline import run_extraction
+from engine.spark.pipeline import run_extraction, split_valid
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
@@ -83,6 +83,10 @@ def run_checkpointed(
     todo = [p for p in range(num_partitions) if p not in done]
     if not todo:
         return spark.read.parquet(results_dir)
+
+    # P2: route malformed rows to the errors table instead of dropping
+    transcripts, errors = split_valid(transcripts)
+    errors.write.mode("overwrite").parquet(f"{out_dir}/errors")
 
     extracted = run_extraction(transcripts, num_partitions=num_partitions).persist()
     try:

@@ -31,6 +31,29 @@ if TYPE_CHECKING:
 # turns per salt block: one block ≈ one task's worth of a mega-thread
 SKEW_BLOCK = 10_000
 
+# P2 payload cap (reference caps uploads at 10 MB, config.py:57)
+MAX_TEXT_CHARS = 10_000_000
+
+
+def split_valid(df: "DataFrame") -> tuple["DataFrame", "DataFrame"]:
+    """P2 gate: bad rows are ROUTED, not dropped — the reference
+    returns structured errors (extract.py:40-68, orchestrator.py:
+    268-288). Returns (valid, errors-with-reason)."""
+    reason = (
+        F.when(F.col("conv_id").isNull(), "null_conv_id")
+        .when(F.col("turn_idx").isNull(), "null_turn_idx")
+        .when(F.col("text").isNull(), "null_text")
+        .when(F.length("text") > MAX_TEXT_CHARS, "oversized_text")
+    )
+    marked = df.withColumn("_error", reason)
+    valid = marked.filter(F.col("_error").isNull()).drop("_error")
+    errors = marked.filter(F.col("_error").isNotNull()).select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        F.col("_error").alias("error"),
+        F.length("text").alias("text_length"),
+    )
+    return valid, errors
+
 
 def part_expr(num_partitions: int, skew_block: int = SKEW_BLOCK) -> "Column":
     """Deterministic partition id: hash of (conv_id, turn block)."""

@@ -37,6 +37,7 @@ SPAN_TYPE = T.StructType(
 # columns the extraction stage appends to the transcript key columns
 EXTRACTION_FIELDS = [
     T.StructField("payload_kind", T.StringType(), False),
+    T.StructField("is_scannedlike", T.BooleanType(), False),
     T.StructField("cleaned_text", T.StringType(), False),
     T.StructField("spans", T.ArrayType(SPAN_TYPE), False),
     T.StructField("doc_type", T.StringType(), False),

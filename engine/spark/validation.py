@@ -1,0 +1,184 @@
+"""Native validation & candidate-analysis expressions (P4, A8, A9, J1).
+
+Mirrors engine.kernel.validators with pure Catalyst expressions so the
+checks run JVM-side at table scale; tests assert native == kernel on
+the overlap (SURVEY.md §7.1.4). The invoice fields arrive as the
+extraction stage's fields_json column and are projected through
+from_json with an explicit schema (T12 strategy-1 natively).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from engine.kernel.scoring import SKILL_SYNONYMS
+from engine.kernel.validators import VALID_CURRENCIES
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+INVOICE_FIELDS_SCHEMA = T.StructType(
+    [
+        T.StructField("invoice_number", T.StringType()),
+        T.StructField("invoice_date", T.StringType()),
+        T.StructField("due_date", T.StringType()),
+        T.StructField("vendor_name", T.StringType()),
+        T.StructField("subtotal", T.DoubleType()),
+        T.StructField("tax_amount", T.DoubleType()),
+        T.StructField("total_amount", T.DoubleType()),
+        T.StructField("currency", T.StringType()),
+    ]
+)
+
+AS_OF = "2026-01-01"  # frozen 'today' (SURVEY.md §7.3.2)
+
+
+def _issues(*pairs):
+    """Build array<string> of issue tags from (condition, tag) pairs."""
+    return F.filter(
+        F.array(*[F.when(cond, F.lit(tag)).otherwise(F.lit(None)) for cond, tag in pairs]),
+        lambda x: x.isNotNull(),
+    )
+
+
+def validate_invoice_extractions(results: "DataFrame") -> "DataFrame":
+    """P4 natively over extraction output (rlike / length / datediff /
+    allowlist), keyed by turn identity."""
+    f = F.from_json("fields_json", INVOICE_FIELDS_SCHEMA)
+    df = results.filter(F.col("doc_type") == "invoice").select(
+        "conv_id", "turn_idx", f.alias("f")
+    )
+    num = F.col("f.invoice_number")
+    dt = F.expr("try_to_date(f.invoice_date, 'yyyy-MM-dd')")
+    amt = F.col("f.total_amount")
+    cur = F.upper(F.col("f.currency"))
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        _issues(
+            (num.isNull() | (num == ""), "missing"),
+            (num.isNotNull() & ~num.rlike(r"^[A-Za-z0-9\-_/]+$"), "bad_format"),
+            (num.isNotNull() & ~F.length(num).between(2, 50), "bad_length"),
+        ).alias("invoice_number_issues"),
+        _issues(
+            (F.col("f.invoice_date").isNull(), "missing"),
+            (F.col("f.invoice_date").isNotNull() & dt.isNull(), "unparseable"),
+            (dt > F.lit(AS_OF), "future_date"),
+            (F.datediff(F.lit(AS_OF), dt) > 5 * 365, "too_old"),
+        ).alias("invoice_date_issues"),
+        _issues(
+            (amt.isNull(), "missing"),
+            (amt < 0, "negative"),
+            (amt == 0, "zero"),
+            (amt > 10_000_000, "implausibly_large"),
+        ).alias("total_amount_issues"),
+        _issues(
+            (cur.isNull(), "missing"),
+            (cur.isNotNull() & ~cur.isin(*VALID_CURRENCIES), "unknown_code"),
+        ).alias("currency_issues"),
+    )
+
+
+def candidate_analysis(resumes: "DataFrame") -> "DataFrame":
+    """A8/A9/W4 natively over an ``experience array<struct<...>>``
+    column: short-stint counting via filter(), average tenure via
+    aggregate(), most-recent pick via element_at (W4), total years."""
+    exp = F.col("experience")
+    short_stints = F.size(
+        F.filter(
+            exp,
+            lambda j: (~j["is_current"])
+            & (~j["is_internship"])
+            & j["duration_months"].isNotNull()
+            & (j["duration_months"] > 0)
+            & (j["duration_months"] < 12),
+        )
+    )
+    past = F.filter(exp, lambda j: ~j["is_current"])
+    tenure_vals = F.filter(
+        F.transform(past, lambda j: j["duration_months"]),
+        lambda m: m.isNotNull() & (m != 0),
+    )
+    avg_tenure = F.aggregate(
+        tenure_vals, F.lit(0.0), lambda acc, m: acc + m
+    ) / F.greatest(F.size(tenure_vals), F.lit(1))
+    latest = F.element_at(exp, 1)
+    stale = (
+        (F.size(exp) > 0)
+        & ~latest["is_current"]
+        & ~F.coalesce(latest["end_date"], F.lit("")).rlike("2024|2025|2026")
+    )
+    flags = _issues(
+        (short_stints >= 3, "job_hopping_high"),
+        ((short_stints == 2), "job_hopping"),
+        ((F.size(past) >= 4) & (F.size(tenure_vals) > 0) & (avg_tenure < 18), "low_avg_tenure"),
+        (stale, "employment_gap"),
+    )
+    total_years = F.round(
+        F.aggregate(exp, F.lit(0.0), lambda a, j: a + F.coalesce(j["duration_months"], F.lit(0.0)))
+        / 12.0,
+        1,
+    )
+    return resumes.withColumn("red_flags", flags).withColumn(
+        "total_experience_years", total_years
+    )
+
+
+def synonym_table(spark: "SparkSession") -> "DataFrame":
+    """J1 synonym dimension: (variant → canonical) rows expanded from
+    the kernel's table — the broadcast side of the skill join."""
+    rows = []
+    for canonical, syns in SKILL_SYNONYMS.items():
+        rows.append((canonical, canonical))
+        for s in syns:
+            rows.append((s, canonical))
+    return spark.createDataFrame(rows, "variant string, canonical string")
+
+
+def skill_match_join(spark: "SparkSession", resume_skills: "DataFrame",
+                     jd_skills: "DataFrame") -> "DataFrame":
+    """J1 at table scale: three match tiers as real joins —
+    exact (equality), synonym (both sides mapped through the broadcast
+    synonym dim), partial (substring theta-join) — returning the best
+    tier per (candidate, jd_skill) with the reference's precedence
+    exact > partial > synonym (scorer.py:72-97)."""
+    syn = F.broadcast(synonym_table(spark))
+    r = resume_skills.select(
+        "candidate_id", F.lower(F.trim("skill")).alias("r_skill")
+    )
+    j = jd_skills.select(F.lower(F.trim("skill")).alias("jd_skill"))
+
+    exact = r.join(j, r.r_skill == j.jd_skill).select(
+        "candidate_id", "jd_skill", F.lit("exact").alias("match_type")
+    )
+    contains_either = (F.instr(r.r_skill, j.jd_skill) > 0) | (
+        F.instr(j.jd_skill, r.r_skill) > 0
+    )
+    partial = r.join(
+        j, (r.r_skill != j.jd_skill) & contains_either
+    ).select("candidate_id", "jd_skill", F.lit("partial").alias("match_type"))
+    r_canon = r.join(syn, r.r_skill == syn.variant).select(
+        "candidate_id", F.col("canonical").alias("r_canon")
+    )
+    j_canon = j.join(syn, j.jd_skill == syn.variant).select(
+        "jd_skill", F.col("canonical").alias("j_canon")
+    )
+    synonym = r_canon.join(j_canon, r_canon.r_canon == j_canon.j_canon).select(
+        "candidate_id", "jd_skill", F.lit("synonym").alias("match_type")
+    )
+
+    tier = F.when(F.col("match_type") == "exact", 0).when(
+        F.col("match_type") == "partial", 1
+    ).otherwise(2)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("candidate_id", "jd_skill").orderBy(tier)
+    return (
+        exact.unionByName(partial).unionByName(synonym)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )

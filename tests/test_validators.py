@@ -1,0 +1,220 @@
+"""P1/P4/A8/A9 kernel golden tests + native==kernel parity + the J1
+skill-match joins + P2 error routing."""
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.kernel.validators import (
+    check_amount,
+    check_currency,
+    check_invoice_date,
+    check_invoice_number,
+    red_flags,
+    scanned_like,
+    total_experience_years,
+)
+
+
+# ---------------- kernel golden (P4, validator.py:261-407,536-562) ----
+
+def test_invoice_number_rules():
+    assert check_invoice_number("INV-2024/001_A") == []
+    assert check_invoice_number(None) == ["missing"]
+    assert check_invoice_number("x") == ["bad_length"]
+    assert check_invoice_number("bad number!") == ["bad_format"]
+    assert check_invoice_number("a" * 51) == ["bad_length"]
+
+
+def test_invoice_date_rules():
+    as_of = date(2026, 1, 1)
+    assert check_invoice_date("2025-06-01", as_of) == []
+    assert check_invoice_date("2026-06-01", as_of) == ["future_date"]
+    assert check_invoice_date("2019-01-01", as_of) == ["too_old"]
+    assert check_invoice_date("not a date", as_of) == ["unparseable"]
+    assert check_invoice_date(None, as_of) == ["missing"]
+
+
+def test_amount_and_currency_rules():
+    assert check_amount(100.5) == []
+    assert check_amount(-1) == ["negative"]
+    assert check_amount(0) == ["zero"]
+    assert check_amount(20_000_000) == ["implausibly_large"]
+    assert check_amount("abc") == ["not_numeric"]
+    assert check_currency("usd") == []
+    assert check_currency("XXX") == ["unknown_code"]
+    assert check_currency(None) == ["missing"]
+
+
+def test_scanned_like_heuristics():
+    assert scanned_like(10, 300, 10) is True          # avg 30 < 50
+    assert scanned_like(10, 5000, 2) is True          # coverage 0.2 < 0.3
+    assert scanned_like(10, 1500, 10, 0.9) is True    # image + avg<200
+    assert scanned_like(10, 30000, 10) is False
+
+
+# ---------------- kernel golden (A8/A9, analyzer.py:264-349) ----------
+
+def _job(months, current=False, intern=False, end="2025-06"):
+    return {
+        "duration_months": months,
+        "is_current": current,
+        "is_internship": intern,
+        "end_date": end,
+    }
+
+
+def test_red_flags_job_hopping():
+    assert "job_hopping" in red_flags([_job(6), _job(8), _job(40)])
+    assert "job_hopping_high" in red_flags([_job(6), _job(8), _job(10)])
+    # current/intern stints don't count
+    assert red_flags([_job(6, current=True), _job(8, intern=True), _job(40)]) == []
+
+
+def test_red_flags_tenure_and_gap():
+    flags = red_flags([_job(12), _job(14), _job(15), _job(16)])
+    assert "low_avg_tenure" in flags
+    stale = red_flags([_job(40, end="2019-05")])
+    assert "employment_gap" in stale
+    assert red_flags([_job(40, current=True, end=None)]) == []
+
+
+def test_total_experience_years():
+    assert total_experience_years([_job(24), _job(18)]) == 3.5
+    assert total_experience_years([]) == 0.0
+    assert total_experience_years([_job(None), _job(6)]) == 0.5
+
+
+# ---------------- native == kernel parity -----------------------------
+
+EXP_SCHEMA = (
+    "candidate_id long, experience array<struct<duration_months: double, "
+    "is_current: boolean, is_internship: boolean, end_date: string>>"
+)
+
+CASES = [
+    [_job(6), _job(8), _job(40)],
+    [_job(6), _job(8), _job(10)],
+    [_job(6, current=True), _job(8, intern=True), _job(40)],
+    [_job(12), _job(14), _job(15), _job(16)],
+    [_job(40, end="2019-05")],
+    [_job(40, current=True, end=None)],
+    [_job(24), _job(18)],
+    [],
+    [_job(None), _job(6)],
+]
+
+
+def test_native_candidate_analysis_matches_kernel(spark):
+    from engine.spark.validation import candidate_analysis
+
+    rows = [
+        (
+            i,
+            [
+                (
+                    float(j["duration_months"]) if j["duration_months"] is not None else None,
+                    j["is_current"], j["is_internship"], j["end_date"],
+                )
+                for j in case
+            ],
+        )
+        for i, case in enumerate(CASES)
+    ]
+    df = spark.createDataFrame(rows, EXP_SCHEMA)
+    out = {r.candidate_id: r for r in candidate_analysis(df).collect()}
+    for i, case in enumerate(CASES):
+        assert sorted(out[i].red_flags) == sorted(red_flags(case)), f"case {i}"
+        assert out[i].total_experience_years == pytest.approx(
+            total_experience_years(case)
+        ), f"case {i}"
+
+
+def test_native_invoice_validation(spark):
+    import json
+
+    from engine.spark.validation import validate_invoice_extractions
+
+    recs = [
+        ("c", 0, "invoice", json.dumps({"invoice_number": "INV-1", "invoice_date": "2025-06-01", "total_amount": 10.0, "currency": "USD"})),
+        ("c", 1, "invoice", json.dumps({"invoice_number": "b!", "invoice_date": "2026-06-01", "total_amount": 0.0, "currency": "XXX"})),
+        ("c", 2, "invoice", json.dumps({})),
+        ("c", 3, "resume", json.dumps({})),  # filtered out
+    ]
+    df = spark.createDataFrame(
+        recs, "conv_id string, turn_idx int, doc_type string, fields_json string"
+    )
+    out = {r.turn_idx: r for r in validate_invoice_extractions(df).collect()}
+    assert 3 not in out
+    ok = out[0]
+    assert (
+        list(ok.invoice_number_issues) == [] and list(ok.invoice_date_issues) == []
+        and list(ok.total_amount_issues) == [] and list(ok.currency_issues) == []
+    )
+    bad = out[1]
+    assert list(bad.invoice_number_issues) == ["bad_format"]
+    assert list(bad.invoice_date_issues) == ["future_date"]
+    assert list(bad.total_amount_issues) == ["zero"]
+    assert list(bad.currency_issues) == ["unknown_code"]
+    empty = out[2]
+    assert list(empty.invoice_number_issues) == ["missing"]
+    assert list(empty.total_amount_issues) == ["missing"]
+
+
+# ---------------- J1 skill joins + SO set ops --------------------------
+
+def test_skill_match_join_tiers(spark):
+    from engine.kernel.scoring import skills_match
+    from engine.spark.validation import skill_match_join
+
+    resume = spark.createDataFrame(
+        [(1, "Python"), (1, "k8s"), (1, "react native"), (2, "cobol")],
+        "candidate_id long, skill string",
+    )
+    jd = spark.createDataFrame(
+        [("python",), ("kubernetes",), ("react",), ("rust",)], "skill string"
+    )
+    got = {
+        (r.candidate_id, r.jd_skill): r.match_type
+        for r in skill_match_join(spark, resume, jd).collect()
+    }
+    assert got[(1, "python")] == "exact"
+    assert got[(1, "kubernetes")] == "synonym"
+    assert got[(1, "react")] == "partial"
+    assert (2, "rust") not in got
+    # parity with the kernel tiers for the matched pairs
+    assert skills_match("k8s", "kubernetes") == (True, "synonym")
+    assert skills_match("react native", "react") == (True, "partial")
+
+
+def test_so_set_ops_native(spark):
+    a = F.array(*[F.lit(x) for x in ("py", "sql", "go")])
+    b = F.array(*[F.lit(x) for x in ("sql", "rust")])
+    row = spark.range(1).select(
+        F.array_distinct(F.concat(a, b)).alias("union"),
+        F.array_intersect(a, b).alias("common"),
+        F.array_except(a, b).alias("only_a"),
+    ).collect()[0]
+    assert sorted(row.union) == ["go", "py", "rust", "sql"]
+    assert list(row.common) == ["sql"]
+    assert sorted(row.only_a) == ["go", "py"]
+
+
+# ---------------- P2 routing ------------------------------------------
+
+def test_split_valid_routes_errors(spark):
+    from engine.spark.pipeline import split_valid
+
+    rows = [
+        ("c1", 0, "user", "ok text", None, None),
+        ("c1", 1, "user", None, None, None),
+        (None, 2, "user", "x", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    valid, errors = split_valid(df)
+    assert valid.count() == 1
+    errs = {r.error for r in errors.collect()}
+    assert errs == {"null_text", "null_conv_id"}
