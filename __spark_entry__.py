@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": R.revenue_by_nation,
         "text_preview": R.text_preview,
         "date_normalize": R.date_normalize,
+        "validation_score": R.validation_score,
         # training-data ops
         "dedup_exact": A.dedup_exact,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
@@ -295,6 +296,29 @@ def oracle_sql() -> dict[str, str]:
                    (parsed_us = CAST(o_orderdate AS DATE)
                     AND parsed_eu = CAST(o_orderdate AS DATE)) AS roundtrip_ok
             FROM p
+        """,
+        "validation_score": """
+            WITH s AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 7 = 0 THEN 0.6 ELSE 1.0 END AS s_inv,
+                       CASE WHEN o_totalprice > 300000 THEN 0.7 ELSE 0.95 END AS s_tot,
+                       0.9 AS s_date,
+                       CASE WHEN o_custkey % 5 = 0 THEN 0.0 ELSE 0.9 END AS s_cust,
+                       (CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END
+                      + CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END
+                      + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS n_issues,
+                       least(CASE WHEN o_custkey % 5 = 0 THEN 0.3 ELSE 0.0 END
+                           + CASE WHEN o_totalprice > 300000 THEN 0.1 ELSE 0.0 END
+                           + CASE WHEN o_orderkey % 7 = 0 THEN 0.02 ELSE 0.0 END,
+                             0.5) AS penalty
+                FROM orders)
+            SELECT o_orderkey,
+                   CAST(n_issues AS INT) AS n_issues,
+                   round(greatest(
+                       (s_inv * 1.0 + s_tot * 1.0 + s_date * 0.8 + s_cust * 0.5)
+                           / 3.3 - penalty,
+                       0.0), 3) AS validation_score
+            FROM s
         """,
         "ats_keyword_match": """
             WITH h AS (

@@ -180,3 +180,52 @@ def score_bucket(overall_score: float) -> str:
     if overall_score >= 50:
         return "acceptable"
     return "poor"
+
+
+# A3 field-importance weights (validator.py:79-95); unknown fields
+# default to 0.5 (validator.py:576)
+FIELD_WEIGHTS: dict[str, float] = {
+    "invoice_number": 1.0,
+    "total_amount": 1.0,
+    "invoice_date": 0.8,
+    "vendor_name": 0.8,
+    "subtotal": 0.7,
+    "tax_amount": 0.6,
+    "customer_name": 0.5,
+    "line_items": 0.5,
+    "payment_terms": 0.4,
+    "notes": 0.2,
+    "reference_number": 0.2,
+}
+
+# A3 issue penalties (validator.py:586-600); cap 0.5 (validator.py:603)
+ISSUE_PENALTIES: dict[str, float] = {
+    "critical": 0.3,
+    "warning": 0.1,
+    "info": 0.02,
+}
+
+
+def overall_validation_score(
+    field_scores: list[tuple[str, float]],
+    issue_severities: list[str],
+) -> float:
+    """A3 weighted validation score (validator.py:564-605).
+
+    Weighted mean of per-field scores (weights table above, 0.5 for
+    unknown fields; base 0.5 if total weight is 0, 0.0 if no fields),
+    minus severity penalties (critical 0.3 / warning 0.1 / info 0.02)
+    capped at 0.5; floored at 0 and rounded to 3 decimals.
+    """
+    if not field_scores:
+        return 0.0
+    total_weight = 0.0
+    weighted_sum = 0.0
+    for name, score in field_scores:
+        w = FIELD_WEIGHTS.get(name, 0.5)
+        weighted_sum += score * w
+        total_weight += w
+    base = 0.5 if total_weight == 0 else weighted_sum / total_weight
+    penalty = sum(ISSUE_PENALTIES.get(s, 0.0) for s in issue_severities)
+    penalty = min(penalty, 0.5)
+    return round(max(0.0, base - penalty), 3)

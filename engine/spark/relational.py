@@ -304,3 +304,52 @@ def date_normalize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             & (chain("rendered_eu") == F.col("truth"))
         ).alias("roundtrip_ok"),
     )
+
+
+def validation_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """A3 weighted validation score (validator.py:564-605) at table
+    scale: derive deterministic per-order field scores + issue
+    severities (P4-style predicates over order columns), then apply the
+    native weighted-mean/penalty operator
+    (engine.spark.validation.with_validation_score)."""
+    from engine.spark.validation import with_validation_score
+
+    orders = _t(spark, sf_dir, "orders")
+    fs = F.array(
+        F.struct(
+            F.lit("invoice_number").alias("field_name"),
+            F.when(F.col("o_orderkey") % 7 == 0, 0.6).otherwise(1.0).alias("score"),
+        ),
+        F.struct(
+            F.lit("total_amount").alias("field_name"),
+            F.when(F.col("o_totalprice") > 300000, 0.7).otherwise(0.95).alias("score"),
+        ),
+        F.struct(
+            F.lit("invoice_date").alias("field_name"),
+            F.lit(0.9).alias("score"),
+        ),
+        F.struct(
+            F.lit("customer_name").alias("field_name"),
+            F.when(F.col("o_custkey") % 5 == 0, 0.0).otherwise(0.9).alias("score"),
+        ),
+    )
+    issues = F.filter(
+        F.array(
+            F.when(F.col("o_custkey") % 5 == 0, "critical"),
+            F.when(F.col("o_totalprice") > 300000, "warning"),
+            F.when(F.col("o_orderkey") % 7 == 0, "info"),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    scored = with_validation_score(
+        orders.select(
+            "o_orderkey",
+            fs.alias("field_scores"),
+            issues.alias("issue_severities"),
+        )
+    )
+    return scored.select(
+        "o_orderkey",
+        F.size("issue_severities").alias("n_issues"),
+        "validation_score",
+    )

@@ -182,3 +182,50 @@ def skill_match_join(spark: "SparkSession", resume_skills: "DataFrame",
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+def with_validation_score(
+    df: "DataFrame",
+    field_scores_col: str = "field_scores",
+    issues_col: str = "issue_severities",
+    out_col: str = "validation_score",
+) -> "DataFrame":
+    """A3 weighted validation score natively (validator.py:564-605).
+
+    Expects ``field_scores_col: array<struct<field_name:string,
+    score:double>>`` and ``issues_col: array<string>`` (severities).
+    Weighted mean over the FIELD_WEIGHTS table (unknown fields 0.5,
+    empty-weight base 0.5, no-fields 0.0) minus capped severity
+    penalties (critical 0.3 / warning 0.1 / info 0.02, cap 0.5),
+    floored at 0, rounded to 3 — identical to
+    engine.kernel.scoring.overall_validation_score (parity-tested).
+    """
+    from engine.kernel.scoring import FIELD_WEIGHTS, ISSUE_PENALTIES
+
+    wmap = F.create_map(
+        *[F.lit(x) for kv in FIELD_WEIGHTS.items() for x in kv]
+    )
+    pmap = F.create_map(
+        *[F.lit(x) for kv in ISSUE_PENALTIES.items() for x in kv]
+    )
+    fs = F.col(field_scores_col)
+    weight = lambda s: F.coalesce(F.element_at(wmap, s["field_name"]), F.lit(0.5))
+    weighted_sum = F.aggregate(
+        fs, F.lit(0.0), lambda acc, s: acc + s["score"] * weight(s)
+    )
+    total_weight = F.aggregate(fs, F.lit(0.0), lambda acc, s: acc + weight(s))
+    base = F.when(total_weight == 0, F.lit(0.5)).otherwise(
+        weighted_sum / total_weight
+    )
+    penalty = F.least(
+        F.aggregate(
+            F.col(issues_col),
+            F.lit(0.0),
+            lambda acc, s: acc + F.coalesce(F.element_at(pmap, s), F.lit(0.0)),
+        ),
+        F.lit(0.5),
+    )
+    score = F.when(F.size(fs) <= 0, F.lit(0.0)).otherwise(
+        F.round(F.greatest(base - penalty, F.lit(0.0)), 3)
+    )
+    return df.withColumn(out_col, score)

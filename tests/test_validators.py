@@ -218,3 +218,55 @@ def test_split_valid_routes_errors(spark):
     assert valid.count() == 1
     errs = {r.error for r in errors.collect()}
     assert errs == {"null_text", "null_conv_id"}
+
+
+def test_overall_validation_score_golden():
+    """A3 kernel golden cases (validator.py:564-605)."""
+    from engine.kernel.scoring import overall_validation_score as s
+
+    # weighted mean: (1.0*1.0 + 0.9*1.0) / 2.0 = 0.95
+    assert s([("invoice_number", 1.0), ("total_amount", 0.9)], []) == 0.95
+    # penalties: 0.3 + 0.1 + 0.1 = 0.5 (== cap); 1.0 - 0.5 = 0.5
+    assert s([("invoice_number", 1.0)], ["critical", "warning", "warning"]) == 0.5
+    # penalty cap at 0.5 even with 30 infos (0.6 uncapped)
+    assert s([("unknownfield", 0.8)], ["info"] * 30) == 0.3
+    # no fields → 0.0 regardless of issues
+    assert s([], []) == 0.0
+    # unknown field defaults to weight 0.5 (mean unaffected for one field)
+    assert s([("mystery", 0.7)], []) == 0.7
+    # floor at 0
+    assert s([("notes", 0.1)], ["critical", "critical"]) == 0.0
+
+
+def test_native_validation_score_matches_kernel(spark):
+    """A3 native == kernel over a grid of field/issue combinations."""
+    from engine.kernel.scoring import overall_validation_score
+    from engine.spark.validation import with_validation_score
+
+    cases = [
+        (1, [("invoice_number", 1.0), ("total_amount", 0.9)], []),
+        (2, [("invoice_number", 0.6), ("notes", 0.2)], ["warning"]),
+        (3, [("mystery", 0.7), ("vendor_name", 0.8)], ["info", "info"]),
+        (4, [("invoice_number", 1.0)], ["critical", "warning", "warning"]),
+        (5, [("subtotal", 0.0), ("tax_amount", 0.0)], ["critical"] * 3),
+        (6, [("payment_terms", 0.4), ("line_items", 0.5),
+             ("customer_name", 0.9)], ["warning", "unknown_sev"]),
+        (7, [], ["critical"]),
+    ]
+    rows = [
+        (i, [{"field_name": n, "score": v} for n, v in fs], sev)
+        for i, fs, sev in cases
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id int, field_scores array<struct<field_name:string,score:double>>, "
+        "issue_severities array<string>",
+    )
+    got = {
+        r["id"]: r["validation_score"]
+        for r in with_validation_score(df).collect()
+    }
+    for i, fs, sev in cases:
+        assert got[i] == pytest.approx(
+            overall_validation_score(fs, sev), abs=1e-9
+        ), f"case {i}"
