@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
         "dedup_minhash_lsh": A.dedup_minhash_lsh,   # rows-only (LSH)
         "dedup_simhash": A.dedup_simhash,           # rows-only (bit ops)
+        "dedup_embedding_cosine": A.dedup_embedding_cosine,
         "simsearch_bruteforce": A.simsearch_bruteforce,
         "simsearch_ivf": A.simsearch_ivf,
         "lang_id": A.lang_id,
@@ -397,6 +398,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = doc_a
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE round(icount / (na.n + nb.n - icount), 6) >= 0.1
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 b AS (SELECT vec_id, v,
+                              (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+                            + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+                            + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+                            + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+                            + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+                            + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+                       FROM e),
+                 sims AS (
+                     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                            round(list_dot_product(a.v, c.v)
+                                  / (sqrt(list_dot_product(a.v, a.v))
+                                     * sqrt(list_dot_product(c.v, c.v))), 5) AS cosine
+                     FROM b a JOIN b c
+                       ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+            SELECT vec_a, vec_b, cosine FROM sims WHERE cosine >= 0.35
         """,
         "simsearch_bruteforce": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -246,6 +246,47 @@ def simsearch_ivf(
     )
 
 
+def dedup_embedding_cosine(
+    spark: "SparkSession",
+    sf_dir: str,
+    threshold: float = 0.35,
+    sign_dims: int = 6,
+) -> "DataFrame":
+    """Embedding-cosine near-duplicate pairs: sign-bucket the vectors
+    (2^sign_dims buckets), self-join only within a bucket, keep pairs
+    with cosine >= threshold. The bucket join is the 100 TB path — the
+    cross product never materializes; pairs straddling a sign boundary
+    on the first sign_dims dims are traded for that pruning (same
+    recall/cost trade as simsearch_ivf; raise sign_dims for tighter
+    buckets, or run multiple salted projections for multi-probe).
+    Threshold compares the 5-dp-rounded cosine so the cut is
+    FP-stable across engines."""
+    embs = _embs(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def bucket(col):
+        return sum(
+            F.when(F.element_at(col, i + 1) > 0, 2**i).otherwise(0)
+            for i in range(sign_dims)
+        )
+
+    b = embs.withColumn("bucket", bucket(F.col("v")))
+    a = b.select(
+        "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    c = b.select(
+        "bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(c, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    sims = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(_cosine(F.col("va"), F.col("vb")), 5).alias("cosine"),
+    )
+    return sims.filter(F.col("cosine") >= threshold)
+
+
 # ----------------------------------------------------------- text analysis
 
 _LANG_MARKERS = {

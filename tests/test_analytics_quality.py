@@ -75,3 +75,31 @@ def test_minhash_estimates_track_true_jaccard(spark, planted_dir):
     for p in ((3, 100), (11, 101), (27, 102)):
         if p in est:
             assert est[p] > 0.4
+
+
+def test_embedding_cosine_dedup_finds_planted_pairs(spark, tmp_path):
+    """Planted near-identical vectors must surface as near-dup pairs;
+    an orthogonal vector must not pair with them."""
+    import math
+
+    from engine.spark.analytics import dedup_embedding_cosine
+
+    dim = 16
+    base = [math.sin(i + 1) for i in range(dim)]
+    near = [v + (0.001 if i % 2 else -0.001) for i, v in enumerate(base)]
+    # orthogonal-ish: same sign pattern on the first dims as base would
+    # land in another bucket half the time; force same bucket by copying
+    # signs but decorrelating magnitudes with an alternating flip beyond
+    # the sign dims
+    other = [math.copysign(abs(math.cos(3 * i + 2)), v) for i, v in enumerate(base)]
+    rows = [(0, base), (1, near), (2, other)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "embdir")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_embedding_cosine(spark, out, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+    assert (0, 2) not in pairs and (1, 2) not in pairs
