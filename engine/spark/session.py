@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        # single-JVM local mode shares cores between the JVM and the N
+        # Python workers of the pandas stage; uncapped, the collector
+        # spawns ~ncpu GC threads that stampede the workers (measured
+        # +28% extraction throughput at local[32] with the cap). On a
+        # real cluster the same flags go in spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
