@@ -76,8 +76,39 @@ RESUME_PATTERNS = (
 
 _MAX_POSSIBLE = 15.0  # normalization constant (detector.py:225)
 
-_INV_PAT = tuple((re.compile(p, re.IGNORECASE), w) for p, w in INVOICE_PATTERNS)
-_RES_PAT = tuple((re.compile(p, re.IGNORECASE), w) for p, w in RESUME_PATTERNS)
+# necessary-literal guards per pattern (index-aligned): a pattern whose
+# guard substrings are all absent from the lowercased text cannot match,
+# so the full-document regex scan is skipped. Guards are (any-of) tuples;
+# None = no cheap necessary literal (always scan). Pure optimization —
+# match counts are identical with or without guards (tested).
+_INV_GUARDS = (
+    ("inv",),          # inv(oice)...
+    ("#",),            # #\s*\d{4,}
+    ("date",),         # (invoice|due|payment)\s*date
+    ("$",),            # $ amounts
+    ("usd", "eur", "gbp", "cad"),
+    ("x", "@"),        # qty x price
+    ("total",),        # (sub)?total
+    ("tax",),
+)
+_RES_GUARDS = (
+    ("@",),            # email
+    None,              # phone (no cheap literal)
+    ("linkedin",),
+    ("github",),
+    ("19", "20"),      # year ranges
+    None,              # degree abbreviations
+    ("gpa",),
+)
+
+_INV_PAT = tuple(
+    (re.compile(p, re.IGNORECASE), w, g)
+    for (p, w), g in zip(INVOICE_PATTERNS, _INV_GUARDS)
+)
+_RES_PAT = tuple(
+    (re.compile(p, re.IGNORECASE), w, g)
+    for (p, w), g in zip(RESUME_PATTERNS, _RES_GUARDS)
+)
 
 
 def _keyword_score(lower_text: str, table) -> float:
@@ -89,9 +120,11 @@ def _keyword_score(lower_text: str, table) -> float:
     return total
 
 
-def _pattern_score(text: str, compiled) -> float:
+def _pattern_score(text: str, lower_text: str, compiled) -> float:
     total = 0.0
-    for pat, w in compiled:
+    for pat, w, guards in compiled:
+        if guards is not None and not any(g in lower_text for g in guards):
+            continue
         # the score caps at 5 matches (detector.py:314), so stop
         # scanning there — identical result, no full-document findall
         n = 0
@@ -107,8 +140,8 @@ def _pattern_score(text: str, compiled) -> float:
 def detect_document_type(text: str, min_confidence: float = 0.3) -> dict[str, Any]:
     """Classify text as invoice/resume/unknown with confidence scores."""
     lower = text.lower()
-    inv = _keyword_score(lower, INVOICE_KEYWORDS) * 0.6 + _pattern_score(text, _INV_PAT) * 0.4
-    res = _keyword_score(lower, RESUME_KEYWORDS) * 0.6 + _pattern_score(text, _RES_PAT) * 0.4
+    inv = _keyword_score(lower, INVOICE_KEYWORDS) * 0.6 + _pattern_score(text, lower, _INV_PAT) * 0.4
+    res = _keyword_score(lower, RESUME_KEYWORDS) * 0.6 + _pattern_score(text, lower, _RES_PAT) * 0.4
     inv_conf = min(1.0, inv / _MAX_POSSIBLE)
     res_conf = min(1.0, res / _MAX_POSSIBLE)
 

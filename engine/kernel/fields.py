@@ -83,7 +83,9 @@ def extract_resume_fields(text: str) -> dict[str, Any]:
         words = first.split()
         if 1 < len(words) <= 4 and all(w[:1].isupper() for w in words if w):
             out["candidate_name"] = first
-    m = _EMAIL.search(text)
+    # '@' guard: the email regex's leading char class matches nearly every
+    # position, so a doomed search is a full-text backtrack scan
+    m = _EMAIL.search(text) if "@" in text else None
     if m:
         out["email"] = m.group(0)
     m = _PHONE.search(text)
@@ -105,7 +107,7 @@ def extract_fields(text: str, doc_type: str) -> dict[str, Any]:
     if doc_type == "resume":
         return extract_resume_fields(text)
     out: dict[str, Any] = {}
-    m = _EMAIL.search(text)
+    m = _EMAIL.search(text) if "@" in text else None
     if m:
         out["email"] = m.group(0)
     return out

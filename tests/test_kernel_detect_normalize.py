@@ -46,14 +46,17 @@ def test_detector_pattern_math():
     from engine.kernel.detector import _INV_PAT, _pattern_score
 
     # "$1,234.56" hits the $-amount pattern (1.5) AND `#\s*\d{4,}`? no.
-    assert _pattern_score("$1,234.56", _INV_PAT) == pytest.approx(1.5)
+    def ps(text, compiled):
+        return _pattern_score(text, text.lower(), compiled)
+
+    assert ps("$1,234.56", _INV_PAT) == pytest.approx(1.5)
     # 2 matches → w*(1+0.3); cap at 5 matches
-    assert _pattern_score("$1.00 $2.00", _INV_PAT) == pytest.approx(1.5 * 1.3)
-    assert _pattern_score(" ".join(["$1.00"] * 9), _INV_PAT) == \
-        _pattern_score(" ".join(["$1.00"] * 5), _INV_PAT)
+    assert ps("$1.00 $2.00", _INV_PAT) == pytest.approx(1.5 * 1.3)
+    assert ps(" ".join(["$1.00"] * 9), _INV_PAT) == \
+        ps(" ".join(["$1.00"] * 5), _INV_PAT)
     # the bare word "invoice" matches the inv-number regex via backtracking
     # (inv + "oice" as the id), same as the reference's Python regex
-    assert _pattern_score("invoice", _INV_PAT) == pytest.approx(2.5)
+    assert ps("invoice", _INV_PAT) == pytest.approx(2.5)
     r = detect_document_type("$1,234.56")
     assert r["document_type"] == "unknown"  # 0.04 < 0.3
 
@@ -263,3 +266,33 @@ def test_score_buckets():
     assert [score_bucket(x) for x in (90, 85, 84, 70, 69, 50, 49)] == [
         "excellent", "excellent", "good", "good", "acceptable", "acceptable", "poor",
     ]
+
+
+def test_pattern_guards_are_pure_optimization():
+    """Guarded pattern scoring must equal an unguarded reference
+    implementation on a diverse corpus (guards are necessary-literal
+    prefilters, never semantic)."""
+    import re
+
+    from engine.kernel.detector import _INV_PAT, _RES_PAT, _pattern_score
+    from engine.kernel.gen import make_turn
+
+    def unguarded(text, compiled):
+        total = 0.0
+        for pat, w, _g in compiled:
+            n = len(pat.findall(text)[:5])
+            if n:
+                total += w * (1 + (n - 1) * 0.3)
+        return total
+
+    corpus = [make_turn(f"g{c}", i)["text"] for c in range(40) for i in range(4)]
+    corpus += [
+        "Invoice #12345 due date: 2024-01-01 total: $1,234.56 tax 8.5% USD 99",
+        "jane@example.com linkedin.com/in/jane github.com/jane GPA: 3.9 2019-2023 B.S.",
+        "no digits no symbols just plain words here",
+        "",
+    ]
+    for text in corpus:
+        lower = text.lower()
+        for compiled in (_INV_PAT, _RES_PAT):
+            assert _pattern_score(text, lower, compiled) == unguarded(text, compiled)
