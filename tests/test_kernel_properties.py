@@ -1,0 +1,82 @@
+"""Property-based kernel invariants (hypothesis).
+
+Golden tests pin exact reference behavior; these pin the *structural*
+invariants that must hold for any input — the properties the Spark
+stage and every downstream consumer rely on (span offsets index into
+the cleaned text, determinism, idempotence, parser totality)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.kernel.chunker import chunk_text, estimate_tokens
+from engine.kernel.detector import detect_document_type
+from engine.kernel.normalize import parse_amount, parse_date
+from engine.kernel.textclean import clean_text
+from engine.kernel.transcript import extract_turn
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=4000
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_strategy)
+def test_clean_text_idempotent(s):
+    once, _stats = clean_text(s)
+    again, _stats2 = clean_text(once)
+    assert again == once
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_strategy)
+def test_chunk_spans_index_into_text(s):
+    cleaned, _ = clean_text(s)
+    chunks = chunk_text(cleaned, max_tokens=50, overlap_tokens=10)
+    for c in chunks:
+        assert 0 <= c["start_char"] < c["end_char"] <= len(cleaned)
+        assert c["content"] == cleaned[c["start_char"] : c["end_char"]]
+        assert c["estimated_tokens"] == estimate_tokens(c["content"])
+    # indices are sequential and starts non-decreasing (overlap allowed)
+    assert [c["index"] for c in chunks] == list(range(len(chunks)))
+    starts = [c["start_char"] for c in chunks]
+    assert starts == sorted(starts)
+    # coverage: the last chunk reaches the end of non-empty text
+    if cleaned:
+        assert chunks and chunks[-1]["end_char"] == len(cleaned)
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_strategy)
+def test_extract_turn_total_and_deterministic(s):
+    a = extract_turn(s)
+    b = extract_turn(s)
+    assert a == b
+    assert a["doc_type"] in ("invoice", "resume", "unknown")
+    assert 0.0 <= a["overall_confidence"] <= 1.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_strategy)
+def test_detector_scores_bounded(s):
+    r = detect_document_type(s)
+    assert 0.0 <= r["confidence"] <= 1.0
+    assert set(r["scores"]) == {"invoice", "resume"}
+    assert all(0.0 <= v <= 1.0 for v in r["scores"].values())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_parsers_never_raise(s):
+    parse_amount(s)   # None or float, never an exception
+    parse_date(s)     # None or ISO string, never an exception
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=0.01, max_value=9_999_999, allow_nan=False),
+)
+def test_amount_roundtrip_us_format(x):
+    rendered = f"${x:,.2f}"
+    parsed = parse_amount(rendered)
+    assert parsed is not None
+    assert abs(parsed - round(x, 2)) < 0.005
