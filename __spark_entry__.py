@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_preview": R.text_preview,
         "date_normalize": R.date_normalize,
         "validation_score": R.validation_score,
+        "order_rollup": R.order_rollup,
         # training-data ops
         "dedup_exact": A.dedup_exact,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
@@ -398,6 +399,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = doc_a
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE round(icount / (na.n + nb.n - icount), 6) >= 0.1
+        """,
+        "order_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS INT) AS gid,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "dedup_embedding_cosine": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

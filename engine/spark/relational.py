@@ -353,3 +353,17 @@ def validation_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.size("issue_severities").alias("n_issues"),
         "validation_score",
     )
+
+
+def order_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """A7 multi-dimensional roll-up (SURVEY.md §2.4 "grouping-sets
+    style"): subtotals over (status, priority) hierarchy via ROLLUP —
+    one shuffle, all grouping sets computed in a single pass with
+    map-side partial aggregation; grouping_id disambiguates subtotal
+    rows from real NULL keys."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
