@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_normalize": R.date_normalize,
         "validation_score": R.validation_score,
         "order_rollup": R.order_rollup,
+        "candidate_rank": R.candidate_rank,
         # training-data ops
         "dedup_exact": A.dedup_exact,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
@@ -399,6 +400,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = doc_a
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE round(icount / (na.n + nb.n - icount), 6) >= 0.1
+        """,
+        "candidate_rank": """
+            WITH h AS (
+                SELECT doc_id,
+                       (CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'filter') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'window') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'partition') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'shuffle') THEN 1 ELSE 0 END) AS req,
+                       (CASE WHEN contains(lower(text), 'merge') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'batch') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(text), 'stream') THEN 1 ELSE 0 END) AS pref
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       CAST(doc_id % 10 AS INT) AS cohort,
+                       CAST(floor((req / 5) * 70 + (pref / 3) * 30) AS INT) AS ats_score
+                FROM h),
+            r AS (
+                SELECT cohort, doc_id, ats_score,
+                       CAST(row_number() OVER (
+                           PARTITION BY cohort
+                           ORDER BY ats_score DESC, doc_id) AS INT) AS rnk
+                FROM s)
+            SELECT cohort, doc_id, ats_score, rnk FROM r WHERE rnk <= 3
         """,
         "order_rollup": """
             SELECT o_orderstatus, o_orderpriority,

