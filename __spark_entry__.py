@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_score": R.validation_score,
         "order_rollup": R.order_rollup,
         "candidate_rank": R.candidate_rank,
+        "skill_match_tiers": R.skill_match_tiers,
         # training-data ops
         "dedup_exact": A.dedup_exact,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
@@ -154,6 +155,55 @@ def _lang_scores() -> str:
         "(" + " + ".join(_hits(w) for w in words) + f") AS s_{lang}"
         for lang, words in _LANGS.items()
     )
+
+
+def _skill_match_oracle() -> str:
+    """DuckDB twin of J1 skill_match_tiers: same vocab assignment, same
+    synonym table (engine.kernel.scoring.SKILL_SYNONYMS expanded to
+    variant→canonical rows), same exact > partial > synonym precedence."""
+    from engine.kernel.scoring import SKILL_SYNONYMS
+    from engine.spark.relational import JD_SKILLS, SKILL_VOCAB
+
+    vocab_rows = ", ".join(f"({i}, '{s}')" for i, s in enumerate(SKILL_VOCAB))
+    jd_rows = ", ".join(f"('{s}')" for s in JD_SKILLS)
+    syn_pairs = []
+    for canonical, syns in SKILL_SYNONYMS.items():
+        syn_pairs.append((canonical, canonical))
+        syn_pairs.extend((v, canonical) for v in syns)
+    syn_rows = ", ".join(
+        "('{}', '{}')".format(v.replace("'", "''"), c.replace("'", "''"))
+        for v, c in syn_pairs
+    )
+    n = len(SKILL_VOCAB)
+    return f"""
+        WITH vocab(idx, skill) AS (VALUES {vocab_rows}),
+        jd(jd_skill) AS (VALUES {jd_rows}),
+        syn(variant, canonical) AS (VALUES {syn_rows}),
+        r AS (
+            SELECT DISTINCT d.doc_id AS candidate_id, v.skill
+            FROM documents d JOIN vocab v
+              ON v.idx = d.doc_id % {n} OR v.idx = (d.doc_id * 7 + 3) % {n}),
+        exact AS (
+            SELECT candidate_id, jd_skill, 'exact' AS match_type, 0 AS pri
+            FROM r JOIN jd ON r.skill = jd.jd_skill),
+        part AS (
+            SELECT DISTINCT candidate_id, jd_skill, 'partial' AS match_type, 1 AS pri
+            FROM r JOIN jd ON r.skill != jd.jd_skill
+             AND (contains(r.skill, jd.jd_skill) OR contains(jd.jd_skill, r.skill))),
+        synm AS (
+            SELECT DISTINCT r.candidate_id, jd.jd_skill, 'synonym' AS match_type, 2 AS pri
+            FROM r JOIN syn sr ON r.skill = sr.variant
+            JOIN syn sj ON sr.canonical = sj.canonical
+            JOIN jd ON jd.jd_skill = sj.variant),
+        u AS (SELECT * FROM exact UNION ALL SELECT * FROM part
+              UNION ALL SELECT * FROM synm),
+        best AS (
+            SELECT candidate_id, jd_skill, match_type,
+                   row_number() OVER (PARTITION BY candidate_id, jd_skill
+                                      ORDER BY pri) AS rn
+            FROM u)
+        SELECT candidate_id, jd_skill, match_type FROM best WHERE rn = 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -401,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE round(icount / (na.n + nb.n - icount), 6) >= 0.1
         """,
+        "skill_match_tiers": _skill_match_oracle(),
         "candidate_rank": """
             WITH h AS (
                 SELECT doc_id,

@@ -388,3 +388,42 @@ def candidate_rank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         "ats_score",
         F.row_number().over(w).cast("int").alias("rnk"),
     ).filter(F.col("rnk") <= 3)
+
+
+# deterministic skill assignment for skill_match_tiers: every doc gets
+# vocab[doc_id % 8] and vocab[(doc_id*7+3) % 8]
+SKILL_VOCAB = (
+    "python", "k8s", "reactjs", "postgresql",
+    "java", "ml", "tensorflow", "go",
+)
+JD_SKILLS = (
+    "kubernetes", "python", "react", "sql", "machine learning", "javascript",
+)
+
+
+def skill_match_tiers(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """J1 three-tier fuzzy skill matching as a real driver-visible join
+    (scorer.py:72-97,155-196): candidates' skills (deterministic picks
+    from SKILL_VOCAB per doc_id) vs a JD skill list, matched exact >
+    partial (substring either way) > synonym (broadcast synonym dim),
+    one row per (candidate, jd_skill) at the best tier."""
+    from engine.spark.validation import skill_match_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    vocab = F.array(*[F.lit(s) for s in SKILL_VOCAB])
+    n = len(SKILL_VOCAB)
+    resume_skills = docs.select(
+        F.col("doc_id").alias("candidate_id"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.element_at(vocab, (F.col("doc_id") % n + 1).cast("int")),
+                    F.element_at(
+                        vocab, ((F.col("doc_id") * 7 + 3) % n + 1).cast("int")
+                    ),
+                )
+            )
+        ).alias("skill"),
+    )
+    jd = spark.createDataFrame([(s,) for s in JD_SKILLS], "skill string")
+    return skill_match_join(spark, resume_skills, jd)
