@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_rollup": R.order_rollup,
         "candidate_rank": R.candidate_rank,
         "skill_match_tiers": R.skill_match_tiers,
+        "multimodal_features": _multimodal_features,
         # training-data ops
         "dedup_exact": A.dedup_exact,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
@@ -154,6 +155,21 @@ def _lang_scores() -> str:
     return ", ".join(
         "(" + " + ".join(_hits(w) for w in words) + f") AS s_{lang}"
         for lang, words in _LANGS.items()
+    )
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline, driver-checked: deterministic
+    media table (opaque image/audio payloads with typed headers) through
+    the Arrow-batched decode/feature stage (stub codec — the header
+    fields are pure arithmetic of media_id, so DuckDB can re-derive
+    them without any codec; mean_byte is excluded as bytes-dependent)."""
+    from engine.spark.multimodal import extract_media_features, make_media_table
+
+    media = make_media_table(spark, n=256)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "width", "height",
+        "sample_rate", "n_samples", "frame_count", "ok",
     )
 
 
@@ -452,6 +468,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(icount / (na.n + nb.n - icount), 6) >= 0.1
         """,
         "skill_match_tiers": _skill_match_oracle(),
+        "multimodal_features": """
+            WITH s AS (SELECT unnest(generate_series(0, 255)) AS i)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   CAST(12 + least(8 * ((i % 97) + 4), 64 + (i % 512)) AS BIGINT) AS n_bytes,
+                   CASE WHEN i % 2 = 0 THEN CAST(8 + i % 24 AS INT) END AS width,
+                   CASE WHEN i % 2 = 0 THEN CAST(8 + (i // 2) % 16 AS INT) END AS height,
+                   CASE WHEN i % 2 = 1 THEN CAST(16000 AS INT) END AS sample_rate,
+                   CASE WHEN i % 2 = 1 THEN CAST(128 + i % 256 AS INT) END AS n_samples,
+                   CASE WHEN i % 2 = 0 THEN CAST(1 AS INT)
+                        ELSE CAST((128 + i % 256) // 64 AS INT) END AS frame_count,
+                   TRUE AS ok
+            FROM s
+        """,
         "candidate_rank": """
             WITH h AS (
                 SELECT doc_id,
