@@ -181,6 +181,76 @@ BENCH_QUERY_NAMES = [
 ]
 
 
+def _skew_bench(spark) -> dict:
+    """North-rule skew evidence: a 64k-turn mega-thread beside 2k
+    normal conversations. 'salted' is the engine's default layout
+    (hash of (conv_id, turn_block) — the mega-thread spreads over
+    ceil(64k/10k)=7 tasks); 'naive' partitions on conv_id alone, so
+    one task owns the whole mega-thread and pins the stage wall."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from engine.spark.pipeline import run_extraction
+    from engine.spark.stage import extract_turns
+    from engine.spark.transcripts import synthesize_transcripts
+
+    path = os.path.join(tempfile.gettempdir(), "bench_skew_table")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        normal = synthesize_transcripts(spark, 2000, 8)
+
+        def mega(batches):
+            import pandas as pd
+
+            from engine.kernel.gen import make_turn
+
+            for pdf in batches:
+                rows = {"conv_id": [], "turn_idx": [], "role": [],
+                        "text": [], "tool": [], "ts_us": []}
+                for i in pdf["id"].tolist():
+                    t = make_turn("conv-mega", i)
+                    rows["conv_id"].append("conv-mega")
+                    rows["turn_idx"].append(i)
+                    rows["role"].append(t["role"])
+                    rows["text"].append(t["text"])
+                    rows["tool"].append(t["tool"])
+                    rows["ts_us"].append(t["ts_us"])
+                out = pd.DataFrame(rows)
+                out["turn_idx"] = out["turn_idx"].astype("int32")
+                yield out
+
+        mega_df = spark.range(64000).mapInPandas(
+            mega,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts_us long",
+        ).withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
+        normal.unionByName(mega_df.select(*normal.columns)).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    t = spark.read.parquet(path)
+    n_total = t.count()
+    p = spark.sparkContext.defaultParallelism * 4
+    out: dict = {"turns": n_total, "mega_turns": 64000}
+    for mode in ("salted", "naive"):
+        if mode == "salted":
+            run = lambda: run_extraction(t, num_partitions=p)
+        else:
+            run = lambda: extract_turns(t.repartition(p, "conv_id"))
+        run().agg(F.count("*")).collect()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            run().agg(F.count("*")).collect()
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        out[mode] = {"wall_s": round(best, 2), "turns_per_sec": round(n_total / best, 1)}
+    out["salting_speedup"] = round(
+        out["naive"]["wall_s"] / out["salted"]["wall_s"], 2
+    )
+    return out
+
+
 def main() -> None:
     from engine.spark.session import get_spark
 
@@ -234,6 +304,11 @@ def main() -> None:
     if eq_rate is not None:
         result["equality_pass_rate"] = round(eq_rate, 6)
         result["equality_sample"] = eq_n
+
+    if os.environ.get("SPARK_GRAFT_SKEW") == "1":
+        s = get_spark("bench-skew", cpus=cpus)
+        result["skew"] = _skew_bench(s)
+        s.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1" or scaling_only:
         # N→4N evidence: same input at two parallelism levels. The pair
