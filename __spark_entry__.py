@@ -21,9 +21,17 @@ def entry(spark: SparkSession) -> DataFrame:
     extraction → validate/score) over transcripts derived from the
     sf0.001 documents table, with stable ordering + salted partitions."""
     from engine.spark.pipeline import run_extraction, with_stable_order
-    from engine.spark.transcripts import transcripts_from_documents
+    from engine.spark.transcripts import (
+        synthesize_transcripts,
+        transcripts_from_documents,
+    )
 
-    t = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    docs = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    # synthetic conversations add invoice/resume/html/pdf-layout payload
+    # families (the documents corpus is plain prose), so the flagship
+    # exercises detection + field extraction, not just cleaning
+    synth = synthesize_transcripts(spark, 60, 4)
+    t = docs.unionByName(synth.select(*docs.columns))
     results = run_extraction(t, num_partitions=16)
     return with_stable_order(results).select(
         "conv_id", "turn_idx", "turn_seq", "role", "ts", "payload_kind",
