@@ -80,3 +80,59 @@ def test_amount_roundtrip_us_format(x):
     parsed = parse_amount(rendered)
     assert parsed is not None
     assert abs(parsed - round(x, 2)) < 0.005
+
+
+htmlish = st.text(
+    alphabet=st.sampled_from(list("<>/= \"'abcdiv-spanclassmain\n&;#x0Ap")),
+    max_size=2000,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(htmlish)
+def test_html_extractor_total_and_deterministic(s):
+    from engine.kernel.html import extract_main_text
+
+    a = extract_main_text(s)
+    assert extract_main_text(s) == a
+    assert isinstance(a, str)
+    # no tags survive into extracted main text
+    assert "<div" not in a and "<span" not in a
+
+
+pdfish_lines = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # page
+        st.integers(min_value=0, max_value=600),    # x
+        st.integers(min_value=0, max_value=800),    # y
+        st.text(alphabet=st.characters(blacklist_characters="|\n",
+                                       blacklist_categories=("Cs",)),
+                max_size=30),
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(pdfish_lines, st.text(max_size=200))
+def test_pdfish_total_on_wellformed_and_garbage(boxes, garbage):
+    from engine.kernel.pdfish import page_stats, reconstruct_text
+
+    payload = "%PDFBOX\n" + "\n".join(
+        f"{p}|{x}|{y}|{t}" for p, x, y, t in boxes
+    )
+    a = reconstruct_text(payload)
+    assert reconstruct_text(payload) == a
+    n_pages, chars, with_text = page_stats(payload)
+    assert n_pages >= 0 and chars >= 0 and 0 <= with_text <= max(n_pages, 1)
+    # arbitrary garbage (no header) must not raise either
+    reconstruct_text(garbage)
+    page_stats(garbage)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400))
+def test_classify_payload_total(s):
+    from engine.kernel.transcript import classify_payload
+
+    assert classify_payload(s) in ("plain", "html", "pdfbox")
