@@ -73,8 +73,13 @@ def run_extraction(
     df: "DataFrame",
     num_partitions: int | None = None,
     skew_block: int = SKEW_BLOCK,
+    span_content: bool = True,
 ) -> "DataFrame":
-    """Salted repartition → fused extraction stage → native post columns."""
+    """Salted repartition → fused extraction stage → native post columns.
+
+    span_content=False ships offset-only spans through Arrow/shuffle
+    (the content duplicates cleaned_text byte-for-byte); recover the
+    full span structs losslessly with with_span_content()."""
     if num_partitions is None:
         # 4x task slots: pandas-UDF task durations vary with document
         # mix, so finer tasks keep all workers busy (measured: 2x left
@@ -83,9 +88,34 @@ def run_extraction(
     salted = df.withColumn("part_id", part_expr(num_partitions, skew_block))
     # repartition on the salt so one task never owns a whole mega-thread
     salted = salted.repartition(num_partitions, "part_id")
-    extracted = extract_turns(salted.drop("part_id"))
+    extracted = extract_turns(salted.drop("part_id"), span_content=span_content)
     return with_native_post(
         extracted.withColumn("part_id", part_expr(num_partitions, skew_block))
+    )
+
+
+def with_span_content(df: "DataFrame") -> "DataFrame":
+    """Rebuild full span structs from narrow (offset-only) spans, all
+    native: content = substring(cleaned_text, start_char+1, len). The
+    result is byte-identical to span_content=True output
+    (parity-tested) because chunk content is by construction an exact
+    slice of the cleaned text (chunker emits [start_char:end_char])."""
+    text = F.col("cleaned_text")
+    return df.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                text.substr(
+                    (s["start_char"] + 1).cast("int"),
+                    (s["end_char"] - s["start_char"]).cast("int"),
+                ).alias("content"),
+                s["index"].alias("index"),
+                s["start_char"].alias("start_char"),
+                s["end_char"].alias("end_char"),
+                s["estimated_tokens"].alias("estimated_tokens"),
+            ),
+        ),
     )
 
 

@@ -69,3 +69,19 @@ RESULT_SCHEMA = T.StructType(
     + [TRANSCRIPT_SCHEMA["tool"], TRANSCRIPT_SCHEMA["ts"]]
     + EXTRACTION_FIELDS
 )
+
+# narrow span variant: offsets only — span text is reconstructable as
+# substring(cleaned_text, start_char+1, end_char-start_char), so jobs
+# that don't need materialized span content skip shipping it through
+# Arrow + shuffle (it duplicates cleaned_text byte-for-byte)
+SPAN_TYPE_NARROW = T.StructType(
+    [f for f in SPAN_TYPE.fields if f.name != "content"]
+)
+
+RESULT_SCHEMA_NARROW = T.StructType(
+    [
+        f if f.name != "spans"
+        else T.StructField("spans", T.ArrayType(SPAN_TYPE_NARROW), False)
+        for f in RESULT_SCHEMA.fields
+    ]
+)

@@ -205,3 +205,31 @@ def test_checkpoint_resume(spark, transcripts, tmp_path_factory):
     # re-running a completed run is a no-op returning the same table
     again = run_checkpointed(spark, transcripts, out_b, num_partitions=8)
     assert again.count() == len(ref_rows)
+
+
+def test_narrow_spans_reconstruct_losslessly(spark):
+    """span_content=False + with_span_content == span_content=True,
+    byte-for-byte, on all payload families."""
+    from engine.spark.pipeline import run_extraction, with_span_content
+    from engine.spark.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, 40, 4)
+    full = run_extraction(t, num_partitions=8)
+    narrow = with_span_content(
+        run_extraction(t, num_partitions=8, span_content=False)
+    )
+
+    def span_map(df):
+        return {
+            (r.conv_id, r.turn_idx): [
+                (s["content"], s["index"], s["start_char"], s["end_char"],
+                 s["estimated_tokens"])
+                for s in r.spans
+            ]
+            for r in df.select("conv_id", "turn_idx", "spans").collect()
+        }
+
+    a, b = span_map(full), span_map(narrow)
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert a[k] == b[k], k
