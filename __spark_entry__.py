@@ -560,7 +560,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simsearch_ivf": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-                 b AS (SELECT vec_id, v,
+                 b0 AS (SELECT vec_id, v,
                               (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
                             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
                             + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
@@ -568,15 +568,32 @@ def oracle_sql() -> dict[str, str]:
                             + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
                             + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
                        FROM e),
-                 q AS (SELECT vec_id AS query_id, v AS qv, bucket
-                       FROM b WHERE vec_id < 20),
+                 b1 AS (SELECT vec_id, v,
+                              (CASE WHEN v[7] > 0 THEN 1 ELSE 0 END)
+                            + (CASE WHEN v[8] > 0 THEN 2 ELSE 0 END)
+                            + (CASE WHEN v[9] > 0 THEN 4 ELSE 0 END)
+                            + (CASE WHEN v[10] > 0 THEN 8 ELSE 0 END)
+                            + (CASE WHEN v[11] > 0 THEN 16 ELSE 0 END)
+                            + (CASE WHEN v[12] > 0 THEN 32 ELSE 0 END) AS bucket
+                       FROM e),
+                 q0 AS (SELECT vec_id AS query_id, v AS qv, bucket
+                        FROM b0 WHERE vec_id < 20),
+                 q1 AS (SELECT vec_id AS query_id, v AS qv, bucket
+                        FROM b1 WHERE vec_id < 20),
+                 cand AS (
+                     SELECT q0.query_id, b0.vec_id, q0.qv, b0.v
+                     FROM b0 JOIN q0 ON b0.bucket = q0.bucket
+                     WHERE b0.vec_id != q0.query_id
+                     UNION
+                     SELECT q1.query_id, b1.vec_id, q1.qv, b1.v
+                     FROM b1 JOIN q1 ON b1.bucket = q1.bucket
+                     WHERE b1.vec_id != q1.query_id),
                  sims AS (
-                     SELECT q.query_id, b.vec_id,
-                            round(list_dot_product(q.qv, b.v)
-                                  / (sqrt(list_dot_product(q.qv, q.qv))
-                                     * sqrt(list_dot_product(b.v, b.v))), 5) AS cosine
-                     FROM b JOIN q ON b.bucket = q.bucket
-                     WHERE b.vec_id != q.query_id),
+                     SELECT query_id, vec_id,
+                            round(list_dot_product(qv, v)
+                                  / (sqrt(list_dot_product(qv, qv))
+                                     * sqrt(list_dot_product(v, v))), 5) AS cosine
+                     FROM cand),
                  r AS (SELECT query_id, vec_id, cosine,
                               CAST(row_number() OVER (
                                   PARTITION BY query_id

@@ -216,27 +216,46 @@ def simsearch_bruteforce(
 
 
 def simsearch_ivf(
-    spark: "SparkSession", sf_dir: str, n_queries: int = 20, sign_dims: int = 6
+    spark: "SparkSession",
+    sf_dir: str,
+    n_queries: int = 20,
+    sign_dims: int = 6,
+    probes: int = 2,
 ) -> "DataFrame":
-    """Scale path: sign-bucket IVF — vectors partition into 2^sign_dims
-    buckets by the signs of their first dims; a query only scans its own
-    bucket (bucket-equality join instead of a cross product)."""
+    """Scale path: multi-probe sign-bucket IVF. Probe p buckets vectors
+    by the signs of dims [p*sign_dims, (p+1)*sign_dims); a query scans
+    the union of its buckets across probes (bucket-equality joins, no
+    cross product), candidates dedupe before the cosine top-k.
+
+    Measured on the random-gaussian sf0.01 embeddings vs brute force:
+    recall@3 = 0.05 (1 probe) → 0.15 (2) → 0.17 (3). Random vectors are
+    the worst case for sign bucketing (true neighbors rarely share a
+    full sign block); clustered real embeddings bucket far better. The
+    probes knob trades ~linear candidate cost for recall.
+    """
     embs = _embs(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    def bucket(col):
+
+    def bucket(col, offset):
         return sum(
-            F.when(F.element_at(col, i + 1) > 0, 2**i).otherwise(0)
+            F.when(F.element_at(col, offset + i + 1) > 0, 2**i).otherwise(0)
             for i in range(sign_dims)
         )
-    bucketed = embs.withColumn("bucket", bucket(F.col("v")))
-    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket")
-    )
-    cand = bucketed.join(F.broadcast(queries), "bucket").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    sims = cand.select(
+
+    cands = None
+    for pidx in range(probes):
+        b = embs.withColumn("bucket", bucket(F.col("v"), pidx * sign_dims))
+        queries = b.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket")
+        )
+        c = b.join(F.broadcast(queries), "bucket").filter(
+            F.col("vec_id") != F.col("query_id")
+        ).select("query_id", "vec_id", "q", "v")
+        cands = c if cands is None else cands.unionByName(c)
+    # a pair can collide in several probes -> dedupe before scoring
+    cands = cands.dropDuplicates(["query_id", "vec_id"])
+    sims = cands.select(
         "query_id", "vec_id", F.round(_cosine(F.col("q"), F.col("v")), 5).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
