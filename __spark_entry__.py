@@ -525,7 +525,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding_cosine": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-                 b AS (SELECT vec_id, v,
+                 b0 AS (SELECT vec_id, v,
                               (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
                             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
                             + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
@@ -533,13 +533,28 @@ def oracle_sql() -> dict[str, str]:
                             + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
                             + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
                        FROM e),
+                 b1 AS (SELECT vec_id, v,
+                              (CASE WHEN v[7] > 0 THEN 1 ELSE 0 END)
+                            + (CASE WHEN v[8] > 0 THEN 2 ELSE 0 END)
+                            + (CASE WHEN v[9] > 0 THEN 4 ELSE 0 END)
+                            + (CASE WHEN v[10] > 0 THEN 8 ELSE 0 END)
+                            + (CASE WHEN v[11] > 0 THEN 16 ELSE 0 END)
+                            + (CASE WHEN v[12] > 0 THEN 32 ELSE 0 END) AS bucket
+                       FROM e),
+                 cand AS (
+                     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.v AS va, c.v AS vb
+                     FROM b0 a JOIN b0 c
+                       ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+                     UNION
+                     SELECT a.vec_id, c.vec_id, a.v, c.v
+                     FROM b1 a JOIN b1 c
+                       ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
                  sims AS (
-                     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-                            round(list_dot_product(a.v, c.v)
-                                  / (sqrt(list_dot_product(a.v, a.v))
-                                     * sqrt(list_dot_product(c.v, c.v))), 5) AS cosine
-                     FROM b a JOIN b c
-                       ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+                     SELECT vec_a, vec_b,
+                            round(list_dot_product(va, vb)
+                                  / (sqrt(list_dot_product(va, va))
+                                     * sqrt(list_dot_product(vb, vb))), 5) AS cosine
+                     FROM cand)
             SELECT vec_a, vec_b, cosine FROM sims WHERE cosine >= 0.35
         """,
         "simsearch_bruteforce": """

@@ -271,34 +271,42 @@ def dedup_embedding_cosine(
     sf_dir: str,
     threshold: float = 0.35,
     sign_dims: int = 6,
+    probes: int = 2,
 ) -> "DataFrame":
-    """Embedding-cosine near-duplicate pairs: sign-bucket the vectors
-    (2^sign_dims buckets), self-join only within a bucket, keep pairs
-    with cosine >= threshold. The bucket join is the 100 TB path — the
-    cross product never materializes; pairs straddling a sign boundary
-    on the first sign_dims dims are traded for that pruning (same
-    recall/cost trade as simsearch_ivf; raise sign_dims for tighter
-    buckets, or run multiple salted projections for multi-probe).
-    Threshold compares the 5-dp-rounded cosine so the cut is
-    FP-stable across engines."""
+    """Embedding-cosine near-duplicate pairs, multi-probe: probe p
+    sign-buckets the vectors on dims [p*sign_dims, (p+1)*sign_dims)
+    (2^sign_dims buckets each), self-joins only within a bucket, and
+    the probes' candidate pairs are unioned + deduped before the
+    cosine threshold. The bucket join is the 100 TB path — the cross
+    product never materializes; extra probes recover pairs that
+    straddle a sign boundary on one projection (same recall/cost
+    trade as simsearch_ivf; raise sign_dims with corpus size for
+    shuffle-key cardinality). Threshold compares the 5-dp-rounded
+    cosine so the cut is FP-stable across engines."""
     embs = _embs(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
 
-    def bucket(col):
+    def bucket(col, offset):
         return sum(
-            F.when(F.element_at(col, i + 1) > 0, 2**i).otherwise(0)
+            F.when(F.element_at(col, offset + i + 1) > 0, 2**i).otherwise(0)
             for i in range(sign_dims)
         )
 
-    b = embs.withColumn("bucket", bucket(F.col("v")))
-    a = b.select(
-        "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
-    )
-    c = b.select(
-        "bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
-    )
-    pairs = a.join(c, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = None
+    for pidx in range(probes):
+        b = embs.withColumn("bucket", bucket(F.col("v"), pidx * sign_dims))
+        a = b.select(
+            "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+        )
+        c = b.select(
+            "bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+        )
+        pp = a.join(c, "bucket").filter(F.col("vec_a") < F.col("vec_b")).select(
+            "vec_a", "vec_b", "va", "vb"
+        )
+        pairs = pp if pairs is None else pairs.unionByName(pp)
+    pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
     sims = pairs.select(
         "vec_a",
         "vec_b",
