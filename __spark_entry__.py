@@ -91,6 +91,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = synthesize_transcripts(spark, 120, 4)
         return validate_invoice_extractions(run_extraction(t, num_partitions=32))
 
+    def extract_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # corpus-level quality/emptiness drift per event-time window
+        # (rows-only: input is the kernel-backed extraction output)
+        from engine.spark.monitor import quality_drift
+
+        return quality_drift(_ex(spark, sf_dir), window="7 days")
+
     def doc_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # T7 as a pure native expression over raw documents (oracle-able)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -138,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_turns_scalar": extract_turns_scalar,
         "extract_spans": extract_spans,
         "extract_conversation_rollup": extract_conversation_rollup,
+        "extract_quality_drift": extract_quality_drift,
         "validate_invoice_fields": validate_invoice_fields,
         "doc_token_estimate": doc_token_estimate,
     }

@@ -233,3 +233,30 @@ def test_narrow_spans_reconstruct_losslessly(spark):
     assert a.keys() == b.keys() and len(a) > 0
     for k in a:
         assert a[k] == b[k], k
+
+
+def test_quality_drift_windows(results):
+    from engine.spark.monitor import quality_drift
+
+    drift = quality_drift(results, window="1 day").collect()
+    assert drift, "no drift windows"
+    total = sum(r.n_turns for r in drift)
+    assert total == results.count()
+    for r in drift:
+        assert r.window_start < r.window_end
+        assert 0.0 <= r.empty_rate <= 1.0
+        assert r.quality_bucket in ("excellent", "good", "acceptable", "poor")
+
+
+def test_metrics_summary_after_job(spark, transcripts, tmp_path_factory):
+    from engine.spark.job import run_checkpointed
+    from engine.spark.monitor import metrics_summary
+
+    out = str(tmp_path_factory.mktemp("monitor_job"))
+    run_checkpointed(spark, transcripts, out, run_id="mon-1", num_partitions=8)
+    row = metrics_summary(spark, out).collect()[0]
+    assert row.run_id == "mon-1"
+    assert row.total_turns == transcripts.count()
+    assert row.n_partitions >= 1
+    assert 0.0 <= row.empty_rate <= 1.0
+    assert row.partition_skew_ratio >= 1.0
