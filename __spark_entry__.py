@@ -632,8 +632,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars_calc,
                    CAST(len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words,
-                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 6) AS punct_ratio,
-                   round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 6) AS digit_ratio,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / NULLIF(length(text), 0), 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g')) / NULLIF(length(text), 0), 6) AS digit_ratio,
                    round(({en_hits}) / len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')), 6) AS stopword_ratio,
                    round((length(text) - len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) + 1)
                          / len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')), 6) AS avg_word_len

@@ -34,15 +34,24 @@ def _materialize_inputs(spark, sf_dir: str, n_convs: int) -> str:
     """Write the transcript table to local parquet ONCE (outside the
     timed window): the metric is extraction throughput over a stored
     table, and generation must not contend with the measured stage."""
+    import hashlib
     import tempfile
 
+    from engine.kernel import gen as _gen
     from engine.spark.transcripts import (
         synthesize_transcripts,
         transcripts_from_documents,
     )
 
+    # key by absolute sf_dir AND the generator's mtime: a same-basename
+    # dir elsewhere or a changed generator must not silently reuse a
+    # stale cached table
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(_gen.__file__))}".encode()
+    ).hexdigest()[:10]
     path = os.path.join(
-        tempfile.gettempdir(), f"bench_transcripts_{os.path.basename(sf_dir)}_{n_convs}"
+        tempfile.gettempdir(),
+        f"bench_transcripts_{os.path.basename(sf_dir)}_{n_convs}_{key}",
     )
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
@@ -202,7 +211,14 @@ def _skew_bench(spark) -> dict:
     from engine.spark.stage import extract_turns
     from engine.spark.transcripts import synthesize_transcripts
 
-    path = os.path.join(tempfile.gettempdir(), "bench_skew_table")
+    import hashlib
+
+    from engine.kernel import gen as _gen
+
+    key = hashlib.md5(
+        str(int(os.path.getmtime(_gen.__file__))).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"bench_skew_table_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         normal = synthesize_transcripts(spark, 2000, 8)
 
@@ -350,6 +366,11 @@ def main() -> None:
         if scaling_only:
             result["value"] = scaling[f"local[{n_hi}]"]["turns_per_sec"]
             result["turns"] = scaling[f"local[{n_hi}]"]["turns"]
+            # the headline value is the high-leg measurement — label it so
+            result["metric"] = (
+                "extraction throughput (turns/sec), local[%d]" % n_hi
+            )
+            result["cpus"] = n_hi
 
     print(json.dumps(result))
 

@@ -184,7 +184,30 @@ def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
-    return dot / (na * nb)
+    # try_divide: an all-zero vector (failed-embedding sentinel) yields a
+    # null cosine — dropped by every threshold/top-k consumer — instead of
+    # DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
+    return F.try_divide(dot, na * nb)
+
+
+def _vecs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    return _embs(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+def _sign_bucket(col, offset: int, sign_dims: int):
+    """Bucket id from the signs of dims [offset, offset+sign_dims).
+    try_element_at: dims past the vector length contribute 0 (degraded
+    bucketing) instead of INVALID_ARRAY_INDEX under ANSI mode, so
+    over-raising probes*sign_dims never crashes a job."""
+    return sum(
+        F.when(
+            F.coalesce(F.try_element_at(col, F.lit(offset + i + 1)), F.lit(0.0)) > 0,
+            2**i,
+        ).otherwise(0)
+        for i in range(sign_dims)
+    )
 
 
 def simsearch_bruteforce(
@@ -193,9 +216,7 @@ def simsearch_bruteforce(
     """Top-k cosine neighbors for the first n_queries vectors —
     broadcast the query side; corpus side never shuffles until the
     final per-query top-k window."""
-    embs = _embs(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    embs = _vecs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )
@@ -233,19 +254,13 @@ def simsearch_ivf(
     full sign block); clustered real embeddings bucket far better. The
     probes knob trades ~linear candidate cost for recall.
     """
-    embs = _embs(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-
-    def bucket(col, offset):
-        return sum(
-            F.when(F.element_at(col, offset + i + 1) > 0, 2**i).otherwise(0)
-            for i in range(sign_dims)
-        )
+    embs = _vecs(spark, sf_dir)
 
     cands = None
     for pidx in range(probes):
-        b = embs.withColumn("bucket", bucket(F.col("v"), pidx * sign_dims))
+        b = embs.withColumn(
+            "bucket", _sign_bucket(F.col("v"), pidx * sign_dims, sign_dims)
+        )
         queries = b.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket")
         )
@@ -283,19 +298,13 @@ def dedup_embedding_cosine(
     trade as simsearch_ivf; raise sign_dims with corpus size for
     shuffle-key cardinality). Threshold compares the 5-dp-rounded
     cosine so the cut is FP-stable across engines."""
-    embs = _embs(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-
-    def bucket(col, offset):
-        return sum(
-            F.when(F.element_at(col, offset + i + 1) > 0, 2**i).otherwise(0)
-            for i in range(sign_dims)
-        )
+    embs = _vecs(spark, sf_dir)
 
     pairs = None
     for pidx in range(probes):
-        b = embs.withColumn("bucket", bucket(F.col("v"), pidx * sign_dims))
+        b = embs.withColumn(
+            "bucket", _sign_bucket(F.col("v"), pidx * sign_dims, sign_dims)
+        )
         a = b.select(
             "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
         )
@@ -367,8 +376,10 @@ def text_quality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         "doc_id",
         n_chars.cast("long").alias("n_chars_calc"),
         F.size(words).cast("long").alias("n_words"),
-        F.round(F.length(F.regexp_replace("text", r"[^.,;:!?]", "")) / n_chars, 6).alias("punct_ratio"),
-        F.round(F.length(F.regexp_replace("text", r"[^0-9]", "")) / n_chars, 6).alias("digit_ratio"),
+        # try_divide: ANSI mode (Spark 4 default) raises on /0 — an empty
+        # document must yield null ratios, not kill the job
+        F.round(F.try_divide(F.length(F.regexp_replace("text", r"[^.,;:!?]", "")), n_chars), 6).alias("punct_ratio"),
+        F.round(F.try_divide(F.length(F.regexp_replace("text", r"[^0-9]", "")), n_chars), 6).alias("digit_ratio"),
         F.round(stop_hits / F.size(words), 6).alias("stopword_ratio"),
         F.round((n_chars - F.size(words) + 1) / F.size(words), 6).alias("avg_word_len"),
     )

@@ -43,9 +43,6 @@ if TYPE_CHECKING:
 # prompt text cap (reference prompts.py:394,407-410)
 MAX_PROMPT_TEXT_CHARS = 8000
 
-# reference generation defaults (config.py:79, orchestrator.py:404-428)
-DEFAULT_PARAMS = {"temperature": 0.1, "max_tokens": 1024, "json_mode": True}
-
 _TEMPLATES = {
     # condensed re-derivations of prompts.py:42-433 (invoice :42-, resume,
     # generic): instruction + JSON-only directive + truncated document
@@ -126,7 +123,17 @@ def llm_enrich(
             ]
             raw: list[str] = []
             for i in range(0, len(prompts), batch_rows):
-                raw.extend(client(prompts[i : i + batch_rows]))
+                chunk = prompts[i : i + batch_rows]
+                replies = client(chunk)
+                if len(replies) != len(chunk):
+                    # surface the misbehaving client call precisely: a
+                    # dropped/padded reply would otherwise either crash
+                    # opaquely in pandas or silently misalign rows
+                    raise ValueError(
+                        f"LLM client returned {len(replies)} replies for "
+                        f"{len(chunk)} prompts (sub-batch at offset {i})"
+                    )
+                raw.extend(replies)
             parsed = [parse_json_loose(r) for r in raw]
             pdf = pdf.copy()
             pdf["llm_json"] = [
