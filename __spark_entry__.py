@@ -52,6 +52,31 @@ def _ex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_extraction(t, num_partitions=32)
 
 
+def _per_turn_path(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"entry_per_turn_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
+def _per_turn_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize per-turn extraction scalars to a deterministic local
+    parquet (written eagerly when the query is invoked, before the
+    oracle runs) so DuckDB can recompute corpus rollups from exactly
+    the rows the Spark side aggregated. Extraction is deterministic, so
+    repeated writes are byte-stable in content."""
+    path = _per_turn_path(sf_dir)
+    _ex(spark, sf_dir).select(
+        "conv_id", "turn_idx", "ts", "bytes_in", "is_empty",
+        "estimated_tokens", "quality_score", "quality_bucket",
+        "overall_confidence",
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyspark.sql import functions as F
 
@@ -77,26 +102,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def extract_conversation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return conversation_rollup(_ex(spark, sf_dir))
+        # oracled via the materialized per-turn parquet: the rollup is
+        # pure arithmetic over kernel outputs, so DuckDB recomputes it
+        # from the same rows this query just wrote
+        return conversation_rollup(
+            spark.read.parquet(_per_turn_parquet(spark, sf_dir))
+        )
 
     def validate_invoice_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # P4 at table scale, fully oracled: deterministic invoice fields
+        # derived from orders, validated by the same native predicates
+        # as the extraction-output path (kernel parity for those in
+        # tests/test_validators.py). Issue columns are sorted ';' joins
+        # so the driver's pandas canonicalization can sort them.
+        from engine.spark.validation import validate_invoice_fields_table
+
+        return validate_invoice_fields_table(spark, sf_dir)
+
+    def validate_invoice_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # P4 natively over extraction output (kernel parity in
-        # tests/test_validators.py); rows-only vs oracle. Runs over the
-        # synthetic transcripts (the documents corpus has no invoices,
-        # which would make this check vacuous).
+        # tests/test_validators.py); rows-only vs oracle (fields_json is
+        # kernel-derived). Runs over the synthetic transcripts (the
+        # documents corpus has no invoices, which would make this check
+        # vacuous). Scalarized issue columns keep it driver-sortable.
         from engine.spark.pipeline import run_extraction
         from engine.spark.transcripts import synthesize_transcripts
-        from engine.spark.validation import validate_invoice_extractions
+        from engine.spark.validation import (
+            scalarize_issue_columns,
+            validate_invoice_extractions,
+        )
 
         t = synthesize_transcripts(spark, 120, 4)
-        return validate_invoice_extractions(run_extraction(t, num_partitions=32))
+        return scalarize_issue_columns(
+            validate_invoice_extractions(run_extraction(t, num_partitions=32))
+        )
 
     def extract_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # corpus-level quality/emptiness drift per event-time window
-        # (rows-only: input is the kernel-backed extraction output)
+        # corpus-level quality/emptiness drift per event-time window,
+        # oracled from the materialized per-turn parquet; window bounds
+        # as epoch seconds (engine-portable, driver-sortable)
         from engine.spark.monitor import quality_drift
 
-        return quality_drift(_ex(spark, sf_dir), window="7 days")
+        qd = quality_drift(
+            spark.read.parquet(_per_turn_parquet(spark, sf_dir)), window="7 days"
+        )
+        return qd.select(
+            F.col("window_start").cast("long").alias("window_start_s"),
+            F.col("window_end").cast("long").alias("window_end_s"),
+            "quality_bucket", "n_turns", "avg_quality", "empty_rate",
+            "avg_confidence", "bytes_in",
+        )
 
     def doc_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # T7 as a pure native expression over raw documents (oracle-able)
@@ -147,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_conversation_rollup": extract_conversation_rollup,
         "extract_quality_drift": extract_quality_drift,
         "validate_invoice_fields": validate_invoice_fields,
+        "validate_invoice_extracted": validate_invoice_extracted,
         "doc_token_estimate": doc_token_estimate,
     }
 
@@ -236,6 +292,82 @@ def _skill_match_oracle() -> str:
             FROM u)
         SELECT candidate_id, jd_skill, match_type FROM best WHERE rn = 1
     """
+
+
+def _invoice_fields_oracle() -> str:
+    """DuckDB twin of validate_invoice_fields: same orders-derived
+    synthetic invoice fields, same predicates, same sorted ';'-joined
+    issue scalars; the currency allowlist is injected from the kernel
+    table so both sides can never drift."""
+    from engine.kernel.validators import VALID_CURRENCIES
+
+    cur_list = ", ".join(f"'{c}'" for c in sorted(VALID_CURRENCIES))
+    return r"""
+        WITH d AS (
+            SELECT o_orderkey,
+                CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                     WHEN o_orderkey % 13 = 0 THEN 'INV ' || CAST(o_orderkey AS VARCHAR)
+                     WHEN o_orderkey % 31 = 0 THEN 'A'
+                     ELSE 'INV-' || CAST(o_orderkey AS VARCHAR) END AS num,
+                CASE WHEN o_orderkey % 41 = 0 THEN NULL
+                     WHEN o_orderkey % 19 = 0 THEN '2026-02-30'
+                     WHEN o_orderkey % 23 = 0 THEN '2026-06-01'
+                     WHEN o_orderkey % 29 = 0 THEN '2019-01-01'
+                     ELSE strftime(DATE '2025-01-01' + CAST(o_orderkey % 300 AS INT),
+                                   '%Y-%m-%d') END AS date_str,
+                CASE WHEN o_orderkey % 37 = 0 THEN NULL
+                     WHEN o_orderkey % 17 = 0 THEN -o_totalprice
+                     WHEN o_orderkey % 11 = 0 THEN 0.0
+                     WHEN o_orderkey % 43 = 0 THEN 99000000.0
+                     ELSE round(o_totalprice, 2) END AS amt,
+                upper(CASE WHEN o_orderkey % 5 = 0 THEN 'USD'
+                           WHEN o_orderkey % 5 = 1 THEN 'EUR'
+                           WHEN o_orderkey % 5 = 2 THEN 'XYZ'
+                           WHEN o_orderkey % 5 = 3 THEN NULL
+                           ELSE 'pkr' END) AS cur
+            FROM orders),
+        p AS (SELECT *, CAST(try_strptime(date_str, '%Y-%m-%d') AS DATE) AS dt FROM d),
+        i AS (
+            SELECT o_orderkey,
+                list_filter([
+                    CASE WHEN num IS NULL OR num = '' THEN 'missing' END,
+                    CASE WHEN num IS NOT NULL
+                         AND NOT regexp_matches(num, '^[A-Za-z0-9\-_/]+$')
+                         THEN 'bad_format' END,
+                    CASE WHEN num IS NOT NULL
+                         AND NOT (length(num) BETWEEN 2 AND 50)
+                         THEN 'bad_length' END
+                ], x -> x IS NOT NULL) AS num_i,
+                list_filter([
+                    CASE WHEN date_str IS NULL THEN 'missing' END,
+                    CASE WHEN date_str IS NOT NULL AND dt IS NULL THEN 'unparseable' END,
+                    CASE WHEN dt > DATE '2026-01-01' THEN 'future_date' END,
+                    CASE WHEN date_diff('day', dt, DATE '2026-01-01') > 1825
+                         THEN 'too_old' END
+                ], x -> x IS NOT NULL) AS date_i,
+                list_filter([
+                    CASE WHEN amt IS NULL THEN 'missing' END,
+                    CASE WHEN amt < 0 THEN 'negative' END,
+                    CASE WHEN amt = 0 THEN 'zero' END,
+                    CASE WHEN amt > 10000000 THEN 'implausibly_large' END
+                ], x -> x IS NOT NULL) AS amt_i,
+                list_filter([
+                    CASE WHEN cur IS NULL THEN 'missing' END,
+                    CASE WHEN cur IS NOT NULL AND cur NOT IN (__CURRENCIES__)
+                         THEN 'unknown_code' END
+                ], x -> x IS NOT NULL) AS cur_i
+            FROM p)
+        SELECT o_orderkey,
+               -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+               -- concat_ws over an empty array is ''
+               coalesce(array_to_string(list_sort(num_i), ';'), '') AS invoice_number_issues,
+               coalesce(array_to_string(list_sort(date_i), ';'), '') AS invoice_date_issues,
+               coalesce(array_to_string(list_sort(amt_i), ';'), '') AS total_amount_issues,
+               coalesce(array_to_string(list_sort(cur_i), ';'), '') AS currency_issues,
+               CAST(len(num_i) + len(date_i) + len(amt_i) + len(cur_i) AS INT)
+                   AS n_issues
+        FROM i
+    """.replace("__CURRENCIES__", cur_list)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -484,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(icount / (na.n + nb.n - icount), 6) >= 0.1
         """,
         "skill_match_tiers": _skill_match_oracle(),
+        "validate_invoice_fields": _invoice_fields_oracle(),
         "multimodal_features": """
             WITH s AS (SELECT unnest(generate_series(0, 255)) AS i)
             SELECT CAST(i AS BIGINT) AS media_id,
@@ -560,8 +693,8 @@ def oracle_sql() -> dict[str, str]:
                  sims AS (
                      SELECT vec_a, vec_b,
                             round(list_dot_product(va, vb)
-                                  / (sqrt(list_dot_product(va, va))
-                                     * sqrt(list_dot_product(vb, vb))), 5) AS cosine
+                                  / NULLIF(sqrt(list_dot_product(va, va))
+                                           * sqrt(list_dot_product(vb, vb)), 0), 5) AS cosine
                      FROM cand)
             SELECT vec_a, vec_b, cosine FROM sims WHERE cosine >= 0.35
         """,
@@ -571,8 +704,8 @@ def oracle_sql() -> dict[str, str]:
                  sims AS (
                      SELECT q.query_id, e.vec_id,
                             round(list_dot_product(q.qv, e.v)
-                                  / (sqrt(list_dot_product(q.qv, q.qv))
-                                     * sqrt(list_dot_product(e.v, e.v))), 5) AS cosine
+                                  / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                                           * sqrt(list_dot_product(e.v, e.v)), 0), 5) AS cosine
                      FROM e, q WHERE e.vec_id != q.query_id),
                  r AS (SELECT query_id, vec_id, cosine,
                               CAST(row_number() OVER (
@@ -614,8 +747,8 @@ def oracle_sql() -> dict[str, str]:
                  sims AS (
                      SELECT query_id, vec_id,
                             round(list_dot_product(qv, v)
-                                  / (sqrt(list_dot_product(qv, qv))
-                                     * sqrt(list_dot_product(v, v))), 5) AS cosine
+                                  / NULLIF(sqrt(list_dot_product(qv, qv))
+                                           * sqrt(list_dot_product(v, v)), 0), 5) AS cosine
                      FROM cand),
                  r AS (SELECT query_id, vec_id, cosine,
                               CAST(row_number() OVER (
@@ -660,7 +793,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars_calc
             FROM documents
         """,
-        # extract_turns_scalar / extract_spans / extract_conversation_rollup /
+        # the two corpus rollups are oracled against the per-turn parquet
+        # the Spark query materializes at call time: DuckDB re-aggregates
+        # the identical rows (the per-turn values themselves are gated by
+        # the kernel-equality pytest)
+        "extract_conversation_rollup": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(bytes_in) AS BIGINT) AS bytes_in,
+                   CAST(sum(CASE WHEN is_empty THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                   CAST(sum(estimated_tokens) AS BIGINT) AS tokens,
+                   max(quality_score) AS max_quality_score
+            FROM read_parquet('{_per_turn_path("/root/testdata/sf0.01")}/*.parquet')
+            GROUP BY conv_id
+        """,
+        "extract_quality_drift": f"""
+            WITH t AS (
+                SELECT *, CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800 AS ws
+                FROM read_parquet('{_per_turn_path("/root/testdata/sf0.01")}/*.parquet')
+                WHERE ts IS NOT NULL)
+            SELECT ws AS window_start_s,
+                   ws + 604800 AS window_end_s,
+                   quality_bucket,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   round(avg(quality_score), 3) AS avg_quality,
+                   round(avg(CASE WHEN is_empty THEN 1.0 ELSE 0.0 END), 6) AS empty_rate,
+                   round(avg(overall_confidence), 4) AS avg_confidence,
+                   CAST(sum(bytes_in) AS BIGINT) AS bytes_in
+            FROM t GROUP BY ws, quality_bucket
+        """,
+        # extract_turns_scalar / extract_spans / validate_invoice_extracted /
         # dedup_minhash_lsh / dedup_simhash: intentionally no oracle —
         # kernel-backed whole-document Python semantics (rows-only check);
         # their correctness gate is the per-turn oracle-equality pytest.

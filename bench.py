@@ -137,13 +137,16 @@ def _equality_pass_rate(spark, path: str, sample_n: int = 2000) -> tuple[float, 
     from engine.spark.pipeline import run_extraction, with_span_content
 
     t = spark.read.parquet(path)
-    sample = t.filter(
-        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(97)) == 0
-    ).limit(sample_n)
-    inputs = {
-        (r.conv_id, r.turn_idx): r.text
-        for r in sample.select("conv_id", "turn_idx", "text").collect()
-    }
+    # collect the sample ONCE and feed both sides from that set: a
+    # limit() evaluated in two separate jobs is not guaranteed to pick
+    # the same rows, which would KeyError the oracle lookup below
+    sampled_rows = (
+        t.filter(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(97)) == 0)
+        .limit(sample_n)
+        .collect()
+    )
+    inputs = {(r.conv_id, r.turn_idx): r.text for r in sampled_rows}
+    sample = spark.createDataFrame(sampled_rows, t.schema)
     # gate the exact pipeline the timed run uses: narrow spans + native
     # reconstruction must equal the kernel oracle byte-for-byte
     got = with_span_content(

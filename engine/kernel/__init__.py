@@ -16,6 +16,7 @@ from engine.kernel.normalize import (
     parse_amount,
     detect_currency,
     normalize_line_items,
+    normalize_line_item_currencies,
     validate_amounts,
     clean_extracted_data,
     post_process_invoice,
@@ -34,6 +35,7 @@ __all__ = [
     "parse_amount",
     "detect_currency",
     "normalize_line_items",
+    "normalize_line_item_currencies",
     "validate_amounts",
     "clean_extracted_data",
     "post_process_invoice",

@@ -169,6 +169,40 @@ def normalize_line_items(items: Any) -> list[dict[str, Any]]:
     return out
 
 
+def normalize_line_item_currencies(
+    line_items: list[Any], currency: str
+) -> tuple[list[dict[str, Any]], list[str]]:
+    """T18 step-5: strip wrong-currency symbols from string line-item
+    amounts, logging each fix (post_processor.py:337-391).
+
+    In the composed T18 flow this runs after normalize_line_items has
+    already coerced amounts to float/None, so it is a no-op there (same
+    as the reference flow, post_processor.py:477-484) — but it is part
+    of the public post-processing surface and handles raw string items.
+    """
+    corrections: list[str] = []
+    normalized: list[dict[str, Any]] = []
+    for item in line_items:
+        if not isinstance(item, dict):
+            continue
+        out = dict(item)
+        for field in ("unit_price", "amount"):
+            value = item.get(field)
+            if not isinstance(value, str):
+                continue
+            for symbol, code in CURRENCY_SYMBOLS.items():
+                if symbol in value and code != currency:
+                    cleaned = parse_amount(value)
+                    if cleaned is not None:
+                        out[field] = cleaned
+                        corrections.append(
+                            f"Fixed currency in line item {field}: {value} → {cleaned}"
+                        )
+                    break
+        normalized.append(out)
+    return normalized, corrections
+
+
 def validate_amounts(data: dict[str, Any]) -> tuple[dict[str, float], list[str]]:
     """A2: Σline_items≈subtotal and subtotal+tax+ship−disc≈total (tol 0.02)."""
     adjustments: dict[str, float] = {}
@@ -241,21 +275,26 @@ def clean_extracted_data(data: dict[str, Any], document_type: str = "invoice") -
 def post_process_invoice(data: dict[str, Any], original_text: str = "") -> dict[str, Any]:
     """T18 composite: dates→currency→amounts→line items→validate→required.
 
-    Returns {data, adjustments, warnings, corrections_count}.
+    Returns {data, adjustments, warnings, corrections, corrections_count};
+    ``corrections`` carries the reference's human-readable fix log
+    (post_processor.py:428-484 corrections entries) and
+    ``corrections_count`` == len(corrections).
     """
     if not data:
-        return {"data": {}, "adjustments": {}, "warnings": ["no_data"], "corrections_count": 0}
+        return {"data": {}, "adjustments": {}, "warnings": ["no_data"],
+                "corrections": [], "corrections_count": 0}
     warnings: list[str] = []
     adjustments: dict[str, float] = {}
-    corrections = 0
+    corrections: list[str] = []
     out = dict(data)
 
     for f in ("invoice_date", "due_date"):
         if out.get(f):
-            parsed = parse_date(out[f])
-            if parsed and parsed != out[f]:
+            original = out[f]
+            parsed = parse_date(original)
+            if parsed and parsed != original:
                 out[f] = parsed
-                corrections += 1
+                corrections.append(f"Normalized {f}: {original} → {parsed}")
 
     currency = None
     if out.get("currency") and len(str(out["currency"])) == 3:
@@ -279,14 +318,19 @@ def post_process_invoice(data: dict[str, Any], original_text: str = "") -> dict[
         "discount_amount", "amount_paid", "balance_due", "grand_total",
     ):
         if out.get(f):
-            parsed = parse_amount(out[f])
+            original = out[f]
+            parsed = parse_amount(original)
             if parsed is not None:
-                if str(out[f]) != str(parsed):
-                    corrections += 1
+                if str(original) != str(parsed):
+                    corrections.append(f"Parsed {f}: {original} → {parsed}")
                 out[f] = parsed
 
     if out.get("line_items"):
         out["line_items"] = normalize_line_items(out["line_items"])
+        out["line_items"], currency_fixes = normalize_line_item_currencies(
+            out["line_items"], currency
+        )
+        corrections.extend(currency_fixes)
 
     amount_adj, amount_warn = validate_amounts(out)
     adjustments.update(amount_adj)
@@ -306,5 +350,6 @@ def post_process_invoice(data: dict[str, Any], original_text: str = "") -> dict[
         "data": out,
         "adjustments": adjustments,
         "warnings": warnings,
-        "corrections_count": corrections,
+        "corrections": corrections,
+        "corrections_count": len(corrections),
     }

@@ -67,9 +67,11 @@ def extract_turn(
         post = normalize.post_process_invoice(cleaned_fields, cleaned)
         data = post["data"]
         warnings = post["warnings"]
+        corrections = post["corrections"]
     else:
         data = normalize.clean_extracted_data(raw_fields, doc_type)
         warnings = []
+        corrections = []
 
     required = REQUIRED_FIELDS.get(doc_type, [])
     missing = [f for f in required if data.get(f) in (None, "")]
@@ -98,6 +100,7 @@ def extract_turn(
         "fields_json": json.dumps(data, sort_keys=True, ensure_ascii=False, default=str),
         "missing_fields": missing,
         "warnings": warnings,
+        "corrections": corrections,
         "overall_confidence": confidence,
         "is_empty": len(cleaned) == 0,
         "bytes_in": len(text.encode("utf-8")),

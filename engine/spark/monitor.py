@@ -22,9 +22,15 @@ def quality_drift(results: "DataFrame", window: str = "1 day") -> "DataFrame":
     100 TB ingest watches to catch a corrupted source or a regressed
     extractor deploy. Groups by (time window, quality bucket) — the
     window comes from turn ts, so late/out-of-order data lands in the
-    right bucket regardless of processing order."""
+    right bucket regardless of processing order.
+
+    Rows with a null ts are excluded — they have no event-time window;
+    count them upstream (split_valid routes null keys) rather than
+    letting them collapse into a null-window group that downstream
+    window_start arithmetic can't handle."""
     return (
-        results.groupBy(
+        results.filter(F.col("ts").isNotNull())
+        .groupBy(
             F.window("ts", window).alias("w"), F.col("quality_bucket")
         )
         .agg(

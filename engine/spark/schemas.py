@@ -56,6 +56,8 @@ EXTRACTION_FIELDS = [
     T.StructField("fields_json", T.StringType(), False),
     T.StructField("missing_fields", T.ArrayType(T.StringType()), False),
     T.StructField("warnings", T.ArrayType(T.StringType()), False),
+    # T18 corrections log (post_processor.py:428-484 entries verbatim)
+    T.StructField("corrections", T.ArrayType(T.StringType()), False),
     T.StructField("overall_confidence", T.DoubleType(), False),
     T.StructField("is_empty", T.BooleanType(), False),
     T.StructField("bytes_in", T.LongType(), False),

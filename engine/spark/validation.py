@@ -82,6 +82,108 @@ def validate_invoice_extractions(results: "DataFrame") -> "DataFrame":
     )
 
 
+def issue_scalar(col) -> "F.Column":
+    """Driver-canonicalizable form of an issue array: sorted tags joined
+    with ';' ('' when clean). pandas can sort strings but not lists, so
+    contract queries emit this instead of array<string>."""
+    return F.concat_ws(";", F.sort_array(col))
+
+
+def scalarize_issue_columns(df: "DataFrame") -> "DataFrame":
+    """Replace every *_issues array column with its issue_scalar twin."""
+    out = df
+    for name, dtype in df.dtypes:
+        if name.endswith("_issues") and dtype.startswith("array"):
+            out = out.withColumn(name, issue_scalar(F.col(name)))
+    return out
+
+
+def validate_invoice_fields_table(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """P4 at table scale with a full DuckDB oracle: deterministic
+    synthetic invoice fields derived from the orders table (planted
+    nulls / bad formats / future + stale dates / negative + zero +
+    implausible amounts / unknown currency codes), validated by the
+    same native predicates as validate_invoice_extractions
+    (validator.py:171-266 semantics). Map-only — zero shuffles."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    num = (
+        F.when(k % 97 == 0, F.lit(None).cast("string"))
+        .when(k % 13 == 0, F.concat(F.lit("INV "), k.cast("string")))
+        .when(k % 31 == 0, F.lit("A"))
+        .otherwise(F.concat(F.lit("INV-"), k.cast("string")))
+    )
+    date_str = (
+        F.when(k % 41 == 0, F.lit(None).cast("string"))
+        .when(k % 19 == 0, F.lit("2026-02-30"))   # invalid calendar day
+        .when(k % 23 == 0, F.lit("2026-06-01"))   # future vs AS_OF
+        .when(k % 29 == 0, F.lit("2019-01-01"))   # > 5y before AS_OF
+        .otherwise(
+            F.date_format(
+                F.date_add(F.lit("2025-01-01").cast("date"), (k % 300).cast("int")),
+                "yyyy-MM-dd",
+            )
+        )
+    )
+    amt = (
+        F.when(k % 37 == 0, F.lit(None).cast("double"))
+        .when(k % 17 == 0, -F.col("o_totalprice"))
+        .when(k % 11 == 0, F.lit(0.0))
+        .when(k % 43 == 0, F.lit(99_000_000.0))
+        .otherwise(F.round("o_totalprice", 2))
+    )
+    cur_raw = (
+        F.when(k % 5 == 0, F.lit("USD"))
+        .when(k % 5 == 1, F.lit("EUR"))
+        .when(k % 5 == 2, F.lit("XYZ"))
+        .when(k % 5 == 3, F.lit(None).cast("string"))
+        .otherwise(F.lit("pkr"))
+    )
+    derived = orders.select(
+        "o_orderkey",
+        num.alias("num"),
+        date_str.alias("date_str"),
+        amt.alias("amt"),
+        F.upper(cur_raw).alias("cur"),
+    )
+    dt = F.expr("try_to_date(date_str, 'yyyy-MM-dd')")
+    n = F.col("num")
+    a = F.col("amt")
+    c = F.col("cur")
+    num_issues = _issues(
+        (n.isNull() | (n == ""), "missing"),
+        (n.isNotNull() & ~n.rlike(r"^[A-Za-z0-9\-_/]+$"), "bad_format"),
+        (n.isNotNull() & ~F.length(n).between(2, 50), "bad_length"),
+    )
+    date_issues = _issues(
+        (F.col("date_str").isNull(), "missing"),
+        (F.col("date_str").isNotNull() & dt.isNull(), "unparseable"),
+        (dt > F.lit(AS_OF), "future_date"),
+        (F.datediff(F.lit(AS_OF), dt) > 5 * 365, "too_old"),
+    )
+    amt_issues = _issues(
+        (a.isNull(), "missing"),
+        (a < 0, "negative"),
+        (a == 0, "zero"),
+        (a > 10_000_000, "implausibly_large"),
+    )
+    cur_issues = _issues(
+        (c.isNull(), "missing"),
+        (c.isNotNull() & ~c.isin(*VALID_CURRENCIES), "unknown_code"),
+    )
+    return derived.select(
+        "o_orderkey",
+        issue_scalar(num_issues).alias("invoice_number_issues"),
+        issue_scalar(date_issues).alias("invoice_date_issues"),
+        issue_scalar(amt_issues).alias("total_amount_issues"),
+        issue_scalar(cur_issues).alias("currency_issues"),
+        (
+            F.size(num_issues) + F.size(date_issues)
+            + F.size(amt_issues) + F.size(cur_issues)
+        ).cast("int").alias("n_issues"),
+    )
+
+
 def candidate_analysis(resumes: "DataFrame") -> "DataFrame":
     """A8/A9/W4 natively over an ``experience array<struct<...>>``
     column: short-stint counting via filter(), average tenure via

@@ -14,11 +14,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    "base": {},
+    # get_spark now bakes the GC cap into every session; 'base' must
+    # explicitly clear it so base-vs-gc measures what the names claim
+    "base": {"spark.driver.extraJavaOptions": ""},
     "gc": {
         "spark.driver.extraJavaOptions": "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2"
     },
-    "batch8k": {"spark.sql.execution.arrow.maxRecordsPerBatch": "8192"},
+    "batch8k": {
+        "spark.driver.extraJavaOptions": "",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+    },
     "gc_batch8k": {
         "spark.driver.extraJavaOptions": "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
@@ -26,7 +31,8 @@ VARIANTS = {
     "gc_codegen": {
         "spark.driver.extraJavaOptions": "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2 -XX:CICompilerCount=4"
     },
-    "parts2x": {},  # handled below: 2x instead of 4x partitions
+    # 2x instead of 4x partitions (partition multiple handled below)
+    "parts2x": {"spark.driver.extraJavaOptions": ""},
     "gc_parts2x": {
         "spark.driver.extraJavaOptions": "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2"
     },

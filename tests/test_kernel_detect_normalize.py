@@ -213,10 +213,44 @@ def test_post_process_invoice_end_to_end():
     assert d["line_items"][0]["amount"] == 100.0
     assert res["warnings"] == []
     assert res["adjustments"].get("overall") == 0.1
+    # corrections log carries the reference's fix strings verbatim
+    # (post_processor.py:428-473) and the count is its length
+    assert res["corrections"] == [
+        "Normalized invoice_date: 3/5/2024 → 2024-03-05",
+        "Parsed total_amount: $108.50 → 108.5",
+        "Parsed subtotal: $100.00 → 100.0",
+        "Parsed tax_amount: $8.50 → 8.5",
+    ]
+    assert res["corrections_count"] == 4
     # missing required fields
     res2 = post_process_invoice({"vendor_name": "X", "other": None})
     assert res2["adjustments"]["invoice_number"] == -0.2
     assert res2["adjustments"]["total_amount"] == -0.2
+
+
+def test_normalize_line_item_currencies():
+    from engine.kernel.normalize import normalize_line_item_currencies
+
+    items = [
+        {"description": "a", "unit_price": "€5.00", "amount": 10.0},
+        {"description": "b", "unit_price": "$3.00", "amount": "£6.00"},
+        "not-a-dict",
+    ]
+    fixed, corrections = normalize_line_item_currencies(items, "USD")
+    # wrong-currency strings are parsed + logged; matching currency kept
+    assert fixed[0]["unit_price"] == 5.0
+    assert fixed[1]["unit_price"] == "$3.00"  # $ == USD: untouched
+    assert fixed[1]["amount"] == 6.0
+    assert corrections == [
+        "Fixed currency in line item unit_price: €5.00 → 5.0",
+        "Fixed currency in line item amount: £6.00 → 6.0",
+    ]
+    # composed T18 flow: amounts already float → step 5 is a no-op
+    res = post_process_invoice(
+        {"invoice_number": "I1", "total_amount": 10.0,
+         "line_items": [{"description": "x", "amount": 10.0}]}
+    )
+    assert res["corrections"] == []
 
 
 # ---------- scoring ----------
