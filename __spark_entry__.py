@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyspark.sql import functions as F
 
     from engine.spark import analytics as A
+    from engine.spark import ats as _ats
     from engine.spark import relational as R
     from engine.spark.pipeline import conversation_rollup
 
@@ -204,6 +205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_invoice_fields": validate_invoice_fields,
         "validate_invoice_extracted": validate_invoice_extracted,
         "doc_token_estimate": doc_token_estimate,
+        # full ATS lifecycle (A5 complete + suggestion/summary/
+        # recommendation generators, all native; engine/spark/ats.py)
+        "ats_full_score": _ats.ats_full_score,
+        "ats_suggestions": _ats.ats_suggestions,
+        "hiring_recommendation": _ats.hiring_recommendation,
     }
 
 
@@ -368,6 +374,178 @@ def _invoice_fields_oracle() -> str:
                    AS n_issues
         FROM i
     """.replace("__CURRENCIES__", cur_list)
+
+
+def _ats_oracles() -> dict[str, str]:
+    """DuckDB twins of the three ATS queries, generated from the same
+    constants engine/spark/ats.py uses (vocabularies, degree pool,
+    DEGREE_LEVELS, JD bounds) so the two sides cannot drift."""
+    from engine.kernel.scoring import DEGREE_LEVELS
+    from engine.spark import ats as A
+
+    def hits(vocab):
+        return "(" + " + ".join(
+            f"CASE WHEN contains(lower(text), '{kw}') THEN 1 ELSE 0 END"
+            for kw in vocab
+        ) + ")"
+
+    def missing(vocab):
+        cases = ", ".join(
+            f"CASE WHEN NOT contains(lower(text), '{kw}') THEN '{kw}' END"
+            for kw in vocab
+        )
+        return f"list_filter([{cases}], x -> x IS NOT NULL)"
+
+    degree_case = "CASE CAST(doc_id % 6 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{d}'" for i, d in enumerate(A.DEGREE_POOL)
+    ) + " END"
+    cand_level = "greatest(" + ", ".join(
+        f"CASE WHEN contains(lower(degree), '{k}') THEN {v} ELSE 0 END"
+        for k, v in DEGREE_LEVELS.items()
+    ) + ")"
+    req_level = A._required_edu_level(A.REQUIRED_EDU)
+    lo, hi = A.JD_MIN_YEARS, A.JD_MAX_YEARS
+    base = f"""
+        WITH c AS (
+            SELECT doc_id,
+                   CAST({hits(A.REQUIRED_SKILLS)} AS INT) AS matched_required,
+                   CAST({hits(A.PREFERRED_SKILLS)} AS INT) AS matched_preferred,
+                   CAST({hits(A.JD_KEYWORDS)} AS INT) AS matched_keywords,
+                   {missing(A.REQUIRED_SKILLS)} AS missing_required,
+                   {missing(A.PREFERRED_SKILLS)} AS missing_preferred,
+                   {missing(A.JD_KEYWORDS)} AS missing_keywords,
+                   (doc_id % 25) * 0.5 AS resume_years,
+                   {degree_case} AS degree,
+                   (doc_id % 3 != 0) AS has_summary,
+                   (doc_id % 4 = 0) AS has_certifications,
+                   CAST((doc_id * 37 + 11) % 101 AS INT) AS fit_score,
+                   (doc_id % 7 = 0) AS has_flags
+            FROM documents),
+        s AS (
+            SELECT *,
+                CAST(floor((matched_required / {len(A.REQUIRED_SKILLS)}) * 70
+                         + (matched_preferred / {len(A.PREFERRED_SKILLS)}) * 30) AS INT)
+                    AS skills_match_score,
+                CAST(floor((matched_keywords / {len(A.JD_KEYWORDS)}) * 100) AS INT)
+                    AS keyword_match_score,
+                CASE WHEN resume_years >= {lo} THEN
+                         CASE WHEN resume_years <= {hi} THEN 100
+                              ELSE greatest(60, 100 - CAST(floor((resume_years - {hi}) * 5) AS INT)) END
+                     WHEN {lo} - resume_years <= 1 THEN 70
+                     WHEN {lo} - resume_years <= 2 THEN 50
+                     ELSE greatest(20, 50 - CAST(floor(({lo} - resume_years) * 10) AS INT))
+                END AS experience_match_score,
+                CASE WHEN degree = '' THEN 30
+                     WHEN {cand_level} >= {req_level} THEN 100
+                     WHEN {cand_level} = {req_level} - 1 THEN 70
+                     ELSE 40
+                END AS education_match_score
+            FROM c),
+        t AS (
+            SELECT *,
+                CAST(floor(skills_match_score * 0.40 + keyword_match_score * 0.25
+                         + experience_match_score * 0.25 + education_match_score * 0.10)
+                     AS INT) AS ats_score
+            FROM s)
+    """
+    summary = f"""
+        (CASE WHEN ats_score >= 90 THEN 'Excellent'
+              WHEN ats_score >= 75 THEN 'Good'
+              WHEN ats_score >= 60 THEN 'Fair'
+              WHEN ats_score >= 40 THEN 'Needs Work'
+              ELSE 'Poor Match' END)
+        || ' (' || CAST(ats_score AS VARCHAR) || '/100). '
+        || (CASE WHEN ats_score >= 90 THEN 'This resume is highly optimized for this job posting.'
+                 WHEN ats_score >= 75 THEN 'Strong match with room for minor improvements.'
+                 WHEN ats_score >= 60 THEN 'Moderate match - consider adding missing keywords.'
+                 WHEN ats_score >= 40 THEN 'Significant gaps in required skills or keywords.'
+                 ELSE 'Major mismatch - this role may not be a good fit.' END)
+        || ' Matched ' || CAST(matched_required AS VARCHAR)
+        || '/{len(A.REQUIRED_SKILLS)} required skills.'
+    """
+    jd_certs_joined = ", ".join(A.JD_CERTS[:3])
+    sugg_list = f"""
+        list_filter([
+            CASE WHEN len(missing_required) > 0
+                 THEN 'Add these required skills if you have experience: '
+                      || array_to_string(missing_required[1:5], ', ') END,
+            CASE WHEN len(missing_preferred) > 0
+                  AND len(missing_preferred) > len(missing_required)
+                 THEN 'Consider highlighting these preferred skills: '
+                      || array_to_string(missing_preferred[1:3], ', ') END,
+            CASE WHEN len(missing_keywords) > 0
+                 THEN 'Include these keywords in your resume: '
+                      || array_to_string(missing_keywords[1:5], ', ') END,
+            CASE WHEN experience_match_score < 70
+                 THEN 'Highlight relevant projects or freelance work to bridge experience gap' END,
+            CASE WHEN education_match_score < 70
+                 THEN 'List relevant certifications or courses to strengthen education section' END,
+            CASE WHEN NOT has_summary
+                 THEN 'Add a professional summary highlighting your fit for this role' END,
+            CASE WHEN NOT has_certifications
+                 THEN 'Consider obtaining relevant certifications: {jd_certs_joined}' END
+        ], x -> x IS NOT NULL)[1:7]
+    """
+    rec_case = """
+        CASE WHEN top_score >= 85 AND NOT top_flags
+             THEN '✅ STRONG RECOMMENDATION: Top candidate (doc-'
+                  || CAST(top_doc_id AS VARCHAR)
+                  || ') is an excellent fit with ' || CAST(top_score AS VARCHAR)
+                  || '/100 score and no critical red flags.'
+             WHEN n_excellent > 0
+             THEN '✅ GOOD POOL: ' || CAST(n_excellent AS VARCHAR)
+                  || ' strong candidate(s) available. Top score: '
+                  || CAST(top_score AS VARCHAR)
+                  || '/100. Review red flags before proceeding.'
+             WHEN top_score >= 70
+             THEN '⚠️ ACCEPTABLE: Top candidate at ' || CAST(top_score AS VARCHAR)
+                  || '/100. Pool quality is moderate. Consider expanding search.'
+             ELSE '❌ WEAK POOL: Highest score is ' || CAST(top_score AS VARCHAR)
+                  || '/100. Not recommended to proceed without additional candidates.'
+        END
+    """
+    return {
+        "ats_full_score": base + f"""
+            SELECT doc_id, skills_match_score, keyword_match_score,
+                   experience_match_score, education_match_score, ats_score,
+                   {summary} AS summary
+            FROM t
+        """,
+        "ats_suggestions": base + f"""
+            , g AS (SELECT doc_id, {sugg_list} AS sugg FROM t)
+            SELECT doc_id,
+                   CAST(len(sugg) AS INT) AS n_suggestions,
+                   coalesce(array_to_string(sugg, '|'), '') AS suggestions
+            FROM g
+        """,
+        "hiring_recommendation": base + f"""
+            , r AS (
+                SELECT *,
+                    CAST(floor(ats_score * 0.4 + fit_score * 0.6) AS INT) AS overall,
+                    CAST(doc_id % 10 AS INT) AS cohort
+                FROM t),
+            top AS (
+                SELECT cohort, overall AS top_score, doc_id AS top_doc_id,
+                       has_flags AS top_flags,
+                       row_number() OVER (PARTITION BY cohort
+                                          ORDER BY overall DESC, doc_id) AS rn
+                FROM r),
+            a AS (
+                SELECT cohort,
+                       CAST(count(*) AS INT) AS total_candidates,
+                       round(avg(overall), 2) AS average_score,
+                       CAST(sum(CASE WHEN overall >= 85 THEN 1 ELSE 0 END) AS INT) AS n_excellent,
+                       CAST(sum(CASE WHEN overall >= 70 AND overall < 85 THEN 1 ELSE 0 END) AS INT) AS n_good,
+                       CAST(sum(CASE WHEN overall >= 50 AND overall < 70 THEN 1 ELSE 0 END) AS INT) AS n_acceptable,
+                       CAST(sum(CASE WHEN overall < 50 THEN 1 ELSE 0 END) AS INT) AS n_poor
+                FROM r GROUP BY cohort)
+            SELECT a.cohort, a.total_candidates, a.average_score,
+                   a.n_excellent, a.n_good, a.n_acceptable, a.n_poor,
+                   p.top_score, CAST(p.top_doc_id AS BIGINT) AS top_doc_id,
+                   {rec_case} AS recommendation
+            FROM a JOIN top p ON a.cohort = p.cohort AND p.rn = 1
+        """,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -617,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "skill_match_tiers": _skill_match_oracle(),
         "validate_invoice_fields": _invoice_fields_oracle(),
+        **_ats_oracles(),
         "multimodal_features": """
             WITH s AS (SELECT unnest(generate_series(0, 255)) AS i)
             SELECT CAST(i AS BIGINT) AS media_id,

@@ -147,6 +147,113 @@ def ats_score(matched_required: int, total_required: int,
     }
 
 
+def ats_suggestions(
+    missing_required: list[str],
+    missing_preferred: list[str],
+    missing_keywords: list[str],
+    experience_score: int,
+    education_score: int,
+    has_summary: bool,
+    certifications: list[str],
+    jd_certs: list[str],
+) -> list[str]:
+    """Rule-based improvement suggestions, max 7 (scorer.py:410-479)."""
+    suggestions: list[str] = []
+    if missing_required:
+        suggestions.append(
+            "Add these required skills if you have experience: "
+            + ", ".join(missing_required[:5])
+        )
+    if missing_preferred and len(missing_preferred) > len(missing_required):
+        top = [s for s in missing_preferred[:3] if s not in missing_required]
+        if top:
+            suggestions.append(
+                "Consider highlighting these preferred skills: " + ", ".join(top)
+            )
+    if missing_keywords:
+        unique = [
+            k for k in missing_keywords[:5]
+            if k not in missing_required and k not in missing_preferred
+        ]
+        if unique:
+            suggestions.append(
+                "Include these keywords in your resume: " + ", ".join(unique)
+            )
+    if experience_score < 70:
+        suggestions.append(
+            "Highlight relevant projects or freelance work to bridge experience gap"
+        )
+    if education_score < 70:
+        suggestions.append(
+            "List relevant certifications or courses to strengthen education section"
+        )
+    if not has_summary:
+        suggestions.append(
+            "Add a professional summary highlighting your fit for this role"
+        )
+    if jd_certs and not certifications:
+        suggestions.append(
+            "Consider obtaining relevant certifications: " + ", ".join(jd_certs[:3])
+        )
+    return suggestions[:7]
+
+
+def ats_summary(ats_score: int, matched_required: int, total_required: int) -> str:
+    """Graded ATS score explanation string (scorer.py:481-517)."""
+    if ats_score >= 90:
+        grade, detail = "Excellent", "This resume is highly optimized for this job posting."
+    elif ats_score >= 75:
+        grade, detail = "Good", "Strong match with room for minor improvements."
+    elif ats_score >= 60:
+        grade, detail = "Fair", "Moderate match - consider adding missing keywords."
+    elif ats_score >= 40:
+        grade, detail = "Needs Work", "Significant gaps in required skills or keywords."
+    else:
+        grade, detail = "Poor Match", "Major mismatch - this role may not be a good fit."
+    skill_info = (
+        f" Matched {matched_required}/{total_required} required skills."
+        if total_required > 0
+        else ""
+    )
+    return f"{grade} ({ats_score}/100). {detail}{skill_info}"
+
+
+def hiring_recommendation(
+    ranked: list[tuple[int, str, bool]],
+) -> str:
+    """Pool-level hiring recommendation from the ranked score list
+    (ranker.py:135-165). ``ranked`` is [(overall_score, name,
+    has_critical_red_flags), ...] sorted by score descending."""
+    if not ranked:
+        return "No candidates to evaluate."
+    top_score, top_name, top_flags = ranked[0]
+    strong_hires = len([r for r in ranked if r[0] >= 85])
+    if top_score >= 85 and not top_flags:
+        return (
+            f"✅ STRONG RECOMMENDATION: Top candidate ({top_name}) is an "
+            f"excellent fit with {top_score}/100 score and no critical red flags."
+        )
+    if strong_hires > 0:
+        return (
+            f"✅ GOOD POOL: {strong_hires} strong candidate(s) available. "
+            f"Top score: {top_score}/100. Review red flags before proceeding."
+        )
+    if top_score >= 70:
+        return (
+            f"⚠️ ACCEPTABLE: Top candidate at {top_score}/100. "
+            f"Pool quality is moderate. Consider expanding search."
+        )
+    return (
+        f"❌ WEAK POOL: Highest score is {top_score}/100. "
+        f"Not recommended to proceed without additional candidates."
+    )
+
+
+def overall_candidate_score(ats_score: int, fit_score: int) -> int:
+    """Overall = 40% ATS + 60% fit (resume.py:349,437)."""
+    return int(ats_score * 0.4 + fit_score * 0.6)
+
+
 def field_confidence(data: dict[str, Any], required_fields: list[str],
                      detection_confidence: float) -> dict[str, float]:
     """A4: presence-based field scores + 0.7/0.3 overall blend
