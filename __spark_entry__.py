@@ -190,9 +190,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
         "dedup_minhash_lsh": A.dedup_minhash_lsh,   # rows-only (LSH)
         "dedup_simhash": A.dedup_simhash,           # rows-only (bit ops)
-        "dedup_embedding_cosine": A.dedup_embedding_cosine,
+        # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
+        # sign arithmetic; the functions' production default is adaptive
+        # (corpus-sized keyspace, engine/spark/analytics.py)
+        "dedup_embedding_cosine": lambda s, d: A.dedup_embedding_cosine(
+            s, d, sign_dims=6
+        ),
         "simsearch_bruteforce": A.simsearch_bruteforce,
-        "simsearch_ivf": A.simsearch_ivf,
+        "simsearch_ivf": lambda s, d: A.simsearch_ivf(s, d, sign_dims=6),
         "lang_id": A.lang_id,
         "text_quality": A.text_quality,
         "token_count": A.token_count,

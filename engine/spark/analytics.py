@@ -196,6 +196,38 @@ def _vecs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
+def adaptive_sign_dims(
+    n_vectors: int, dim: int = 64, probes: int = 2, min_dims: int = 6
+) -> int:
+    """Sign-bucket width that scales shuffle-key cardinality with the
+    corpus: ceil(log2 n)+1 bits ⇒ ≥ 2n bucket keys (average occupancy
+    ≤ 0.5), so no bucket self-join can blow up at 100× the data — the
+    round-1 hazard of a fixed 2^6 keyspace. Floored at ``min_dims`` for
+    tiny corpora and capped at dim // probes so every probe gets a
+    disjoint sign block. Recall trade-off: more sign bits split
+    lower-cosine pairs apart faster (P[agree] ≈ (1−θ/π)^bits per
+    probe); near-identical vectors (the dedup target) agree on almost
+    every hyperplane, and the ``probes`` knob buys recall back
+    linearly in candidate cost."""
+    cap = max(1, dim // max(probes, 1))
+    if n_vectors <= 1:
+        return min(min_dims, cap)
+    import math
+
+    want = math.ceil(math.log2(n_vectors)) + 1
+    return max(min(want, cap), min(min_dims, cap))
+
+
+def _corpus_stats(embs: "DataFrame") -> tuple[int, int]:
+    """(n_vectors, dim) in one stats pass — the AQE-style planning read
+    the adaptive default needs; production jobs on known tables pass
+    sign_dims explicitly or read catalog stats instead."""
+    row = embs.agg(
+        F.count("*").alias("n"), F.max(F.size("v")).alias("dim")
+    ).first()
+    return int(row.n or 0), int(row.dim or 0)
+
+
 def _sign_bucket(col, offset: int, sign_dims: int):
     """Bucket id from the signs of dims [offset, offset+sign_dims).
     try_element_at: dims past the vector length contribute 0 (degraded
@@ -240,7 +272,7 @@ def simsearch_ivf(
     spark: "SparkSession",
     sf_dir: str,
     n_queries: int = 20,
-    sign_dims: int = 6,
+    sign_dims: int | None = None,
     probes: int = 2,
 ) -> "DataFrame":
     """Scale path: multi-probe sign-bucket IVF. Probe p buckets vectors
@@ -248,13 +280,22 @@ def simsearch_ivf(
     the union of its buckets across probes (bucket-equality joins, no
     cross product), candidates dedupe before the cosine top-k.
 
-    Measured on the random-gaussian sf0.01 embeddings vs brute force:
-    recall@3 = 0.05 (1 probe) → 0.15 (2) → 0.17 (3). Random vectors are
-    the worst case for sign bucketing (true neighbors rarely share a
-    full sign block); clustered real embeddings bucket far better. The
-    probes knob trades ~linear candidate cost for recall.
+    sign_dims=None derives the bucket width from the corpus size
+    (adaptive_sign_dims: ≥ 2n bucket keys) so shuffle-key cardinality
+    scales with the data instead of pinning 2^6 keys at any size.
+
+    Measured on the random-gaussian sf0.01 embeddings vs brute force at
+    sign_dims=6: recall@3 = 0.05 (1 probe) → 0.15 (2) → 0.17 (3).
+    Random vectors are the worst case for sign bucketing (true
+    neighbors rarely share a full sign block); clustered real
+    embeddings bucket far better — recall@3 ≥ 0.8 on the clustered
+    fixture (test_analytics_quality). The probes knob trades ~linear
+    candidate cost for recall.
     """
     embs = _vecs(spark, sf_dir)
+    if sign_dims is None:
+        n, dim = _corpus_stats(embs)
+        sign_dims = adaptive_sign_dims(n, dim, probes)
 
     cands = None
     for pidx in range(probes):
@@ -285,7 +326,7 @@ def dedup_embedding_cosine(
     spark: "SparkSession",
     sf_dir: str,
     threshold: float = 0.35,
-    sign_dims: int = 6,
+    sign_dims: int | None = None,
     probes: int = 2,
 ) -> "DataFrame":
     """Embedding-cosine near-duplicate pairs, multi-probe: probe p
@@ -293,12 +334,15 @@ def dedup_embedding_cosine(
     (2^sign_dims buckets each), self-joins only within a bucket, and
     the probes' candidate pairs are unioned + deduped before the
     cosine threshold. The bucket join is the 100 TB path — the cross
-    product never materializes; extra probes recover pairs that
-    straddle a sign boundary on one projection (same recall/cost
-    trade as simsearch_ivf; raise sign_dims with corpus size for
-    shuffle-key cardinality). Threshold compares the 5-dp-rounded
-    cosine so the cut is FP-stable across engines."""
+    product never materializes, and sign_dims=None scales the bucket
+    keyspace with the corpus (adaptive_sign_dims: ≥ 2n keys, so the
+    per-bucket self-join stays bounded at any size; max-bucket-size
+    asserted in tests). Threshold compares the 5-dp-rounded cosine so
+    the cut is FP-stable across engines."""
     embs = _vecs(spark, sf_dir)
+    if sign_dims is None:
+        n, dim = _corpus_stats(embs)
+        sign_dims = adaptive_sign_dims(n, dim, probes)
 
     pairs = None
     for pidx in range(probes):

@@ -105,6 +105,111 @@ def test_embedding_cosine_dedup_finds_planted_pairs(spark, tmp_path):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_adaptive_sign_dims_scales_keyspace():
+    """Round-1 hazard closed: the default bucket keyspace grows with
+    the corpus (≥ 2n keys) instead of pinning 2^6 at any size."""
+    from engine.spark.analytics import adaptive_sign_dims
+
+    assert adaptive_sign_dims(3) == 6            # tiny corpus → floor
+    assert adaptive_sign_dims(500) == 10         # sf0.01 embeddings
+    assert adaptive_sign_dims(2000) == 12        # sf0.1 → 4096 buckets
+    assert 2 ** adaptive_sign_dims(2000) >= 4096
+    # capped so `probes` disjoint sign blocks fit in the vector
+    assert adaptive_sign_dims(10**12, dim=64, probes=2) == 32
+    assert adaptive_sign_dims(10**9, dim=64, probes=4) == 16
+    for n in (10, 100, 10_000, 10**6):
+        assert 2 ** adaptive_sign_dims(n, dim=256, probes=2) >= 2 * n
+
+
+def test_adaptive_buckets_bound_skew_at_sf01(spark):
+    """With the adaptive default, no sign bucket on the sf0.1
+    embeddings may hold more than a tiny fraction of the corpus — the
+    per-bucket self-join cost is what must stay bounded at scale."""
+    from engine.spark.analytics import (
+        _corpus_stats,
+        _sign_bucket,
+        _vecs,
+        adaptive_sign_dims,
+    )
+
+    embs = _vecs(spark, "/root/testdata/sf0.1")
+    n, dim = _corpus_stats(embs)
+    sd = adaptive_sign_dims(n, dim, probes=2)
+    assert 2**sd >= max(4096, 2 * n)
+    sizes = (
+        embs.withColumn("b", _sign_bucket(F.col("v"), 0, sd))
+        .groupBy("b")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+    )
+    assert sizes.mx <= 32, f"max bucket {sizes.mx} of {n} rows"
+
+
+def test_dedup_embedding_adaptive_default_finds_planted(spark, tmp_path):
+    """The adaptive default must still surface near-identical planted
+    pairs: near-dups agree on (almost) every hyperplane sign, so a
+    wider bucket key keeps them colliding."""
+    import random
+
+    from engine.spark.analytics import dedup_embedding_cosine
+
+    rng = random.Random(9)
+    dim = 32
+    rows = []
+    for i in range(300):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    # plant 5 near-identical pairs
+    planted = []
+    for j, base_id in enumerate((4, 60, 121, 200, 287)):
+        v = [x + rng.gauss(0, 0.002) for x in rows[base_id][1]]
+        rows.append((1000 + j, v))
+        planted.append((base_id, 1000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "embdir")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine(spark, out, threshold=0.95).collect()
+    }
+    for p in planted:
+        assert p in pairs, p
+
+
+def test_ivf_recall_on_clustered_embeddings(spark, tmp_path):
+    """Recall floor on realistically clustered vectors: members of a
+    cluster share nearly every hyperplane sign, so sign-bucket IVF must
+    reach recall@3 ≥ 0.8 (random-gaussian corpora are the worst case
+    and are covered by the multiprobe-improvement test below)."""
+    import random
+
+    from engine.spark.analytics import simsearch_bruteforce, simsearch_ivf
+
+    rng = random.Random(11)
+    dim, n_clusters, per_cluster = 32, 40, 10
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_clusters * per_cluster):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.02) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "clustered")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in simsearch_bruteforce(spark, out, n_queries=20, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in simsearch_ivf(spark, out, n_queries=20).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"clustered recall@3 {recall:.2f}"
+
+
 def test_ivf_multiprobe_improves_recall(spark):
     """Multi-probe sign-bucket IVF must strictly improve recall@3 vs a
     single probe on the (deterministic) sf0.01 embeddings, measured
@@ -118,10 +223,10 @@ def test_ivf_multiprobe_improves_recall(spark):
     }
     one = {
         (r.query_id, r.vec_id)
-        for r in simsearch_ivf(spark, sf, probes=1).collect()
+        for r in simsearch_ivf(spark, sf, sign_dims=6, probes=1).collect()
     }
     two = {
         (r.query_id, r.vec_id)
-        for r in simsearch_ivf(spark, sf, probes=2).collect()
+        for r in simsearch_ivf(spark, sf, sign_dims=6, probes=2).collect()
     }
     assert len(two & truth) > len(one & truth)
