@@ -78,51 +78,59 @@ _MAX_POSSIBLE = 15.0  # normalization constant (detector.py:225)
 
 # necessary-literal guards per pattern (index-aligned): a pattern whose
 # guard substrings are all absent from the lowercased text cannot match,
-# so the full-document regex scan is skipped. Guards are (any-of) tuples;
-# None = no cheap necessary literal (always scan). Pure optimization —
+# so the full-document regex scan is skipped. Guards are
+# (any-of-tuple-or-None, needs_digit); needs_digit marks patterns that
+# cannot match a digit-free text (first-digit presence is computed once
+# per document with a stop-at-first-hit scan). Pure optimization —
 # match counts are identical with or without guards (tested).
 _INV_GUARDS = (
-    ("inv",),          # inv(oice)...
-    ("#",),            # #\s*\d{4,}
-    ("date",),         # (invoice|due|payment)\s*date
-    ("$",),            # $ amounts
-    ("usd", "eur", "gbp", "cad"),
-    ("x", "@"),        # qty x price
-    ("total",),        # (sub)?total
-    ("tax",),
+    (("inv",), False),          # inv(oice)...
+    (("#",), True),             # #\s*\d{4,}
+    (("date",), True),          # (invoice|due|payment)\s*date\s*..\d
+    (("$",), False),            # $ amounts ([\d,]+ matches bare ',')
+    (("usd", "eur", "gbp", "cad"), False),  # [\d,]+ matches bare ','
+    (("x", "@"), True),         # \d+ x price
+    (("total",), False),        # (sub)?total ...[\d,]+ matches bare ','
+    (("tax",), False),          # tax (\(?[\d.]+%?\)? matches bare '.')
 )
 _RES_GUARDS = (
-    ("@",),            # email
-    None,              # phone (no cheap literal)
-    ("linkedin",),
-    ("github",),
-    ("19", "20"),      # year ranges
-    None,              # degree abbreviations
-    ("gpa",),
+    (("@",), False),            # email
+    (None, True),               # phone (≥10 digits; no cheap literal)
+    (("linkedin",), False),
+    (("github",), False),
+    (("19", "20"), True),       # year ranges
+    (None, False),              # degree abbreviations
+    (("gpa",), True),           # GPA\s*[:\-]?\s*[0-4]\.\d+
 )
 
 _INV_PAT = tuple(
-    (re.compile(p, re.IGNORECASE), w, g)
-    for (p, w), g in zip(INVOICE_PATTERNS, _INV_GUARDS)
+    (re.compile(p, re.IGNORECASE), w, g, nd)
+    for (p, w), (g, nd) in zip(INVOICE_PATTERNS, _INV_GUARDS)
 )
 _RES_PAT = tuple(
-    (re.compile(p, re.IGNORECASE), w, g)
-    for (p, w), g in zip(RESUME_PATTERNS, _RES_GUARDS)
+    (re.compile(p, re.IGNORECASE), w, g, nd)
+    for (p, w), (g, nd) in zip(RESUME_PATTERNS, _RES_GUARDS)
 )
+
+_HAS_DIGIT = re.compile(r"\d")
 
 
 def _keyword_score(lower_text: str, table) -> float:
     total = 0.0
+    count = lower_text.count
     for kw, w in table:
-        count = lower_text.count(kw)
-        if count:
-            total += w + (w * 0.5 * min(count - 1, 3))
+        n = count(kw)
+        if n:
+            total += w + (w * 0.5 * min(n - 1, 3))
     return total
 
 
-def _pattern_score(text: str, lower_text: str, compiled) -> float:
+def _pattern_score(text: str, lower_text: str, compiled,
+                   has_digit: bool) -> float:
     total = 0.0
-    for pat, w, guards in compiled:
+    for pat, w, guards, needs_digit in compiled:
+        if needs_digit and not has_digit:
+            continue
         if guards is not None and not any(g in lower_text for g in guards):
             continue
         # the score caps at 5 matches (detector.py:314), so stop
@@ -140,8 +148,9 @@ def _pattern_score(text: str, lower_text: str, compiled) -> float:
 def detect_document_type(text: str, min_confidence: float = 0.3) -> dict[str, Any]:
     """Classify text as invoice/resume/unknown with confidence scores."""
     lower = text.lower()
-    inv = _keyword_score(lower, INVOICE_KEYWORDS) * 0.6 + _pattern_score(text, lower, _INV_PAT) * 0.4
-    res = _keyword_score(lower, RESUME_KEYWORDS) * 0.6 + _pattern_score(text, lower, _RES_PAT) * 0.4
+    has_digit = _HAS_DIGIT.search(text) is not None
+    inv = _keyword_score(lower, INVOICE_KEYWORDS) * 0.6 + _pattern_score(text, lower, _INV_PAT, has_digit) * 0.4
+    res = _keyword_score(lower, RESUME_KEYWORDS) * 0.6 + _pattern_score(text, lower, _RES_PAT, has_digit) * 0.4
     inv_conf = min(1.0, inv / _MAX_POSSIBLE)
     res_conf = min(1.0, res / _MAX_POSSIBLE)
 

@@ -63,6 +63,8 @@ _ENTITIES = (
 
 
 def _decode_entities(text: str) -> str:
+    if "&" not in text:  # no entity can exist — skip the 14 scans
+        return text
     for ent, ch in _ENTITIES:
         if ent in text:
             text = text.replace(ent, ch)
@@ -118,12 +120,17 @@ def _segment(html: str) -> list[_Block]:
         else:
             hint_state = hint
 
-        link_chars = sum(
-            len(_visible_text(a).strip()) for a in _ANCHOR_TEXT.findall(fragment)
-        )
-        tag_count = len(_ANY_TAG.findall(fragment))
+        # empty / whitespace-only inter-tag gaps (common between
+        # adjacent block tags) yield no block; skip their regex work
+        if not fragment or fragment.isspace():
+            continue
         text = " ".join(_visible_text(fragment).split())
         if text:
+            link_chars = sum(
+                len(_visible_text(a).strip())
+                for a in _ANCHOR_TEXT.findall(fragment)
+            )
+            tag_count = sum(1 for _ in _ANY_TAG.finditer(fragment))
             blocks.append(_Block(text, link_chars, tag_count, hint))
     return blocks
 

@@ -48,6 +48,31 @@ _STRUCT_PROBES = (
     re.compile(r"total|subtotal|amount|qty|quantity", re.IGNORECASE),
 )
 
+_HAS_DIGIT = re.compile(r"\d")
+
+
+def _has_structured_data(cleaned: str) -> bool:
+    """Boolean-equivalent fast path for any(_STRUCT_PROBES): cheap
+    necessary-condition guards (C substring scans / first-digit stop)
+    before each full regex scan. The keyword probe reduces to plain
+    substring membership ('subtotal' ⊃ 'total' so three checks cover
+    the alternation); the other three all require a digit, and two
+    require '$' / a separator besides. Guard-equivalence with the probe
+    table is asserted in tests (same pattern as the detector guards).
+    """
+    lower = cleaned.lower()
+    if "total" in lower or "amount" in lower or "qty" in lower or "quantity" in lower:
+        return True
+    # probe 1 ($ amount) can match digit-free text ("$," — [\d,]+ is
+    # satisfied by a bare comma), so it runs before the digit gate
+    if "$" in cleaned and _STRUCT_PROBES[1].search(cleaned):
+        return True
+    if _HAS_DIGIT.search(cleaned) is None:
+        return False  # probes 0 and 2 both need a digit
+    if ("/" in cleaned or "-" in cleaned) and _STRUCT_PROBES[0].search(cleaned):
+        return True
+    return _STRUCT_PROBES[2].search(cleaned) is not None
+
 
 def fix_encoding(text: str) -> str:
     """Apply the 15 literal replacements of T1 in reference order."""
@@ -120,7 +145,7 @@ def quality_metrics(original: str, cleaned: str) -> dict[str, Any]:
     lines = [l for l in cleaned.split("\n") if l.strip()]
     nlines = len(lines)
     avg_len = sum(len(l) for l in lines) / max(nlines, 1)
-    has_struct = any(p.search(cleaned) for p in _STRUCT_PROBES)
+    has_struct = _has_structured_data(cleaned)
     return {
         "original_length": olen,
         "cleaned_length": clen,

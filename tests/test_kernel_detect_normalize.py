@@ -47,7 +47,7 @@ def test_detector_pattern_math():
 
     # "$1,234.56" hits the $-amount pattern (1.5) AND `#\s*\d{4,}`? no.
     def ps(text, compiled):
-        return _pattern_score(text, text.lower(), compiled)
+        return _pattern_score(text, text.lower(), compiled, True)
 
     assert ps("$1,234.56", _INV_PAT) == pytest.approx(1.5)
     # 2 matches → w*(1+0.3); cap at 5 matches
@@ -313,7 +313,7 @@ def test_pattern_guards_are_pure_optimization():
 
     def unguarded(text, compiled):
         total = 0.0
-        for pat, w, _g in compiled:
+        for pat, w, _g, _nd in compiled:
             n = len(pat.findall(text)[:5])
             if n:
                 total += w * (1 + (n - 1) * 0.3)
@@ -325,8 +325,45 @@ def test_pattern_guards_are_pure_optimization():
         "jane@example.com linkedin.com/in/jane github.com/jane GPA: 3.9 2019-2023 B.S.",
         "no digits no symbols just plain words here",
         "",
+        # digit-free texts that still match digit-guarded-looking
+        # patterns' neighbours: '$,' satisfies [\d,]+ with no digit
+        "price tag $, and tax . here",
+        "usd , eur . total ,",
     ]
+    has_digit = __import__("re").compile(r"\d")
     for text in corpus:
         lower = text.lower()
+        hd = has_digit.search(text) is not None
         for compiled in (_INV_PAT, _RES_PAT):
-            assert _pattern_score(text, lower, compiled) == unguarded(text, compiled)
+            assert _pattern_score(text, lower, compiled, hd) == unguarded(text, compiled)
+
+
+def test_struct_probe_guards_are_pure_optimization():
+    """_has_structured_data must be boolean-equal to any(_STRUCT_PROBES)
+    on generated + adversarial corpora (guards are necessary
+    conditions, never semantic)."""
+    from engine.kernel.gen import make_turn
+    from engine.kernel.textclean import (
+        _STRUCT_PROBES,
+        _has_structured_data,
+        clean_text,
+    )
+
+    corpus = [clean_text(make_turn(f"s{c}", i)["text"])[0]
+              for c in range(40) for i in range(4)]
+    corpus += [
+        "",
+        "plain words only",
+        "$, alone",                   # probe 1 matches with zero digits
+        "$x then 12/31/2024",         # probe 0 via separator+digits
+        "ABC-123 code",               # probe 2
+        "qty",                        # keyword probe, substring form
+        "slash/only no digits",       # separator without digits
+        "digits 123 but no pattern",  # wait: AB12? no — '123' alone
+        "a1",                         # too short for probe 2
+        "Grand Total: due",
+    ]
+    for text in corpus:
+        assert _has_structured_data(text) == any(
+            bool(p.search(text)) for p in _STRUCT_PROBES
+        ), repr(text)
