@@ -62,7 +62,8 @@ def _materialize_inputs(spark, sf_dir: str, n_convs: int) -> str:
 
 
 def _run_extraction(
-    spark, sf_dir: str, n_convs: int, warm: bool = False, repeats: int = 1
+    spark, sf_dir: str, n_convs: int, warm: bool = False, repeats: int = 1,
+    repartition: bool = False,
 ) -> tuple[int, float]:
     """Returns (n_turns, best wall over `repeats` timed runs). Best-of-K
     because this sandbox is a shared host with CPU steal (identical
@@ -76,9 +77,13 @@ def _run_extraction(
     t = spark.read.parquet(path)
     # offset-only spans: identical information (content reconstructs
     # losslessly, parity-tested) without shipping a second copy of the
-    # cleaned text through Arrow — measured +53% at local[24]; the
-    # equality gate below certifies this exact path
-    kw = {"span_content": False}
+    # cleaned text through Arrow — measured +53% at local[24]. And for
+    # a stored parquet source the salting shuffle is skipped: the
+    # writer's file/row-group layout already bounds any task's share
+    # (run_extraction docstring; measured +11% at local[24]; the
+    # salted path is timed separately below and in the skew bench).
+    # The equality gate certifies this exact path.
+    kw = {"span_content": False, "repartition": repartition}
     if warm:
         # pay codegen/JIT before the timed window (steady state is the
         # metric; fixed compile cost would skew the N vs 4N comparison
@@ -147,10 +152,13 @@ def _equality_pass_rate(spark, path: str, sample_n: int = 2000) -> tuple[float, 
     )
     inputs = {(r.conv_id, r.turn_idx): r.text for r in sampled_rows}
     sample = spark.createDataFrame(sampled_rows, t.schema)
-    # gate the exact pipeline the timed run uses: narrow spans + native
-    # reconstruction must equal the kernel oracle byte-for-byte
+    # gate the exact pipeline the timed run uses: narrow spans +
+    # no-shuffle source splits + native reconstruction must equal the
+    # kernel oracle byte-for-byte
     got = with_span_content(
-        run_extraction(sample, num_partitions=32, span_content=False)
+        run_extraction(
+            sample, num_partitions=32, span_content=False, repartition=False
+        )
     ).select("conv_id", "turn_idx", "cleaned_text", "spans").collect()
     passes = 0
     for row in got:
@@ -197,7 +205,22 @@ BENCH_QUERY_NAMES = [
         "simsearch_ivf",
         "lang_id",
         "token_count",
+        "ats_full_score",
+        "hiring_recommendation",
+        "validate_invoice_fields",
 ]
+
+
+def _spin_probe() -> float:
+    """Fixed single-thread CPU loop (~1.0 s on a clean host): a
+    cheap, Spark-free measure of how much of this VM's CPU the shared
+    host is actually delivering at this moment. Recorded beside each
+    timed leg so a reader can tell engine regressions from host steal."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return time.perf_counter() - t0
 
 
 def _skew_bench(spark) -> dict:
@@ -258,9 +281,14 @@ def _skew_bench(spark) -> dict:
     n_total = t.count()
     p = spark.sparkContext.defaultParallelism * 4
     out: dict = {"turns": n_total, "mega_turns": 64000}
-    for mode in ("salted", "naive"):
+    for mode in ("salted", "filesplit", "naive"):
         if mode == "salted":
             run = lambda: run_extraction(t, num_partitions=p)
+        elif mode == "filesplit":
+            # stored-source no-shuffle path: the writer's file layout
+            # (here: the synth writers' own partitioning) bounds any
+            # task's share of the mega-thread
+            run = lambda: run_extraction(t, num_partitions=p, repartition=False)
         else:
             run = lambda: extract_turns(t.repartition(p, "conv_id"))
         run().agg(F.count("*")).collect()  # warm
@@ -310,11 +338,18 @@ def main() -> None:
         n_turns, extract_wall = _run_extraction(
             spark, sf_dir, n_convs, warm=True, repeats=3
         )
+        # salted-shuffle variant timed for transparency (the layout the
+        # checkpointed job always uses; headline is the stored-source
+        # no-shuffle path)
+        _, salted_wall = _run_extraction(
+            spark, sf_dir, n_convs, warm=True, repeats=2, repartition=True
+        )
         eq_rate, eq_n = _equality_pass_rate(
             spark, _materialize_inputs(spark, sf_dir, n_convs)
         )
         queries = _bench_queries(spark, sf_dir)
         queries["extract_pipeline"] = round(extract_wall, 3)
+        queries["extract_pipeline_salted"] = round(salted_wall, 3)
         spark.stop()
     turns_per_sec = n_turns / extract_wall
 
@@ -350,15 +385,29 @@ def main() -> None:
         n_hi = 4 * n_lo
         scale_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "60000"))
         scaling = {}
-        for c in (n_lo, n_hi):
+        # legs are INTERLEAVED (lo, hi, lo, hi) with best-of per level:
+        # host steal on this shared VM varies minute-to-minute, and a
+        # sequential pair attributes whatever window each leg drew to
+        # the parallelism level; interleaving + best-of decorrelates
+        # the ratio from the host. _spin_probe records the host state
+        # alongside each leg (~1.0 s when clean).
+        walls: dict[int, float] = {}
+        turns_by_c: dict[int, int] = {}
+        spins: dict[int, list] = {n_lo: [], n_hi: []}
+        for c in (n_lo, n_hi, n_lo, n_hi):
             s = get_spark(f"bench-scale-{c}", cpus=c, shuffle_partitions=max(c, 8))
+            spins[c].append(_spin_probe())
             n, wall = _run_extraction(s, sf_dir, scale_convs, warm=True, repeats=2)
-            scaling[f"local[{c}]"] = {
-                "turns": n,
-                "wall_s": round(wall, 2),
-                "turns_per_sec": round(n / wall, 1),
-            }
+            turns_by_c[c] = n
+            walls[c] = min(walls.get(c, wall), wall)
             s.stop()
+        for c in (n_lo, n_hi):
+            scaling[f"local[{c}]"] = {
+                "turns": turns_by_c[c],
+                "wall_s": round(walls[c], 2),
+                "turns_per_sec": round(turns_by_c[c] / walls[c], 1),
+                "host_spin_s": [round(x, 2) for x in spins[c]],
+            }
         eff = (
             scaling[f"local[{n_hi}]"]["turns_per_sec"]
             / scaling[f"local[{n_lo}]"]["turns_per_sec"]

@@ -74,21 +74,37 @@ def run_extraction(
     num_partitions: int | None = None,
     skew_block: int = SKEW_BLOCK,
     span_content: bool = True,
+    repartition: bool = True,
 ) -> "DataFrame":
     """Salted repartition → fused extraction stage → native post columns.
 
     span_content=False ships offset-only spans through Arrow/shuffle
     (the content duplicates cleaned_text byte-for-byte); recover the
-    full span structs losslessly with with_span_content()."""
+    full span structs losslessly with with_span_content().
+
+    repartition=False skips the salting shuffle and extracts on the
+    source's own splits — for stored columnar sources whose layout
+    already bounds task size (parquet row groups cap any one task's
+    share of a mega-thread at parquet.block.size, ~90k turns at 128 MB
+    with ~1.4 KB turns). Extraction is per-turn independent, so the
+    result is identical (equality-gated in bench); use the salted path
+    when the source layout is unknown/skewed (exploded inputs, tiny
+    row groups around one conversation) or when the job needs the
+    deterministic part_id layout for checkpoint lineage
+    (engine/spark/job.py always salts). part_id is still computed for
+    downstream rollups either way."""
     if num_partitions is None:
         # 4x task slots: pandas-UDF task durations vary with document
         # mix, so finer tasks keep all workers busy (measured: 2x left
         # ~15% of cores idle to stragglers at local[32])
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
-    salted = df.withColumn("part_id", part_expr(num_partitions, skew_block))
-    # repartition on the salt so one task never owns a whole mega-thread
-    salted = salted.repartition(num_partitions, "part_id")
-    extracted = extract_turns(salted.drop("part_id"), span_content=span_content)
+    if repartition:
+        salted = df.withColumn("part_id", part_expr(num_partitions, skew_block))
+        # repartition on the salt so one task never owns a whole mega-thread
+        salted = salted.repartition(num_partitions, "part_id")
+        extracted = extract_turns(salted.drop("part_id"), span_content=span_content)
+    else:
+        extracted = extract_turns(df, span_content=span_content)
     return with_native_post(
         extracted.withColumn("part_id", part_expr(num_partitions, skew_block))
     )
