@@ -46,8 +46,13 @@ def _materialize_inputs(spark, sf_dir: str, n_convs: int) -> str:
     # key by absolute sf_dir AND the generator's mtime: a same-basename
     # dir elsewhere or a changed generator must not silently reuse a
     # stale cached table
+    # layout v2: fixed file count independent of the writing session's
+    # parallelism — the no-shuffle extraction path parallelizes at scan
+    # granularity, so a table accidentally written as a handful of fat
+    # files would cap every later read at that many tasks
+    n_files = 64
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(_gen.__file__))}".encode()
+        f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(_gen.__file__))}|f{n_files}".encode()
     ).hexdigest()[:10]
     path = os.path.join(
         tempfile.gettempdir(),
@@ -57,7 +62,9 @@ def _materialize_inputs(spark, sf_dir: str, n_convs: int) -> str:
     if not os.path.exists(marker):
         synth = synthesize_transcripts(spark, n_convs, scale_turns=8)
         docs = transcripts_from_documents(spark, sf_dir)
-        synth.unionByName(docs).write.mode("overwrite").parquet(path)
+        synth.unionByName(docs).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 

@@ -98,6 +98,16 @@ def run_extraction(
         # mix, so finer tasks keep all workers busy (measured: 2x left
         # ~15% of cores idle to stragglers at local[32])
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
+    if not repartition:
+        # the no-shuffle path is only a win when the source layout can
+        # feed every slot: a scan cannot split below row-group
+        # granularity, so a table written as (say) 7 fat files caps the
+        # stage at 7 tasks no matter how many cores exist (measured:
+        # local[24] ran at local[6] speed on such a layout). Fall back
+        # to the salted shuffle when the scan is too coarse.
+        slots = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < slots:
+            repartition = True
     if repartition:
         salted = df.withColumn("part_id", part_expr(num_partitions, skew_block))
         # repartition on the salt so one task never owns a whole mega-thread

@@ -260,3 +260,28 @@ def test_metrics_summary_after_job(spark, transcripts, tmp_path_factory):
     assert row.n_partitions >= 1
     assert 0.0 <= row.empty_rate <= 1.0
     assert row.partition_skew_ratio >= 1.0
+
+
+def test_noshuffle_falls_back_on_coarse_layout(spark, tmp_path_factory):
+    """repartition=False must not let a fat-file source cap the stage:
+    a single-file table (1 scan split < slots) silently falls back to
+    the salted shuffle, and results equal the salted path either way."""
+    from engine.spark.pipeline import run_extraction
+    from engine.spark.transcripts import synthesize_transcripts
+
+    out = str(tmp_path_factory.mktemp("coarse")) + "/t"
+    synthesize_transcripts(spark, 40, 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+    t = spark.read.parquet(out)
+    assert t.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    res = run_extraction(t, num_partitions=8, repartition=False)
+    # fallback engaged: the stage runs over the salted repartition, so
+    # its parallelism is the requested partition count, not 1
+    assert res.rdd.getNumPartitions() == 8
+    a = {(r.conv_id, r.turn_idx): r.cleaned_text
+         for r in res.select("conv_id", "turn_idx", "cleaned_text").collect()}
+    b = {(r.conv_id, r.turn_idx): r.cleaned_text
+         for r in run_extraction(t, num_partitions=8)
+         .select("conv_id", "turn_idx", "cleaned_text").collect()}
+    assert a == b and len(a) > 0
