@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simsearch_bruteforce": A.simsearch_bruteforce,
         "simsearch_ivf": lambda s, d: A.simsearch_ivf(s, d, sign_dims=6),
+        # rows-only: the k-means codebook is data-dependent, so no SQL
+        # twin; recall vs brute force asserted in tests instead
+        "simsearch_ivf_centroids": A.simsearch_ivf_centroids,
         "lang_id": A.lang_id,
         "text_quality": A.text_quality,
         "token_count": A.token_count,

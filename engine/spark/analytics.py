@@ -322,6 +322,121 @@ def simsearch_ivf(
     )
 
 
+def _train_centroids(
+    embs: "DataFrame", n_centroids: int, sample: int, iters: int
+) -> list[list[float]]:
+    """Deterministic k-means-lite on a driver-side sample (train on
+    sample, broadcast the codebook — the standard IVF recipe; at
+    100 TB the sample comes from TABLESAMPLE, the codebook is still
+    tiny). Init = first n_centroids sample vectors (vec_id order, so
+    reruns are identical); fixed Lloyd iterations; empty clusters keep
+    their previous centroid."""
+    rows = embs.orderBy("vec_id").limit(sample).collect()
+    vecs = [list(r.v) for r in rows]
+    if len(vecs) < n_centroids:
+        n_centroids = max(1, len(vecs))
+    cents = [list(v) for v in vecs[:n_centroids]]
+    dim = len(cents[0])
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(n_centroids)]
+        counts = [0] * n_centroids
+        for v in vecs:
+            best, bd = 0, None
+            for ci, c in enumerate(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(v, c))
+                if bd is None or d < bd:
+                    best, bd = ci, d
+            counts[best] += 1
+            s = sums[best]
+            for i, a in enumerate(v):
+                s[i] += a
+        cents = [
+            [x / counts[ci] for x in sums[ci]] if counts[ci] else cents[ci]
+            for ci in range(n_centroids)
+        ]
+    return cents
+
+
+def _centroid_dists(centroids: list[list[float]]):
+    """Array<struct<d,cid>> of squared distances from column ``v`` to
+    each broadcast centroid — pure Catalyst (the centroids are plan
+    literals; struct comparison orders by distance then cid, so
+    array_min/array_sort give deterministic nearest-first)."""
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "v",
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(ci).alias("cid"),
+            )
+            for ci, c in enumerate(centroids)
+        ]
+    )
+
+
+def simsearch_ivf_centroids(
+    spark: "SparkSession",
+    sf_dir: str,
+    n_queries: int = 20,
+    k: int = 3,
+    n_centroids: int = 16,
+    probes: int = 2,
+    sample: int = 2048,
+    iters: int = 5,
+) -> "DataFrame":
+    """Standard centroid-quantizer IVF (the scale path real vector
+    stores use, vs the cheaper sign-bucket variant above): k-means
+    codebook trained on a driver-side sample, corpus assigned to its
+    nearest centroid with broadcast plan-literal arithmetic (one
+    map-only pass, no shuffle), queries probe their ``probes`` nearest
+    cells (explode → cell-equality join — candidates are cell-local,
+    never the cross product) and the cosine top-k runs per query.
+
+    Deterministic end-to-end (fixed sample order, init, iterations),
+    so results are reproducible; no SQL oracle (the codebook is data-
+    dependent) — recall vs brute force is asserted in tests instead
+    (≥ 0.9 on the clustered fixture)."""
+    embs = _vecs(spark, sf_dir)
+    cents = _train_centroids(embs, n_centroids, sample, iters)
+    dists = _centroid_dists(cents)
+    corpus = embs.select(
+        "vec_id", "v", F.array_min(dists)["cid"].alias("cell")
+    )
+    qcells = (
+        embs.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q"),
+            F.explode(
+                F.slice(
+                    F.transform(F.array_sort(dists), lambda s: s["cid"]),
+                    1,
+                    min(probes, len(cents)),
+                )
+            ).alias("cell"),
+        )
+    )
+    cands = corpus.join(F.broadcast(qcells), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = cands.select(
+        "query_id", "vec_id", F.round(_cosine(F.col("q"), F.col("v")), 5).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def dedup_embedding_cosine(
     spark: "SparkSession",
     sf_dir: str,

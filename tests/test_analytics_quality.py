@@ -210,6 +210,48 @@ def test_ivf_recall_on_clustered_embeddings(spark, tmp_path):
     assert recall >= 0.8, f"clustered recall@3 {recall:.2f}"
 
 
+def test_centroid_ivf_recall_and_determinism(spark, tmp_path):
+    """The k-means IVF must reach recall@3 ≥ 0.9 on clustered vectors
+    (its codebook should essentially recover the planted clusters) and
+    be bit-deterministic across invocations."""
+    import random
+
+    from engine.spark.analytics import (
+        simsearch_bruteforce,
+        simsearch_ivf_centroids,
+    )
+
+    rng = random.Random(13)
+    dim, n_clusters, per_cluster = 32, 30, 12
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_clusters * per_cluster):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.02) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "cent")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in simsearch_bruteforce(spark, out, n_queries=20, k=3).collect()
+    }
+    got1 = sorted(
+        tuple(r) for r in
+        simsearch_ivf_centroids(spark, out, n_queries=20, n_centroids=30).collect()
+    )
+    got2 = sorted(
+        tuple(r) for r in
+        simsearch_ivf_centroids(spark, out, n_queries=20, n_centroids=30).collect()
+    )
+    assert got1 == got2, "centroid IVF must be deterministic"
+    pairs = {(q, v) for q, v, _, _ in got1}
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.9, f"centroid recall@3 {recall:.2f}"
+
+
 def test_ivf_multiprobe_improves_recall(spark):
     """Multi-probe sign-bucket IVF must strictly improve recall@3 vs a
     single probe on the (deterministic) sf0.01 embeddings, measured
