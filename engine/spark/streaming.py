@@ -3,19 +3,30 @@
 The reference is strictly request/response, and the batch job covers
 the north rule; this module drops the SAME fused extraction stage into
 Structured Streaming for incremental arrival of transcript files:
-readStream over a directory of parquet transcript files →
-foreachBatch(extract + idempotent sink append). Each turn is processed
-independently, so no watermark/event-time window is semantically
-required; exactly-once comes from the checkpointLocation + idempotent
-per-(conv_id, turn_idx) sink.
+
+- ``stream_extract``: readStream over a directory of parquet
+  transcript files → foreachBatch(extract + idempotent sink append).
+  Each turn is processed independently, so no watermark/event-time
+  window is semantically required; exactly-once comes from the
+  checkpointLocation + idempotent per-(conv_id, turn_idx) sink.
+- ``stream_quality_drift``: the continuously-maintained variant of
+  monitor.quality_drift — a genuinely stateful streaming aggregation
+  (extraction stage as a stateless mapInPandas on the stream, then
+  watermark + event-time tumbling window). Late turns within the
+  watermark land in their correct window; a window is emitted exactly
+  once, when the watermark passes its end (append mode), so the sink
+  is an incrementally-growing, never-rewritten drift table.
 """
 
 from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
-from engine.spark.pipeline import run_extraction
+from pyspark.sql import functions as F
+
+from engine.spark.pipeline import run_extraction, with_native_post
 from engine.spark.schemas import TRANSCRIPT_SCHEMA
+from engine.spark.stage import extract_turns
 
 if TYPE_CHECKING:
     from pyspark.sql import SparkSession
@@ -47,6 +58,54 @@ def stream_extract(
 
     writer = (
         src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_quality_drift(
+    spark: "SparkSession",
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+) -> "StreamingQuery":
+    """Continuously-maintained per-window quality drift over the live
+    extraction output (watermarked event-time tumbling windows;
+    append mode emits each window once, after the watermark passes its
+    end). State per open window×bucket is a handful of sums — bounded
+    by watermark horizon, independent of stream length."""
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    extracted = with_native_post(extract_turns(src, span_content=False))
+    agg = (
+        extracted.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("quality_bucket"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.round(F.avg("quality_score"), 3).alias("avg_quality"),
+            F.round(F.avg(F.col("is_empty").cast("double")), 6).alias("empty_rate"),
+            F.sum("bytes_in").alias("bytes_in"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "quality_bucket", "n_turns", "avg_quality", "empty_rate",
+            "bytes_in",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{output_dir}/drift")
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -35,3 +35,62 @@ def test_iceberg_gate_reports_unavailable_in_sandbox(spark):
     # no iceberg runtime jar in this container: the gate must say so
     # (rather than exploding later inside DDL)
     assert iceberg_available(spark) is False
+
+
+def test_stream_quality_drift_watermark_late_data(spark, tmp_path_factory):
+    """Watermarked streaming drift: a late turn within the watermark
+    lands in its (already-open) window; the window emits exactly once,
+    after a later event pushes the watermark past its end."""
+    import datetime as dt
+
+    from engine.spark.streaming import stream_quality_drift
+
+    base = tmp_path_factory.mktemp("drift_stream")
+    in_dir = str(base / "in")
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    t0 = dt.datetime(2026, 1, 5, 12, 0, 0)
+
+    def rows(times, tag):
+        return [
+            (f"conv-{tag}-{i}", 0, "user",
+             f"turn {tag} {i} with enough words to clean and score fine",
+             None, ts)
+            for i, ts in enumerate(times)
+        ]
+
+    sch = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    # batch 1: five turns inside window [12:00, 12:10)
+    spark.createDataFrame(
+        rows([t0 + dt.timedelta(minutes=m) for m in (1, 2, 3, 4, 5)], "a"),
+        sch,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_quality_drift(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+    # watermark is still inside the window → nothing finalized yet
+    import glob
+    emitted = glob.glob(f"{out_dir}/drift/*.parquet")
+    n_emitted = (
+        spark.read.parquet(f"{out_dir}/drift").count() if emitted else 0
+    )
+    assert n_emitted == 0
+
+    # batch 2: one LATE turn (12:02, same window) + one far-future turn
+    # that advances the watermark past the first window's end
+    spark.createDataFrame(
+        rows([t0 + dt.timedelta(minutes=2)], "late")
+        + rows([t0 + dt.timedelta(hours=3)], "future"),
+        sch,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_quality_drift(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+
+    drift = spark.read.parquet(f"{out_dir}/drift").collect()
+    first = [r for r in drift if r.window_start == t0]
+    assert first, f"first window not emitted: {drift}"
+    # the late row was merged into the open window before it closed
+    assert sum(r.n_turns for r in first) == 6
+    # the future window is still open (watermark has not passed it)
+    assert all(r.window_start == t0 for r in drift)
