@@ -780,7 +780,7 @@ def oracle_sql() -> dict[str, str]:
             WITH words AS (
                 SELECT doc_id,
                        string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
-                FROM documents WHERE doc_id < 50
+                FROM documents WHERE doc_id < 200
             ), idx AS (
                 SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
                 FROM words WHERE len(w) >= 3

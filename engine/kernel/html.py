@@ -108,16 +108,18 @@ def _segment(html: str) -> list[_Block]:
     pieces.append((last_tag, html[pos:]))
 
     for boundary, fragment in pieces:
-        hint = 0
-        cm = _CLASS_ID.search(boundary)
-        token = (cm.group(1).lower() if cm else "") + " " + boundary.lower()
-        if any(b in token for b in _BAD_HINTS):
-            hint = -1
-        elif any(g in token for g in _GOOD_HINTS):
-            hint = 1
-        if boundary.lower().startswith(("</", "<br", "<hr")):
+        lb = boundary.lower()
+        if lb.startswith(("</", "<br", "<hr")):
             hint = hint_state  # closers/void tags inherit container hint
         else:
+            # hint scan only for openers (closers discard it anyway)
+            hint = 0
+            cm = _CLASS_ID.search(boundary)
+            token = (cm.group(1).lower() if cm else "") + " " + lb
+            if any(b in token for b in _BAD_HINTS):
+                hint = -1
+            elif any(g in token for g in _GOOD_HINTS):
+                hint = 1
             hint_state = hint
 
         # empty / whitespace-only inter-tag gaps (common between
@@ -126,10 +128,13 @@ def _segment(html: str) -> list[_Block]:
             continue
         text = " ".join(_visible_text(fragment).split())
         if text:
-            link_chars = sum(
-                len(_visible_text(a).strip())
-                for a in _ANCHOR_TEXT.findall(fragment)
-            )
+            if "<a" in fragment or "<A" in fragment:  # anchors need '<a'
+                link_chars = sum(
+                    len(_visible_text(a).strip())
+                    for a in _ANCHOR_TEXT.findall(fragment)
+                )
+            else:
+                link_chars = 0
             tag_count = sum(1 for _ in _ANY_TAG.finditer(fragment))
             blocks.append(_Block(text, link_chars, tag_count, hint))
     return blocks

@@ -104,7 +104,6 @@ def _split_columns(page_boxes: list[Box]) -> list[list[Box]]:
     """Detect a two-column layout via an x-projection whitespace gap."""
     if len(page_boxes) < 4:
         return [page_boxes]
-    xs = sorted((b.x0, b.x1) for b in page_boxes)
     # scan for the widest uncovered x interval strictly inside the content
     events = sorted(page_boxes, key=lambda b: b.x0)
     best_gap = 0.0

@@ -153,10 +153,12 @@ def dedup_simhash(spark: "SparkSession", sf_dir: str, max_hamming: int = 6) -> "
 
 
 def dedup_ngram_jaccard(
-    spark: "SparkSession", sf_dir: str, max_doc_id: int = 50, min_jaccard: float = 0.1
+    spark: "SparkSession", sf_dir: str, max_doc_id: int = 200, min_jaccard: float = 0.1
 ) -> "DataFrame":
     """Exact word-3-gram Jaccard over a bounded id range (the verify
-    stage of dedup; SQL-expressible → DuckDB oracle)."""
+    stage of dedup; SQL-expressible → DuckDB oracle). The id bound
+    covers the testdata's planted near-dup pairs (jaccard ≥ 0.95 at
+    sf0.01) so the oracle checks real positives, not an empty set."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < max_doc_id)
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))

@@ -100,13 +100,22 @@ def run_extraction(
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
     if not repartition:
         # the no-shuffle path is only a win when the source layout can
-        # feed every slot: a scan cannot split below row-group
-        # granularity, so a table written as (say) 7 fat files caps the
-        # stage at 7 tasks no matter how many cores exist (measured:
-        # local[24] ran at local[6] speed on such a layout). Fall back
-        # to the salted shuffle when the scan is too coarse.
+        # feed every slot: a scan cannot usefully split below row-group
+        # granularity, so a table written as (say) 7 fat single-row-
+        # group files caps the stage at 7 working tasks no matter how
+        # many cores exist (measured: local[24] ran at local[6] speed
+        # on such a layout — and rdd.getNumPartitions() over-reported
+        # 24 there, because byte-range splits that contain no row-group
+        # midpoint still count). File count is the reliable signal:
+        # fall back to the salted shuffle unless there are at least as
+        # many files as slots. Non-file sources report no input files
+        # and always take the salted path.
         slots = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < slots:
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:
+            n_files = 0
+        if n_files < slots:
             repartition = True
     if repartition:
         salted = df.withColumn("part_id", part_expr(num_partitions, skew_block))

@@ -33,8 +33,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # parquet scans: pruning + pushdown are on by default; keep split
-        # size moderate so local[N] gets enough input partitions
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # size small so many-small-file tables are not packed into fewer
+        # partitions than slots (openCost 4m + 64m bins merged a 64-file
+        # bench table down to 22 partitions; 16m bins keep ~1 file per
+        # partition at these file sizes). Production tunes this per job
+        # to executor-count × waves.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         # single-JVM local mode shares cores between the JVM and the N
