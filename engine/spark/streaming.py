@@ -66,6 +66,91 @@ def stream_extract(
     return writer.start()
 
 
+def stream_conversation_state(
+    spark: "SparkSession",
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> "StreamingQuery":
+    """Custom stateful operator (applyInPandasWithState): a per-
+    conversation running rollup maintained incrementally across
+    microbatches — the streaming twin of pipeline.conversation_rollup,
+    for conversations whose turns keep arriving forever. Built-in
+    windowed aggs can't express "latest cumulative row per key, one
+    output per batch the key appears in"; GroupState holds exactly
+    (n_turns, bytes_in, n_empty, tokens, max_quality) per live
+    conversation — O(live keys), not O(turns).
+
+    Each microbatch emits one updated row per conversation seen in it
+    (update semantics; the sink is an append log of state snapshots —
+    downstream reads the last snapshot per conv_id)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    extracted = extract_turns(src, span_content=False).select(
+        "conv_id", "bytes_in", "is_empty", "estimated_tokens", "quality_score"
+    )
+
+    STATE_SCHEMA = (
+        "n_turns long, bytes_in long, n_empty long, tokens long, max_q double"
+    )
+    OUT_SCHEMA = (
+        "conv_id string, n_turns long, bytes_in long, n_empty long, "
+        "tokens long, max_quality_score double"
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        n, b, e, tok, mq = (
+            state.get if state.exists else (0, 0, 0, 0, float("-inf"))
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            b += int(pdf["bytes_in"].sum())
+            e += int(pdf["is_empty"].sum())
+            tok += int(pdf["estimated_tokens"].sum())
+            if len(pdf):
+                mq = max(mq, float(pdf["quality_score"].max()))
+        state.update((n, b, e, tok, mq))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "bytes_in": [b],
+                "n_empty": [e],
+                "tokens": [tok],
+                "max_quality_score": [mq],
+            }
+        )
+
+    rolled = extracted.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    def sink(batch_df, batch_id: int) -> None:
+        # file sinks are append-only; the update stream lands as an
+        # append log of per-batch state snapshots
+        batch_df.write.mode("append").parquet(f"{output_dir}/conv_state")
+
+    writer = (
+        rolled.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_quality_drift(
     spark: "SparkSession",
     input_dir: str,

@@ -94,3 +94,50 @@ def test_stream_quality_drift_watermark_late_data(spark, tmp_path_factory):
     assert sum(r.n_turns for r in first) == 6
     # the future window is still open (watermark has not passed it)
     assert all(r.window_start == t0 for r in drift)
+
+
+def test_stream_conversation_state_accumulates(spark, tmp_path_factory):
+    """applyInPandasWithState: per-conversation rollup state must
+    persist across separate drains — a conversation whose turns arrive
+    in two batches ends with ONE cumulative total, and the final
+    snapshot equals the batch rollup over all its turns."""
+    from engine.spark.pipeline import conversation_rollup, run_extraction
+    from engine.spark.streaming import stream_conversation_state
+    from engine.spark.transcripts import synthesize_transcripts
+
+    base = tmp_path_factory.mktemp("conv_state")
+    in_dir = str(base / "in")
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    t = synthesize_transcripts(spark, 6, 4, parallelism=2)
+    # split each conversation's turns across two arrivals
+    first = t.filter(F.col("turn_idx") < 2)
+    second = t.filter(F.col("turn_idx") >= 2)
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_conversation_state(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_conversation_state(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+
+    # last snapshot per conversation == batch rollup over ALL turns
+    snaps = spark.read.parquet(f"{out_dir}/conv_state")
+    latest = {
+        r.conv_id: r
+        for r in snaps.orderBy("n_turns").collect()  # cumulative → max last
+    }
+    expected = {
+        r.conv_id: r
+        for r in conversation_rollup(run_extraction(t, num_partitions=4)).collect()
+    }
+    assert latest.keys() == expected.keys()
+    for cid, exp in expected.items():
+        got = latest[cid]
+        assert got.n_turns == exp.n_turns, cid
+        assert got.bytes_in == exp.bytes_in, cid
+        assert got.n_empty == exp.n_empty, cid
+        assert got.tokens == exp.tokens, cid
+        assert got.max_quality_score == exp.max_quality_score, cid
+    # both arrivals produced a snapshot: more rows than conversations
+    assert snaps.count() > len(expected)
