@@ -136,3 +136,45 @@ def test_classify_payload_total(s):
     from engine.kernel.transcript import classify_payload
 
     assert classify_payload(s) in ("plain", "html", "pdfbox")
+
+
+# guard-equivalence under fuzzing: the round-2 scan guards must be
+# pure optimizations for ANY input, not just the curated corpora in
+# test_kernel_detect_normalize. The alphabet is biased toward the
+# guard-relevant characters (digits, '$', separators, keyword letters).
+_guard_alphabet = st.sampled_from(
+    list("abcdefghijklmnopqrstuvwxyz QTYAMOUNT$#.,/-\n0123456789")
+    + ["total", "qty", "$,", "12/31/2024", "AB-12", "tax .", "INV", "@"]
+)
+guard_text = st.lists(_guard_alphabet, max_size=120).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(guard_text)
+def test_struct_probe_guard_equivalence_fuzz(s):
+    from engine.kernel.textclean import _STRUCT_PROBES, _has_structured_data
+
+    assert _has_structured_data(s) == any(
+        bool(p.search(s)) for p in _STRUCT_PROBES
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(guard_text)
+def test_pattern_guard_equivalence_fuzz(s):
+    import re
+
+    from engine.kernel.detector import _INV_PAT, _RES_PAT, _pattern_score
+
+    def unguarded(text, compiled):
+        total = 0.0
+        for pat, w, _g, _nd in compiled:
+            n = len(pat.findall(text)[:5])
+            if n:
+                total += w * (1 + (n - 1) * 0.3)
+        return total
+
+    lower = s.lower()
+    hd = re.search(r"\d", s) is not None
+    for compiled in (_INV_PAT, _RES_PAT):
+        assert _pattern_score(s, lower, compiled, hd) == unguarded(s, compiled)
