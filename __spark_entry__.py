@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ats_full_score": _ats.ats_full_score,
         "ats_suggestions": _ats.ats_suggestions,
         "hiring_recommendation": _ats.hiring_recommendation,
+        "candidate_fit_fallback": _ats.candidate_fit_fallback,
     }
 
 
@@ -407,6 +408,24 @@ def _ats_oracles() -> dict[str, str]:
     degree_case = "CASE CAST(doc_id % 6 AS INT) " + " ".join(
         f"WHEN {i} THEN '{d}'" for i, d in enumerate(A.DEGREE_POOL)
     ) + " END"
+    from engine.spark.relational import SKILL_VOCAB
+
+    nv = len(SKILL_VOCAB)
+    vocab_list = "[" + ", ".join(f"'{s}'" for s in SKILL_VOCAB) + "]"
+    fit_req_list = "[" + ", ".join(f"'{s}'" for s in A.FIT_REQUIRED_SKILLS) + "]"
+    matched_fit = (
+        f"len(list_intersect([list_extract({vocab_list}, CAST(doc_id % {nv} + 1 AS INT)), "
+        f"list_extract({vocab_list}, CAST((doc_id * 7 + 3) % {nv} + 1 AS INT))], "
+        f"{fit_req_list}))"
+    )
+    fit_score = (
+        "least(100, greatest(0, 50 "
+        f"+ (CASE WHEN (doc_id % 25) * 0.5 >= {A.JD_MIN_YEARS} THEN 15 "
+        f"        WHEN (doc_id % 25) * 0.5 >= {A.JD_MIN_YEARS * 0.7!r} THEN 5 "
+        "         ELSE -10 END) "
+        f"+ CAST(floor({matched_fit} / {len(A.FIT_REQUIRED_SKILLS)} * 20) AS INT) "
+        "- CAST(doc_id % 4 AS INT) * 5))"
+    )
     cand_level = "greatest(" + ", ".join(
         f"CASE WHEN contains(lower(degree), '{k}') THEN {v} ELSE 0 END"
         for k, v in DEGREE_LEVELS.items()
@@ -426,7 +445,9 @@ def _ats_oracles() -> dict[str, str]:
                    {degree_case} AS degree,
                    (doc_id % 3 != 0) AS has_summary,
                    (doc_id % 4 = 0) AS has_certifications,
-                   CAST((doc_id * 37 + 11) % 101 AS INT) AS fit_score,
+                   CAST({matched_fit} AS INT) AS fit_matched_required,
+                   CAST(doc_id % 4 AS INT) AS n_red_flags,
+                   CAST({fit_score} AS INT) AS fit_score,
                    (doc_id % 7 = 0) AS has_flags
             FROM documents),
         s AS (
@@ -513,6 +534,17 @@ def _ats_oracles() -> dict[str, str]:
         END
     """
     return {
+        "candidate_fit_fallback": base + """
+            SELECT doc_id, fit_matched_required, n_red_flags, fit_score,
+                   CASE WHEN fit_score >= 70 THEN 'good_fit'
+                        WHEN fit_score >= 50 THEN 'potential_fit'
+                        ELSE 'needs_review' END AS recommendation,
+                   CASE WHEN fit_score >= 70 THEN 'Candidate shows potential based on available data'
+                        WHEN fit_score >= 50 THEN 'Some gaps identified, further review recommended'
+                        ELSE 'Significant gaps, careful evaluation needed' END
+                       AS recommendation_text
+            FROM c
+        """,
         "ats_full_score": base + f"""
             SELECT doc_id, skills_match_score, keyword_match_score,
                    experience_match_score, education_match_score, ats_score,

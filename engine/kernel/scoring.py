@@ -254,6 +254,49 @@ def overall_candidate_score(ats_score: int, fit_score: int) -> int:
     return int(ats_score * 0.4 + fit_score * 0.6)
 
 
+def fit_fallback(
+    total_years: float,
+    min_years: float,
+    skills: list[str],
+    required_skills: list[str],
+    n_red_flags: int,
+) -> dict[str, Any]:
+    """Deterministic fit score + recommendation — the reference's
+    rule-based candidate-fit path (analyzer.py:506-559, the non-LLM
+    half of the fit analysis): base 50, experience-vs-minimum step
+    (+15 / +5 above 70% of min / −10), exact-lowercase required-skill
+    overlap ratio × 20 (truncated), −5 per red flag, clamped to
+    [0, 100]; recommendation good_fit ≥ 70 / potential_fit ≥ 50 /
+    needs_review."""
+    score = 50
+    years = total_years or 0
+    min_y = min_years or 0
+    if years >= min_y:
+        score += 15
+    elif years >= min_y * 0.7:
+        score += 5
+    else:
+        score -= 10
+    have = {s.lower() for s in (skills or [])}
+    req = {s.lower() for s in (required_skills or [])}
+    if req:
+        overlap = len(have & req) / len(req)
+        score += int(overlap * 20)
+    score -= n_red_flags * 5
+    score = max(0, min(100, score))
+    if score >= 70:
+        rec, text = "good_fit", "Candidate shows potential based on available data"
+    elif score >= 50:
+        rec, text = "potential_fit", "Some gaps identified, further review recommended"
+    else:
+        rec, text = "needs_review", "Significant gaps, careful evaluation needed"
+    return {
+        "fit_score": score,
+        "recommendation": rec,
+        "recommendation_text": text,
+    }
+
+
 def field_confidence(data: dict[str, Any], required_fields: list[str],
                      detection_confidence: float) -> dict[str, float]:
     """A4: presence-based field scores + 0.7/0.3 overall blend

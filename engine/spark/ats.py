@@ -52,6 +52,10 @@ JD_CERTS = (
     "AWS Certified Solutions Architect",
     "Certified Kubernetes Administrator",
 )
+# rule-based fit fallback (analyzer.py:506-559): required-skill set for
+# the exact-lowercase overlap term; resume skills reuse the J1 vocab
+# assignment (relational.SKILL_VOCAB picks per doc_id)
+FIT_REQUIRED_SKILLS = ("python", "java", "go", "sql")
 DEGREE_POOL = (
     "PhD in Computer Science",
     "Master of Science",
@@ -164,16 +168,53 @@ def _missing(lower_text: "Column", vocab: tuple[str, ...]) -> "Column":
     )
 
 
+def fit_fallback_score_expr(
+    years: "Column",
+    matched_fit: "Column",
+    n_red_flags: "Column",
+    min_years: float = JD_MIN_YEARS,
+    n_required: int = len(FIT_REQUIRED_SKILLS),
+) -> "Column":
+    """The reference's rule-based fit score (analyzer.py:514-537),
+    numerically identical to engine.kernel.scoring.fit_fallback:
+    base 50 + experience step (+15 / +5 above 70% of min / −10) +
+    ⌊overlap·20⌋ − 5·flags, clamped to [0, 100]."""
+    step = (
+        F.when(years >= min_years, F.lit(15))
+        .when(years >= min_years * 0.7, F.lit(5))
+        .otherwise(F.lit(-10))
+    )
+    overlap = F.floor(matched_fit / n_required * 20).cast("int")
+    raw = F.lit(50) + step + overlap - n_red_flags * 5
+    return F.greatest(F.lit(0), F.least(F.lit(100), raw)).cast("int")
+
+
 def with_candidate_attrs(docs: "DataFrame") -> "DataFrame":
     """Deterministic candidate attributes derived from (doc_id, text):
-    skill/keyword hits by containment, years/degree/summary/cert/fit
+    skill/keyword hits by containment; years/degree/summary/cert/flag
     stand-ins by doc_id arithmetic (each branch of the scoring rules is
-    exercised; DuckDB re-derives them identically)."""
+    exercised; DuckDB re-derives them identically). fit_score is the
+    reference's own rule-based fallback formula — the deterministic
+    half of the fit analysis (the LLM half is out of gate) — over the
+    J1 vocab skill assignment."""
+    from engine.spark.relational import SKILL_VOCAB
+
     lower = F.lower(F.col("text"))
     k = F.col("doc_id")
     degree = F.element_at(
         F.array(*[F.lit(d) for d in DEGREE_POOL]), (k % 6 + 1).cast("int")
     )
+    vocab = F.array(*[F.lit(s) for s in SKILL_VOCAB])
+    n = len(SKILL_VOCAB)
+    skills = F.array(
+        F.element_at(vocab, (k % n + 1).cast("int")),
+        F.element_at(vocab, ((k * 7 + 3) % n + 1).cast("int")),
+    )
+    matched_fit = F.size(
+        F.array_intersect(skills, F.array(*[F.lit(s) for s in FIT_REQUIRED_SKILLS]))
+    )
+    years = (k % 25) * 0.5
+    n_flags = (k % 4).cast("int")
     return docs.select(
         "doc_id",
         _hits(lower, REQUIRED_SKILLS).cast("int").alias("matched_required"),
@@ -182,14 +223,44 @@ def with_candidate_attrs(docs: "DataFrame") -> "DataFrame":
         _missing(lower, REQUIRED_SKILLS).alias("missing_required"),
         _missing(lower, PREFERRED_SKILLS).alias("missing_preferred"),
         _missing(lower, JD_KEYWORDS).alias("missing_keywords"),
-        ((k % 25) * 0.5).alias("resume_years"),
+        years.alias("resume_years"),
         F.when(degree == "", F.array().cast("array<string>"))
         .otherwise(F.array(degree))
         .alias("degrees"),
         (k % 3 != 0).alias("has_summary"),
         (k % 4 == 0).alias("has_certifications"),
-        ((k * 37 + 11) % 101).cast("int").alias("fit_score"),
+        skills.alias("fit_skills"),
+        matched_fit.cast("int").alias("fit_matched_required"),
+        n_flags.alias("n_red_flags"),
+        fit_fallback_score_expr(years, matched_fit, n_flags).alias("fit_score"),
         (k % 7 == 0).alias("has_critical_red_flags"),
+    )
+
+
+def candidate_fit_fallback(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The reference's deterministic fit path end-to-end (analyzer.py:
+    506-559): fit score, recommendation type and text per candidate —
+    map-only, fully oracled, kernel-parity-tested."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = with_candidate_attrs(docs)
+    s = F.col("fit_score")
+    rec = (
+        F.when(s >= 70, F.lit("good_fit"))
+        .when(s >= 50, F.lit("potential_fit"))
+        .otherwise(F.lit("needs_review"))
+    )
+    text = (
+        F.when(s >= 70, F.lit("Candidate shows potential based on available data"))
+        .when(s >= 50, F.lit("Some gaps identified, further review recommended"))
+        .otherwise(F.lit("Significant gaps, careful evaluation needed"))
+    )
+    return a.select(
+        "doc_id",
+        "fit_matched_required",
+        "n_red_flags",
+        "fit_score",
+        rec.alias("recommendation"),
+        text.alias("recommendation_text"),
     )
 
 

@@ -99,6 +99,24 @@ def test_overall_candidate_score_blend():
     assert overall_candidate_score(0, 0) == 0
 
 
+def test_fit_fallback_branches():
+    from engine.kernel.scoring import fit_fallback
+
+    # analyzer.py:506-559 branch coverage
+    r = fit_fallback(5, 3, ["Python", "go"], ["python", "java", "go", "sql"], 0)
+    assert r["fit_score"] == 50 + 15 + int(2 / 4 * 20)
+    assert r["recommendation"] == "good_fit"
+    assert fit_fallback(2.5, 3, [], ["x"], 0)["fit_score"] == 55   # ≥ 0.7·min
+    assert fit_fallback(0, 3, [], ["x"], 0)["fit_score"] == 40     # under
+    assert fit_fallback(0, 3, [], ["x"], 0)["recommendation"] == "needs_review"
+    assert fit_fallback(5, 3, [], [], 0)["fit_score"] == 65        # no req: no term
+    assert fit_fallback(5, 3, [], [], 0)["recommendation"] == "potential_fit"
+    assert fit_fallback(5, 3, [], [], 20)["fit_score"] == 0        # clamp floor
+    assert fit_fallback(5, 0, ["a"], ["a"], 0)["fit_score"] == 85
+    # years >= min when min is 0 → +15 branch
+    assert fit_fallback(0, 0, [], ["a"], 0)["fit_score"] == 65
+
+
 # ---------- native == kernel parity ----------
 
 @pytest.fixture(scope="module")
@@ -171,6 +189,24 @@ def test_ats_suggestions_match_kernel(spark, attrs_rows):
         )
         assert r.suggestions == "|".join(expected), doc_id
         assert r.n_suggestions == len(expected), doc_id
+
+
+def test_fit_fallback_matches_kernel(spark, attrs_rows):
+    from engine.kernel.scoring import fit_fallback
+    from engine.spark import ats as A
+
+    got = {r.doc_id: r for r in A.candidate_fit_fallback(spark, SF_DIR).collect()}
+    assert len(got) == len(attrs_rows)
+    for doc_id, r in got.items():
+        a = attrs_rows[doc_id]
+        k = fit_fallback(
+            a.resume_years, A.JD_MIN_YEARS, list(a.fit_skills),
+            list(A.FIT_REQUIRED_SKILLS), a.n_red_flags,
+        )
+        assert r.fit_score == k["fit_score"], doc_id
+        assert a.fit_score == k["fit_score"], doc_id  # attrs carry the same
+        assert r.recommendation == k["recommendation"], doc_id
+        assert r.recommendation_text == k["recommendation_text"], doc_id
 
 
 def test_hiring_recommendation_matches_kernel(spark, attrs_rows):
