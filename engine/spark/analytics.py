@@ -383,12 +383,22 @@ def _centroid_dists(centroids: list[list[float]]):
     )
 
 
+def adaptive_n_centroids(
+    n_vectors: int, target_cell_rows: int = 256, lo: int = 8, hi: int = 4096
+) -> int:
+    """Cell count that scales with the corpus (~target_cell_rows per
+    cell) so per-cell candidate scans stay bounded at any size — the
+    codebook is still only n_centroids × dim floats broadcast as plan
+    literals. Same handled-by-default contract as adaptive_sign_dims."""
+    return max(lo, min(hi, -(-max(n_vectors, 1) // target_cell_rows)))
+
+
 def simsearch_ivf_centroids(
     spark: "SparkSession",
     sf_dir: str,
     n_queries: int = 20,
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     probes: int = 2,
     sample: int = 2048,
     iters: int = 5,
@@ -404,8 +414,12 @@ def simsearch_ivf_centroids(
     Deterministic end-to-end (fixed sample order, init, iterations),
     so results are reproducible; no SQL oracle (the codebook is data-
     dependent) — recall vs brute force is asserted in tests instead
-    (≥ 0.9 on the clustered fixture)."""
+    (≥ 0.9 on the clustered fixture). n_centroids=None derives the
+    cell count from the corpus size (adaptive_n_centroids)."""
     embs = _vecs(spark, sf_dir)
+    if n_centroids is None:
+        n, _dim = _corpus_stats(embs)
+        n_centroids = adaptive_n_centroids(n)
     cents = _train_centroids(embs, n_centroids, sample, iters)
     dists = _centroid_dists(cents)
     corpus = embs.select(

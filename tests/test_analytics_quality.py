@@ -210,6 +210,19 @@ def test_ivf_recall_on_clustered_embeddings(spark, tmp_path):
     assert recall >= 0.8, f"clustered recall@3 {recall:.2f}"
 
 
+def test_adaptive_n_centroids_scales():
+    from engine.spark.analytics import adaptive_n_centroids
+
+    assert adaptive_n_centroids(100) == 8          # floor
+    assert adaptive_n_centroids(500) == 8
+    assert adaptive_n_centroids(2000) == 8
+    assert adaptive_n_centroids(100_000) == 391    # ~256 rows/cell
+    assert adaptive_n_centroids(10**9) == 4096     # cap
+    for n in (10, 10_000, 10**6):
+        c = adaptive_n_centroids(n)
+        assert 8 <= c <= 4096
+
+
 def test_centroid_ivf_recall_and_determinism(spark, tmp_path):
     """The k-means IVF must reach recall@3 ≥ 0.9 on clustered vectors
     (its codebook should essentially recover the planted clusters) and
