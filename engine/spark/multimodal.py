@@ -128,6 +128,67 @@ def extract_media_features(df: "DataFrame", decode_stub: bool = True) -> "DataFr
     return df.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, out_width int, out_height int, "
+    "payload binary, ok boolean"
+)
+
+
+def resize_images(
+    df: "DataFrame", out_w: int = 8, out_h: int = 8, decode_stub: bool = True
+) -> "DataFrame":
+    """Image resize over Arrow batches: nearest-neighbor resampling to
+    (out_w, out_h), emitting a re-headered payload. The resample math
+    (index arithmetic, output assembly) is real; only the pixel source
+    is the stub codec's view of the body bytes as a row-major w×h grid
+    (cyclic when the body is shorter). decode_stub=False is the same
+    plumbing with a real decoder wired in."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                b = bytes(payload)
+                if not decode_stub:
+                    _decode_real(b, kind)
+                ok = b[:4] == b"IMG1" and len(b) >= 12
+                if not ok:
+                    recs.append(
+                        {"media_id": int(media_id), "width": None,
+                         "height": None, "out_width": out_w,
+                         "out_height": out_h, "payload": b"", "ok": False}
+                    )
+                    continue
+                w, h = struct.unpack(">II", b[4:12])
+                body = b[12:] or b"\x00"
+                out = bytearray(b"IMG1" + struct.pack(">II", out_w, out_h))
+                for y in range(out_h):
+                    sy = (y * h) // out_h
+                    for x in range(out_w):
+                        sx = (x * w) // out_w
+                        out.append(body[(sy * w + sx) % len(body)])
+                recs.append(
+                    {"media_id": int(media_id), "width": int(w),
+                     "height": int(h), "out_width": out_w,
+                     "out_height": out_h, "payload": bytes(out), "ok": True}
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "width", "height", "out_width",
+                         "out_height", "payload", "ok"],
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
 def frame_sample(df: "DataFrame", every_n: int = 32) -> "DataFrame":
     """Frame-sampling plumbing: explode fixed-stride byte offsets per
     media row (native sequence/explode — the real variant would slice

@@ -58,3 +58,36 @@ def test_frame_sample_offsets(media):
     payload = bytes(media.filter("media_id = 0").collect()[0].payload)
     for r in one:
         assert r.sample_byte == payload[r.offset]
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """Resize plumbing: output header carries the target dims and the
+    bytes equal an independently-computed nearest-neighbor resample of
+    the stub codec's pixel view."""
+    import struct
+
+    from engine.spark.multimodal import make_media_table, resize_images
+
+    media = make_media_table(spark, n=8)
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in media.filter("kind = 'image'").collect()
+    }
+    out = {r.media_id: r for r in resize_images(media, out_w=4, out_h=3).collect()}
+    assert set(out) == set(payloads)
+    for mid, r in out.items():
+        src = payloads[mid]
+        w, h = struct.unpack(">II", src[4:12])
+        body = src[12:] or b"\x00"
+        expect = bytearray(b"IMG1" + struct.pack(">II", 4, 3))
+        for y in range(3):
+            sy = (y * h) // 3
+            for x in range(4):
+                sx = (x * w) // 4
+                expect.append(body[(sy * w + sx) % len(body)])
+        assert r.ok and r.width == w and r.height == h
+        assert bytes(r.payload) == bytes(expect), mid
+    # deterministic across invocations
+    again = {r.media_id: bytes(r.payload)
+             for r in resize_images(media, out_w=4, out_h=3).collect()}
+    assert again == {k: bytes(v.payload) for k, v in out.items()}
