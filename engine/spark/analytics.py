@@ -333,30 +333,26 @@ def _train_centroids(
     tiny). Init = first n_centroids sample vectors (vec_id order, so
     reruns are identical); fixed Lloyd iterations; empty clusters keep
     their previous centroid."""
+    import numpy as np
+
     rows = embs.orderBy("vec_id").limit(sample).collect()
-    vecs = [list(r.v) for r in rows]
+    vecs = np.array([r.v for r in rows], dtype=np.float64)
     if len(vecs) < n_centroids:
         n_centroids = max(1, len(vecs))
-    cents = [list(v) for v in vecs[:n_centroids]]
-    dim = len(cents[0])
+    cents = vecs[:n_centroids].copy()
     for _ in range(iters):
-        sums = [[0.0] * dim for _ in range(n_centroids)]
-        counts = [0] * n_centroids
-        for v in vecs:
-            best, bd = 0, None
-            for ci, c in enumerate(cents):
-                d = sum((a - b) * (a - b) for a, b in zip(v, c))
-                if bd is None or d < bd:
-                    best, bd = ci, d
-            counts[best] += 1
-            s = sums[best]
-            for i, a in enumerate(v):
-                s[i] += a
-        cents = [
-            [x / counts[ci] for x in sums[ci]] if counts[ci] else cents[ci]
-            for ci in range(n_centroids)
-        ]
-    return cents
+        # (sample, centroids) squared distances via ||v||² − 2v·c + ||c||²
+        d2 = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            - 2.0 * vecs @ cents.T
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for ci in range(n_centroids):
+            members = vecs[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
 
 
 def _centroid_dists(centroids: list[list[float]]):
