@@ -337,6 +337,12 @@ def main() -> None:
 
     scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
     eq_rate, eq_n = None, 0
+    # host-state evidence: spin probe before and after the timed work
+    # (~0.65 s when this shared-host VM is getting its CPU; see
+    # BENCH/BASELINE.md "Measurement discipline") so every recorded
+    # bench carries the context needed to tell engine changes from
+    # host steal
+    spin_before = _spin_probe()
     if scaling_only:
         n_turns, extract_wall, queries = 0, 1.0, {}
     else:
@@ -362,6 +368,7 @@ def main() -> None:
 
     result = {
         "metric": "extraction throughput (turns/sec), local[%d]" % cpus,
+        "host_spin_s": [round(spin_before, 2), round(_spin_probe(), 2)],
         "value": round(turns_per_sec, 1),
         "unit": "turns/sec",
         "queries": queries,
