@@ -600,9 +600,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   -- DECIMAL sums: exact + engine-identical rounding
+                   -- (double sums can straddle a .xx5 boundary)
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(avg(l_discount), 4) AS avg_disc,
                    count(*) AS count_order
@@ -644,7 +647,9 @@ def oracle_sql() -> dict[str, str]:
         "order_consistency": """
             WITH ls AS (
                 SELECT l_orderkey,
-                       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                                      * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE)
                            AS line_revenue
                 FROM lineitem GROUP BY l_orderkey)
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, line_revenue,
@@ -688,14 +693,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_type_shares": """
             SELECT p.p_brand, split_part(p.p_type, ' ', 1) AS type_class,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand, type_class
         """,
         "revenue_by_nation": """
             SELECT n.n_name,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey

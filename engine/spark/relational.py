@@ -24,17 +24,28 @@ def _t(spark: "SparkSession", sf_dir: str, name: str) -> "DataFrame":
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _dec(name: str):
+    """Money/rate column as exact DECIMAL(18,2): the parquet doubles
+    are 2-dp values, so the cast is lossless and every sum over them
+    is exact — double sums can land within 1e-9 of a .xx5 rounding
+    boundary and round differently per engine depending on
+    accumulation order (hit twice at sf0.1: order_consistency line
+    revenue). Decimal arithmetic makes round() deterministic and
+    engine-identical; final outputs cast back to double."""
+    return F.col(name).cast("decimal(18,2)")
+
+
 def q1_pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """TPC-H Q1 shape (A1/A6 batch roll-up analogue): grouped money math."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -103,9 +114,9 @@ def order_consistency(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     orders = _t(spark, sf_dir, "orders")
     line_sums = li.groupBy("l_orderkey").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))),
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")) * (1 + _dec("l_tax"))),
             2,
-        ).alias("line_revenue")
+        ).cast("double").alias("line_revenue")
     )
     j = orders.join(line_sums, orders.o_orderkey == line_sums.l_orderkey)
     return j.select(
@@ -180,7 +191,8 @@ def part_type_shares(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return j.groupBy("p_brand", "type_class").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+        .cast("double").alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -253,7 +265,8 @@ def revenue_by_nation(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
     )
     return j.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+        .cast("double").alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
