@@ -680,7 +680,7 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
                 FROM m)
             SELECT user_id, session_seq, count(*) AS n_events,
-                   round(sum(value), 4) AS session_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS session_value
             FROM s GROUP BY user_id, session_seq
         """,
         "event_props_json": """
@@ -886,7 +886,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority,
                    CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS INT) AS gid,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS revenue
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,

@@ -161,7 +161,7 @@ def sessionize_events(spark: "SparkSession", sf_dir: str, gap_minutes: int = 30)
     )
     return sessioned.withColumn("session_seq", F.col("session_seq").cast("long")).groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        F.round(F.sum(_dec("value")), 4).cast("double").alias("session_value"),
     )
 
 
@@ -378,7 +378,7 @@ def order_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().cast("int").alias("gid"),
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
     )
 
 
