@@ -606,8 +606,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
                    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                                   * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -631,7 +631,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o_totalprice >= 50000 THEN 'acceptable'
                         ELSE 'poor' END AS bucket,
                    count(*) AS n,
-                   round(avg(o_totalprice), 2) AS avg_price
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price
             FROM orders GROUP BY bucket
         """,
         "customers_without_orders": """

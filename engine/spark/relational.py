@@ -46,8 +46,16 @@ def q1_pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             F.round(
                 F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2
             ).cast("double").alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # exact-numerator averages: the 2-dp column sums exactly in
+            # decimal, so numerator/denominator (and the rounded
+            # quotient) are bit-identical across engines — avg() over
+            # raw doubles is accumulation-order-dependent
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -81,7 +89,12 @@ def score_distribution(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
     return (
         orders.groupBy(bucket.alias("bucket"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_price"),
+        )
     )
 
 
