@@ -1,0 +1,80 @@
+"""Dual-SF oracle cross-check (opt-in: SPARK_GRAFT_XSF=1).
+
+The driver's gate runs at sf0.01; re-running every oracled query at
+sf0.1 exercises different key ranges and accumulation depths, which is
+how the .xx5 FP-rounding divergence in order_consistency was caught
+(2 of 147k orders). Skipped by default to keep the main suite fast —
+run in final sweeps: SPARK_GRAFT_XSF=1 python -m pytest
+tests/test_entry_oracle_sf01.py -q
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_XSF") != "1",
+    reason="dual-SF sweep is opt-in (SPARK_GRAFT_XSF=1)",
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+# these two oracles read a per-turn parquet whose path is pinned to the
+# driver's sf0.01 run
+SF_PINNED = {"extract_conversation_rollup", "extract_quality_drift"}
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, int):
+        return int(v)
+    return str(v)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+ORACLED = sorted(
+    (set(entry_mod.oracle_sql()) & set(entry_mod.queries())) - SF_PINNED
+)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle_at_sf01(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    res = ddb.sql(entry_mod.oracle_sql()[name])
+    ocols = res.columns
+    orows = res.fetchall()
+    assert sorted(cols) == sorted(ocols), f"{name}: column names differ"
+    assert len(spark_rows) == len(orows), f"{name}: row count differs"
+    assert _normalize(spark_rows, cols) == _normalize(orows, ocols), name
