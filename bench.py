@@ -158,13 +158,20 @@ def _equality_pass_rate(spark, path: str, sample_n: int = 2000) -> tuple[float, 
         .collect()
     )
     inputs = {(r.conv_id, r.turn_idx): r.text for r in sampled_rows}
-    sample = spark.createDataFrame(sampled_rows, t.schema)
     # gate the exact pipeline the timed run uses: narrow spans +
     # no-shuffle source splits + native reconstruction must equal the
-    # kernel oracle byte-for-byte
+    # kernel oracle byte-for-byte. The sample is written to parquet
+    # with >= slots files first — a createDataFrame input has no file
+    # splits, so repartition=False would silently fall back to the
+    # salted branch and the gate would certify the wrong path.
+    sample_path = path.rstrip("/") + "_eqsample"
+    spark.createDataFrame(sampled_rows, t.schema).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(sample_path)
     got = with_span_content(
         run_extraction(
-            sample, num_partitions=32, span_content=False, repartition=False
+            spark.read.parquet(sample_path),
+            num_partitions=32, span_content=False, repartition=False,
         )
     ).select("conv_id", "turn_idx", "cleaned_text", "spans").collect()
     passes = 0
