@@ -285,3 +285,23 @@ def test_noshuffle_falls_back_on_coarse_layout(spark, tmp_path_factory):
          for r in run_extraction(t, num_partitions=8)
          .select("conv_id", "turn_idx", "cleaned_text").collect()}
     assert a == b and len(a) > 0
+
+
+def test_partitioned_sink_prunes_on_part_id(spark, transcripts, tmp_path_factory):
+    """The job's partitionBy('part_id') layout must give partition
+    pruning on reads: a part_id filter appears as PartitionFilters in
+    the scan (directory-level skip — at 100 TB a single-partition read
+    touches 1/N of the files, not a post-scan filter)."""
+    from engine.spark.job import run_checkpointed
+
+    out = str(tmp_path_factory.mktemp("prune_job"))
+    run_checkpointed(spark, transcripts, out, run_id="prune-1", num_partitions=8)
+    res = spark.read.parquet(f"{out}/results")
+    one = res.filter(F.col("part_id") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part_id" in plan or \
+           "PartitionFilters: [(part_id" in plan or \
+           ("PartitionFilters" in plan and "part_id" in plan.split("PartitionFilters")[1][:120]), plan[:800]
+    # and the filtered read returns exactly that partition's rows
+    assert one.count() == res.filter("part_id = 3").count()
+    assert one.select("part_id").distinct().collect()[0][0] == 3
