@@ -115,19 +115,27 @@ _RES_PAT = tuple(
 _HAS_DIGIT = re.compile(r"\d")
 
 
-def _keyword_score(lower_text: str, table) -> float:
+def _keyword_score(lower_text: str, table) -> tuple[float, list[str]]:
+    """(score, matched keywords in table order) — detector.py:264-291."""
     total = 0.0
+    matched: list[str] = []
     count = lower_text.count
     for kw, w in table:
         n = count(kw)
         if n:
             total += w + (w * 0.5 * min(n - 1, 3))
-    return total
+            matched.append(kw)
+    return total, matched
 
 
 def _pattern_score(text: str, lower_text: str, compiled,
-                   has_digit: bool) -> float:
+                   has_digit: bool) -> tuple[float, list[str]]:
+    """(score, first-match example per hit pattern, 50-char cap) —
+    detector.py:293-320. The guards never change which patterns hit
+    (pure necessary conditions, equivalence-tested), so the matched
+    list is guard-invariant too."""
     total = 0.0
+    matched: list[str] = []
     for pat, w, guards, needs_digit in compiled:
         if needs_digit and not has_digit:
             continue
@@ -136,33 +144,48 @@ def _pattern_score(text: str, lower_text: str, compiled,
         # the score caps at 5 matches (detector.py:314), so stop
         # scanning there — identical result, no full-document findall
         n = 0
-        for _ in pat.finditer(text):
+        first = None
+        for m in pat.finditer(text):
+            if n == 0:
+                first = m.group()[:50]
             n += 1
             if n == 5:
                 break
         if n:
             total += w * (1 + (n - 1) * 0.3)
-    return total
+            matched.append(first)
+    return total, matched
 
 
 def detect_document_type(text: str, min_confidence: float = 0.3) -> dict[str, Any]:
-    """Classify text as invoice/resume/unknown with confidence scores."""
+    """Classify text as invoice/resume/unknown with confidence scores
+    and the winner's matched keyword/pattern evidence (top 10 / top 5,
+    detector.py:250-256; empty for unknown)."""
     lower = text.lower()
     has_digit = _HAS_DIGIT.search(text) is not None
-    inv = _keyword_score(lower, INVOICE_KEYWORDS) * 0.6 + _pattern_score(text, lower, _INV_PAT, has_digit) * 0.4
-    res = _keyword_score(lower, RESUME_KEYWORDS) * 0.6 + _pattern_score(text, lower, _RES_PAT, has_digit) * 0.4
+    inv_kw, inv_kw_m = _keyword_score(lower, INVOICE_KEYWORDS)
+    res_kw, res_kw_m = _keyword_score(lower, RESUME_KEYWORDS)
+    inv_pat, inv_pat_m = _pattern_score(text, lower, _INV_PAT, has_digit)
+    res_pat, res_pat_m = _pattern_score(text, lower, _RES_PAT, has_digit)
+    inv = inv_kw * 0.6 + inv_pat * 0.4
+    res = res_kw * 0.6 + res_pat * 0.4
     inv_conf = min(1.0, inv / _MAX_POSSIBLE)
     res_conf = min(1.0, res / _MAX_POSSIBLE)
 
     if inv_conf >= res_conf and inv_conf >= min_confidence:
         doc_type, confidence = "invoice", inv_conf
+        kw_m, pat_m = inv_kw_m, inv_pat_m
     elif res_conf > inv_conf and res_conf >= min_confidence:
         doc_type, confidence = "resume", res_conf
+        kw_m, pat_m = res_kw_m, res_pat_m
     else:
         doc_type, confidence = "unknown", max(inv_conf, res_conf)
+        kw_m, pat_m = [], []
 
     return {
         "document_type": doc_type,
         "confidence": confidence,
         "scores": {"invoice": inv_conf, "resume": res_conf},
+        "matched_keywords": kw_m[:10],
+        "matched_patterns": pat_m[:5],
     }

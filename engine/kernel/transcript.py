@@ -88,6 +88,8 @@ def extract_turn(
         "detect_confidence": detection["confidence"],
         "score_invoice": detection["scores"]["invoice"],
         "score_resume": detection["scores"]["resume"],
+        "matched_keywords": detection["matched_keywords"],
+        "matched_patterns": detection["matched_patterns"],
         "original_length": metrics["original_length"],
         "cleaned_length": metrics["cleaned_length"],
         "reduction_ratio": metrics["reduction_ratio"],

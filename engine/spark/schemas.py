@@ -44,6 +44,9 @@ EXTRACTION_FIELDS = [
     T.StructField("detect_confidence", T.DoubleType(), False),
     T.StructField("score_invoice", T.DoubleType(), False),
     T.StructField("score_resume", T.DoubleType(), False),
+    # winner's detection evidence, top 10 / top 5 (detector.py:250-256)
+    T.StructField("matched_keywords", T.ArrayType(T.StringType()), False),
+    T.StructField("matched_patterns", T.ArrayType(T.StringType()), False),
     T.StructField("original_length", T.LongType(), False),
     T.StructField("cleaned_length", T.LongType(), False),
     T.StructField("reduction_ratio", T.DoubleType(), False),

@@ -34,12 +34,13 @@ def test_detector_keyword_math():
     from engine.kernel.detector import INVOICE_KEYWORDS, _keyword_score
 
     # 1 hit → w; 3 hits → w + .5w*min(2,3) = 2w; capped at count-1=3
-    assert _keyword_score("invoice", INVOICE_KEYWORDS) == pytest.approx(3.0)
-    assert _keyword_score("invoice invoice invoice", INVOICE_KEYWORDS) == pytest.approx(6.0)
-    assert _keyword_score(" ".join(["invoice"] * 10), INVOICE_KEYWORDS) == \
-        _keyword_score(" ".join(["invoice"] * 4), INVOICE_KEYWORDS)
+    assert _keyword_score("invoice", INVOICE_KEYWORDS)[0] == pytest.approx(3.0)
+    assert _keyword_score("invoice invoice invoice", INVOICE_KEYWORDS)[0] == pytest.approx(6.0)
+    assert _keyword_score(" ".join(["invoice"] * 10), INVOICE_KEYWORDS)[0] == \
+        _keyword_score(" ".join(["invoice"] * 4), INVOICE_KEYWORDS)[0]
     # note: "invoice" also substring-counts "invoice number" etc. only when present
-    assert _keyword_score("qty", INVOICE_KEYWORDS) == pytest.approx(1.0)
+    assert _keyword_score("qty", INVOICE_KEYWORDS)[0] == pytest.approx(1.0)
+    assert _keyword_score("invoice subtotal x", INVOICE_KEYWORDS)[1] == ["invoice", "subtotal"]
 
 
 def test_detector_pattern_math():
@@ -47,7 +48,7 @@ def test_detector_pattern_math():
 
     # "$1,234.56" hits the $-amount pattern (1.5) AND `#\s*\d{4,}`? no.
     def ps(text, compiled):
-        return _pattern_score(text, text.lower(), compiled, True)
+        return _pattern_score(text, text.lower(), compiled, True)[0]
 
     assert ps("$1,234.56", _INV_PAT) == pytest.approx(1.5)
     # 2 matches → w*(1+0.3); cap at 5 matches
@@ -313,11 +314,14 @@ def test_pattern_guards_are_pure_optimization():
 
     def unguarded(text, compiled):
         total = 0.0
+        matched = []
         for pat, w, _g, _nd in compiled:
-            n = len(pat.findall(text)[:5])
+            hits = pat.findall(text)
+            n = len(hits[:5])
             if n:
                 total += w * (1 + (n - 1) * 0.3)
-        return total
+                matched.append(hits[0][:50])
+        return total, matched
 
     corpus = [make_turn(f"g{c}", i)["text"] for c in range(40) for i in range(4)]
     corpus += [
@@ -367,3 +371,23 @@ def test_struct_probe_guards_are_pure_optimization():
         assert _has_structured_data(text) == any(
             bool(p.search(text)) for p in _STRUCT_PROBES
         ), repr(text)
+
+
+def test_detector_matched_evidence():
+    """detector.py:250-256: winner's matched keywords (top 10, table
+    order) + first-match pattern examples (top 5, 50-char cap);
+    unknown → empty lists."""
+    inv = detect_document_type(
+        "INVOICE\nInvoice Number: INV-2024-001\nBill To: X\nSubtotal: $10\n"
+        "Total Amount: $11\nTax: 8.5%\nDue Date: 2024-01-01"
+    )
+    assert inv["matched_keywords"][0] == "invoice"
+    assert "bill to" in inv["matched_keywords"]
+    assert len(inv["matched_keywords"]) <= 10
+    assert len(inv["matched_patterns"]) <= 5
+    # first pattern example is the leading invoice-number match
+    assert any(m.startswith("Invoice Number") or m.startswith("INVOICE")
+               for m in inv["matched_patterns"])
+    assert all(len(m) <= 50 for m in inv["matched_patterns"])
+    unk = detect_document_type("zzz")
+    assert unk["matched_keywords"] == [] and unk["matched_patterns"] == []

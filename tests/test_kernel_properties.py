@@ -168,11 +168,14 @@ def test_pattern_guard_equivalence_fuzz(s):
 
     def unguarded(text, compiled):
         total = 0.0
+        matched = []
         for pat, w, _g, _nd in compiled:
-            n = len(pat.findall(text)[:5])
+            hits = pat.findall(text)
+            n = len(hits[:5])
             if n:
                 total += w * (1 + (n - 1) * 0.3)
-        return total
+                matched.append(hits[0][:50])
+        return total, matched
 
     lower = s.lower()
     hd = re.search(r"\d", s) is not None
