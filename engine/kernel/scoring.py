@@ -56,6 +56,30 @@ def normalize_skill(skill: str) -> str:
     return skill.lower().strip().replace("-", " ").replace("_", " ")
 
 
+def harvest_skills(
+    skills: list[str],
+    technical_skills: list[str],
+    highlight_lists: list[list[str]],
+) -> list[str]:
+    """SO1 skill-set union (scorer.py:121-135): declared skills ∪
+    technical skills ∪ capitalized words harvested from experience
+    highlights (``\\b[A-Z][a-zA-Z+#]+\\b``), all normalized; returned
+    sorted for deterministic comparison (the reference keeps a set)."""
+    import re
+
+    out = set()
+    for s in (skills or []):
+        out.add(normalize_skill(s))
+    for s in (technical_skills or []):
+        out.add(normalize_skill(s))
+    for highlights in (highlight_lists or []):
+        for h in (highlights or []):
+            for word in re.findall(r"\b[A-Z][a-zA-Z+#]+\b", h):
+                if len(word) > 1:
+                    out.add(normalize_skill(word))
+    return sorted(out)
+
+
 def skill_variations(skill: str) -> set[str]:
     """All synonyms/variants of a skill (scorer.py:54-69)."""
     norm = normalize_skill(skill)

@@ -229,6 +229,50 @@ def candidate_analysis(resumes: "DataFrame") -> "DataFrame":
     )
 
 
+def _normalize_skill_expr(col) -> "F.Column":
+    """normalize_skill natively (scorer.py:49-51): lower → strip →
+    '-'/'_' → space, in exactly that order (a leading '-' therefore
+    leaves a leading space, like the reference)."""
+    return F.replace(
+        F.replace(F.trim(F.lower(col)), F.lit("-"), F.lit(" ")),
+        F.lit("_"), F.lit(" "),
+    )
+
+
+def harvest_resume_skills(resumes: "DataFrame") -> "DataFrame":
+    """SO1 skill-set union at table scale (scorer.py:121-135): declared
+    ``skills`` ∪ ``technical_skills`` ∪ capitalized-word harvest from
+    ``experience[*].highlights`` (regexp_extract_all of
+    \\b[A-Z][a-zA-Z+#]+\\b), all normalized + deduped — one map-only
+    pass with higher-order functions, no Python. Adds a sorted
+    ``all_skills`` column (sorted for deterministic comparison; the
+    reference keeps a set)."""
+    harvested = F.flatten(
+        F.transform(
+            F.col("experience"),
+            lambda e: F.flatten(
+                F.transform(
+                    F.coalesce(e["highlights"], F.array().cast("array<string>")),
+                    lambda h: F.regexp_extract_all(
+                        h, F.lit(r"\b[A-Z][a-zA-Z+#]+\b"), 0
+                    ),
+                )
+            ),
+        )
+    )
+    unioned = F.concat(
+        F.coalesce(F.col("skills"), F.array().cast("array<string>")),
+        F.coalesce(F.col("technical_skills"), F.array().cast("array<string>")),
+        harvested,
+    )
+    return resumes.withColumn(
+        "all_skills",
+        F.array_sort(
+            F.array_distinct(F.transform(unioned, _normalize_skill_expr))
+        ),
+    )
+
+
 def synonym_table(spark: "SparkSession") -> "DataFrame":
     """J1 synonym dimension: (variant → canonical) rows expanded from
     the kernel's table — the broadcast side of the skill join."""

@@ -270,3 +270,48 @@ def test_native_validation_score_matches_kernel(spark):
         assert got[i] == pytest.approx(
             overall_validation_score(fs, sev), abs=1e-9
         ), f"case {i}"
+
+
+def test_skill_harvest_kernel_golden():
+    from engine.kernel.scoring import harvest_skills
+
+    got = harvest_skills(
+        ["Python", "Machine-Learning"],
+        ["k8s", "  SQL  "],
+        [["Built ETL with Spark and Kafka", "led team"], ["Used C# and F#"]],
+    )
+    # declared skills normalized; capitalized words harvested from
+    # highlights. Reference quirk preserved: the trailing \b in
+    # \b[A-Z][a-zA-Z+#]+\b cannot follow '#', so 'C#'/'F#' are NOT
+    # harvested (scorer.py:131).
+    assert "python" in got and "machine learning" in got
+    assert "k8s" in got and "sql" in got
+    assert "spark" in got and "kafka" in got and "built" in got
+    assert "etl" in got and "used" in got
+    assert "c#" not in got and "f#" not in got
+    assert "led" not in got and "team" not in got  # lowercase: not harvested
+    assert got == sorted(set(got))
+
+
+def test_harvest_resume_skills_matches_kernel(spark):
+    from engine.kernel.scoring import harvest_skills
+    from engine.spark.validation import harvest_resume_skills
+
+    rows = [
+        (1, ["Python", "Go-Lang"], ["SQL"],
+         [(["Shipped Spark jobs", "tuned GC"], ), ((["Wrote C++ and C#"]), )]),
+        (2, [], None, [(["Plain lowercase only"], )]),
+        (3, None, ["TS_Node"], []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id int, skills array<string>, technical_skills array<string>, "
+        "experience array<struct<highlights: array<string>>>",
+    )
+    got = {r.id: list(r.all_skills) for r in harvest_resume_skills(df).collect()}
+    for rid, skills, tech, exp in rows:
+        expected = harvest_skills(
+            list(skills or []), list(tech or []),
+            [list(e[0] or []) for e in (exp or [])],
+        )
+        assert got[rid] == expected, rid
