@@ -405,6 +405,13 @@ def _ats_oracles() -> dict[str, str]:
         )
         return f"list_filter([{cases}], x -> x IS NOT NULL)"
 
+    def present(vocab):
+        cases = ", ".join(
+            f"CASE WHEN contains(lower(text), '{kw}') THEN '{kw}' END"
+            for kw in vocab
+        )
+        return f"list_filter([{cases}], x -> x IS NOT NULL)"
+
     degree_case = "CASE CAST(doc_id % 6 AS INT) " + " ".join(
         f"WHEN {i} THEN '{d}'" for i, d in enumerate(A.DEGREE_POOL)
     ) + " END"
@@ -441,6 +448,9 @@ def _ats_oracles() -> dict[str, str]:
                    {missing(A.REQUIRED_SKILLS)} AS missing_required,
                    {missing(A.PREFERRED_SKILLS)} AS missing_preferred,
                    {missing(A.JD_KEYWORDS)} AS missing_keywords,
+                   {present(A.REQUIRED_SKILLS)} AS matched_required_list,
+                   {present(A.PREFERRED_SKILLS)} AS matched_preferred_list,
+                   {present(A.JD_KEYWORDS)} AS matched_keywords_list,
                    (doc_id % 25) * 0.5 AS resume_years,
                    {degree_case} AS degree,
                    (doc_id % 3 != 0) AS has_summary,
@@ -548,7 +558,18 @@ def _ats_oracles() -> dict[str, str]:
         "ats_full_score": base + f"""
             SELECT doc_id, skills_match_score, keyword_match_score,
                    experience_match_score, education_match_score, ats_score,
-                   {summary} AS summary
+                   {summary} AS summary,
+                   coalesce(array_to_string(
+                       list_concat(matched_required_list, matched_preferred_list),
+                       ';'), '') AS matched_skills,
+                   coalesce(array_to_string(matched_keywords_list, ';'), '')
+                       AS matched_keywords,
+                   coalesce(array_to_string(missing_required, ';'), '')
+                       AS missing_required_skills,
+                   coalesce(array_to_string(missing_preferred, ';'), '')
+                       AS missing_preferred_skills,
+                   coalesce(array_to_string(missing_keywords[1:10], ';'), '')
+                       AS missing_keywords
             FROM t
         """,
         "ats_suggestions": base + f"""

@@ -167,6 +167,21 @@ def _missing(lower_text: "Column", vocab: tuple[str, ...]) -> "Column":
     )
 
 
+def _present(lower_text: "Column", vocab: tuple[str, ...]) -> "Column":
+    """Vocab terms present in the text, in vocab order."""
+    return F.filter(
+        F.array(
+            *[
+                F.when(F.instr(lower_text, kw) > 0, F.lit(kw)).otherwise(
+                    F.lit(None)
+                )
+                for kw in vocab
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
 def fit_fallback_score_expr(
     years: "Column",
     matched_fit: "Column",
@@ -222,6 +237,9 @@ def with_candidate_attrs(docs: "DataFrame") -> "DataFrame":
         _missing(lower, REQUIRED_SKILLS).alias("missing_required"),
         _missing(lower, PREFERRED_SKILLS).alias("missing_preferred"),
         _missing(lower, JD_KEYWORDS).alias("missing_keywords"),
+        _present(lower, REQUIRED_SKILLS).alias("matched_required_list"),
+        _present(lower, PREFERRED_SKILLS).alias("matched_preferred_list"),
+        _present(lower, JD_KEYWORDS).alias("matched_keywords_list"),
         years.alias("resume_years"),
         F.when(degree == "", F.array().cast("array<string>"))
         .otherwise(F.array(degree))
@@ -377,7 +395,12 @@ def suggestions_expr() -> "Column":
 
 def ats_full_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """A5 at table scale, fully oracled: all four sub-scores + blend +
-    summary per candidate. Map-only (single documents scan)."""
+    summary per candidate, plus the reference's result lists —
+    matched_skills (required then preferred, scorer.py:271),
+    missing required/preferred skills, matched keywords and the
+    top-10-capped missing keywords (scorer.py:269-274) — as sorted-free
+    ';' joins in the reference's vocab-append order. Map-only (single
+    documents scan)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = with_ats_scores(with_candidate_attrs(docs))
     return scored.select(
@@ -388,6 +411,18 @@ def ats_full_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         "education_match_score",
         "ats_score",
         summary_expr().alias("summary"),
+        F.concat_ws(
+            ";",
+            F.concat(
+                F.col("matched_required_list"), F.col("matched_preferred_list")
+            ),
+        ).alias("matched_skills"),
+        F.concat_ws(";", F.col("matched_keywords_list")).alias("matched_keywords"),
+        F.concat_ws(";", F.col("missing_required")).alias("missing_required_skills"),
+        F.concat_ws(";", F.col("missing_preferred")).alias("missing_preferred_skills"),
+        F.concat_ws(";", F.slice(F.col("missing_keywords"), 1, 10)).alias(
+            "missing_keywords"
+        ),
     )
 
 
