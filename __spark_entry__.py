@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact": A.dedup_exact,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
+        # pairs -> connected components -> keep/drop decision
+        "dedup_cluster_assign": A.dedup_cluster_assign,
         "dedup_minhash_lsh": A.dedup_minhash_lsh,   # rows-only (LSH)
         "dedup_simhash": A.dedup_simhash,           # rows-only (bit ops)
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
@@ -307,6 +309,33 @@ def _skill_match_oracle() -> str:
             FROM u)
         SELECT candidate_id, jd_skill, match_type FROM best WHERE rn = 1
     """
+
+
+_NGRAM_JACCARD_SQL = r"""
+            WITH words AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+                FROM documents WHERE doc_id < 200
+            ), idx AS (
+                SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                FROM words WHERE len(w) >= 3
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM idx
+            ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icount
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(icount / (na.n + nb.n - icount), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE round(icount / (na.n + nb.n - icount), 6) >= 0.1
+        """
 
 
 def _invoice_fields_oracle() -> str:
@@ -836,31 +865,24 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id
             FROM documents GROUP BY md5(text)
         """,
-        "dedup_ngram_jaccard": r"""
-            WITH words AS (
-                SELECT doc_id,
-                       string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
-                FROM documents WHERE doc_id < 200
-            ), idx AS (
-                SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-                FROM words WHERE len(w) >= 3
-            ), sh AS (
-                SELECT DISTINCT doc_id,
-                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                FROM idx
-            ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icount
-                FROM sh a JOIN sh b
-                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id)
-            SELECT doc_a, doc_b,
-                   round(icount / (na.n + nb.n - icount), 6) AS jaccard
-            FROM inter
-            JOIN sizes na ON na.doc_id = doc_a
-            JOIN sizes nb ON nb.doc_id = doc_b
-            WHERE round(icount / (na.n + nb.n - icount), 6) >= 0.1
-        """,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # connected components over the jaccard pairs: recursive-CTE
+        # transitive closure labels each node with the min reachable id
+        "dedup_cluster_assign": """
+            WITH RECURSIVE j AS (__PAIRS__),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM j
+                UNION SELECT doc_b, doc_a FROM j),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id,
+                   (node = min(r)) AS is_keeper
+            FROM reach GROUP BY node
+        """.replace("__PAIRS__", _NGRAM_JACCARD_SQL),
         "skill_match_tiers": _skill_match_oracle(),
         "validate_invoice_fields": _invoice_fields_oracle(),
         **_ats_oracles(),

@@ -180,6 +180,77 @@ def dedup_ngram_jaccard(
     )
 
 
+def dedup_clusters(
+    pairs: "DataFrame",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> "DataFrame":
+    """Connected components over near-duplicate PAIRS → cluster ids:
+    the step that turns any of the pair-producing dedup operators into
+    an actual keep/drop decision (cluster id = min doc id in the
+    component; keeper = the id itself).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds — near-dup components are shallow
+    (dups of a common source), so a handful of join+groupBy rounds.
+    Each round is one shuffle on the node id; lineage is cut with
+    localCheckpoint so the plan doesn't grow with iterations (the
+    standard Spark iterative-algorithm pattern). Fixpoint is detected
+    with a count action per round — driver-side control flow over
+    distributed rounds, not a driver-side algorithm."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def dedup_cluster_assign(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Cluster assignment over the (fully SQL-expressible) n-gram
+    Jaccard pairs, so the whole chain pairs → components → keepers has
+    a DuckDB oracle (recursive-CTE transitive closure)."""
+    return dedup_clusters(dedup_ngram_jaccard(spark, sf_dir))
+
+
 # ------------------------------------------------------- similarity search
 
 def _cosine(a, b):

@@ -285,3 +285,41 @@ def test_ivf_multiprobe_improves_recall(spark):
         for r in simsearch_ivf(spark, sf, sign_dims=6, probes=2).collect()
     }
     assert len(two & truth) > len(one & truth)
+
+
+def test_dedup_clusters_chain_merge(spark):
+    """Label propagation must merge transitive chains into one
+    component labeled by its minimum id, handle disjoint components,
+    and mark exactly one keeper per cluster."""
+    from engine.spark.analytics import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (given out of order), island 7-9, singleton edge 20-21
+        [(2, 3), (1, 2), (3, 4), (9, 7), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: (r.cluster_id, r.is_keeper)
+           for r in dedup_clusters(pairs).collect()}
+    assert {got[i][0] for i in (1, 2, 3, 4)} == {1}
+    assert got[7][0] == 7 and got[9][0] == 7
+    assert got[20][0] == 20 and got[21][0] == 20
+    keepers = [d for d, (c, k) in got.items() if k]
+    assert sorted(keepers) == [1, 7, 20]
+    # deterministic across invocations
+    again = {r.doc_id: (r.cluster_id, r.is_keeper)
+             for r in dedup_clusters(pairs).collect()}
+    assert again == got
+
+
+def test_dedup_clusters_deep_chain_converges(spark):
+    from engine.spark.analytics import dedup_clusters
+
+    # a 30-node path graph: diameter 29 > default iterations would fail
+    # a naive 1-round approach; label propagation needs ~diameter
+    # rounds, so give it enough
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    got = dedup_clusters(pairs, max_iterations=40).collect()
+    assert {r.cluster_id for r in got} == {0}
+    assert sum(r.is_keeper for r in got) == 1
