@@ -934,7 +934,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "dedup_embedding_cosine": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u FROM embeddings),
+                 e AS (SELECT vec_id,
+                              list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS v
+                       FROM e0 WHERE list_dot_product(u, u) > 0),
                  b0 AS (SELECT vec_id, v,
                               (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
                             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
@@ -960,21 +963,21 @@ def oracle_sql() -> dict[str, str]:
                      FROM b1 a JOIN b1 c
                        ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
                  sims AS (
+                     -- unit vectors (normalized once in CTE e): cosine = dot
                      SELECT vec_a, vec_b,
-                            round(list_dot_product(va, vb)
-                                  / NULLIF(sqrt(list_dot_product(va, va))
-                                           * sqrt(list_dot_product(vb, vb)), 0), 5) AS cosine
+                            round(list_dot_product(va, vb), 5) AS cosine
                      FROM cand)
             SELECT vec_a, vec_b, cosine FROM sims WHERE cosine >= 0.35
         """,
         "simsearch_bruteforce": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u FROM embeddings),
+                 e AS (SELECT vec_id,
+                              list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS v
+                       FROM e0 WHERE list_dot_product(u, u) > 0),
                  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
                  sims AS (
                      SELECT q.query_id, e.vec_id,
-                            round(list_dot_product(q.qv, e.v)
-                                  / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
-                                           * sqrt(list_dot_product(e.v, e.v)), 0), 5) AS cosine
+                            round(list_dot_product(q.qv, e.v), 5) AS cosine
                      FROM e, q WHERE e.vec_id != q.query_id),
                  r AS (SELECT query_id, vec_id, cosine,
                               CAST(row_number() OVER (
@@ -984,7 +987,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
         """,
         "simsearch_ivf": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u FROM embeddings),
+                 e AS (SELECT vec_id,
+                              list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS v
+                       FROM e0 WHERE list_dot_product(u, u) > 0),
                  b0 AS (SELECT vec_id, v,
                               (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
                             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
@@ -1015,9 +1021,7 @@ def oracle_sql() -> dict[str, str]:
                      WHERE b1.vec_id != q1.query_id),
                  sims AS (
                      SELECT query_id, vec_id,
-                            round(list_dot_product(qv, v)
-                                  / NULLIF(sqrt(list_dot_product(qv, qv))
-                                           * sqrt(list_dot_product(v, v)), 0), 5) AS cosine
+                            round(list_dot_product(qv, v), 5) AS cosine
                      FROM cand),
                  r AS (SELECT query_id, vec_id, cosine,
                               CAST(row_number() OVER (

@@ -253,19 +253,32 @@ def dedup_cluster_assign(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 # ------------------------------------------------------- similarity search
 
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+
+
 def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
-    # try_divide: an all-zero vector (failed-embedding sentinel) yields a
-    # null cosine — dropped by every threshold/top-k consumer — instead of
-    # DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
-    return F.try_divide(dot, na * nb)
+    """Cosine of two UNIT vectors (see _vecs): just the dot product.
+    Vectors are normalized ONCE per row at scan time instead of
+    recomputing both norms inside every candidate pair — 3× less
+    per-pair arithmetic in the bucket self-joins, which is where the
+    100 TB cost lives. A zero-norm vector (failed-embedding sentinel)
+    normalizes to all-null (try_divide), so its cosine is null and
+    every threshold/top-k consumer drops it — same contract as
+    before."""
+    return _dot(a, b)
 
 
 def _vecs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    return _embs(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    raw = _embs(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("u")
+    )
+    norm = F.sqrt(F.aggregate("u", F.lit(0.0), lambda s, v: s + v * v))
+    return raw.select(
+        "vec_id",
+        F.transform("u", lambda x: F.try_divide(x, norm)).alias("v"),
     )
 
 
@@ -332,7 +345,7 @@ def simsearch_bruteforce(
         "query_id",
         "vec_id",
         F.round(_cosine(F.col("q"), F.col("v")), 5).alias("cosine"),
-    )
+    ).filter(F.col("cosine").isNotNull())  # zero-norm candidates excluded
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         sims.withColumn("rnk", F.row_number().over(w))
@@ -386,7 +399,7 @@ def simsearch_ivf(
     cands = cands.dropDuplicates(["query_id", "vec_id"])
     sims = cands.select(
         "query_id", "vec_id", F.round(_cosine(F.col("q"), F.col("v")), 5).alias("cosine")
-    )
+    ).filter(F.col("cosine").isNotNull())  # zero-norm candidates excluded
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         sims.withColumn("rnk", F.row_number().over(w))
@@ -511,7 +524,7 @@ def simsearch_ivf_centroids(
     )
     sims = cands.select(
         "query_id", "vec_id", F.round(_cosine(F.col("q"), F.col("v")), 5).alias("cosine")
-    )
+    ).filter(F.col("cosine").isNotNull())  # zero-norm candidates excluded
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         sims.withColumn("rnk", F.row_number().over(w))
