@@ -188,8 +188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact": A.dedup_exact,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
-        # pairs -> connected components -> keep/drop decision
+        # pairs -> connected components -> keep/drop decision -> applied
         "dedup_cluster_assign": A.dedup_cluster_assign,
+        "dedup_apply": A.dedup_apply,
         "dedup_minhash_lsh": A.dedup_minhash_lsh,   # rows-only (LSH)
         "dedup_simhash": A.dedup_simhash,           # rows-only (bit ops)
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
@@ -866,6 +867,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # corpus minus exact-group and near-dup-component non-keepers
+        "dedup_apply": """
+            WITH RECURSIVE j AS (__PAIRS__),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM j
+                UNION SELECT doc_b, doc_a FROM j),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            near_drop AS (
+                SELECT node AS doc_id FROM reach GROUP BY node
+                HAVING node != min(r)),
+            exact_drop AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                    FROM documents)
+                WHERE doc_id != keep_id)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM near_drop
+                                 UNION SELECT doc_id FROM exact_drop)
+        """.replace("__PAIRS__", _NGRAM_JACCARD_SQL),
         # connected components over the jaccard pairs: recursive-CTE
         # transitive closure labels each node with the min reachable id
         "dedup_cluster_assign": """

@@ -251,6 +251,31 @@ def dedup_cluster_assign(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return dedup_clusters(dedup_ngram_jaccard(spark, sf_dir))
 
 
+def dedup_apply(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The end of the dedup pipeline: the corpus with duplicates
+    DROPPED. Non-keepers come from exact content groups (every id but
+    the group minimum) and from near-dup components (cluster
+    non-keepers over the jaccard pairs); the corpus anti-joins the
+    union. Emits the surviving doc ids — at scale this is the
+    keep-list write that every downstream training job reads."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    exact = (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.collect_list("doc_id").alias("ids"))
+        .select(F.explode("ids").alias("doc_id"), "keep_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    near = (
+        dedup_cluster_assign(spark, sf_dir)
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
+    )
+    drop = exact.unionByName(near).distinct()
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 # ------------------------------------------------------- similarity search
 
 def _dot(a, b):
