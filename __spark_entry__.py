@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: the k-means codebook is data-dependent, so no SQL
         # twin; recall vs brute force asserted in tests instead
         "simsearch_ivf_centroids": A.simsearch_ivf_centroids,
+        "pack_sequences": A.pack_sequences,
         "lang_id": A.lang_id,
         "text_quality": A.text_quality,
         "token_count": A.token_count,
@@ -1079,6 +1080,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text,
                          regexp_replace(text, '[A-Za-z0-9]+', chr(1), 'g') AS m
                   FROM documents)
+        """,
+        "pack_sequences": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(doc_id % 16 AS INT) AS shard,
+                       greatest(1, CAST(floor(length(text) / 4) AS BIGINT)) AS est_tokens
+                FROM documents),
+            c AS (
+                SELECT *,
+                       CAST(sum(est_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM d)
+            SELECT doc_id, shard, est_tokens,
+                   cum - est_tokens AS start_tok,
+                   CAST(floor((cum - est_tokens) / 4096) AS BIGINT) AS bin
+            FROM c
         """,
         "fingerprint": r"""
             SELECT doc_id,

@@ -604,6 +604,44 @@ def dedup_embedding_cosine(
     return sims.filter(F.col("cosine") >= threshold)
 
 
+def pack_sequences(
+    spark: "SparkSession", sf_dir: str, seq_len: int = 4096, n_shards: int = 16
+) -> "DataFrame":
+    """Training-sequence packing: documents are concatenated in a
+    deterministic order and split into fixed-``seq_len``-token bins —
+    the layout an LLM pretraining loader consumes. Each document gets
+    its shard, its token start offset within the shard's stream, and
+    the bin its first token lands in (concat packing: a document may
+    straddle bins; the loader slices at bin boundaries).
+
+    Scale shape: the running-offset window partitions by shard (hash
+    at 100 TB; doc_id % n here for oracle determinism) — no global
+    sort, shards are independent, and adding shards is how the packing
+    stage scales out. Token counts are the T7 estimator over raw text
+    (chars/4, floor 1) so the whole operator is one scan + one
+    per-shard window."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+        F.greatest(F.lit(1), F.floor(F.length("text") / 4))
+        .cast("long").alias("est_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("est_tokens").over(w)
+    start = (cum - F.col("est_tokens")).alias("start_tok")
+    return docs.select(
+        "doc_id",
+        "shard",
+        "est_tokens",
+        start,
+        F.floor((cum - F.col("est_tokens")) / seq_len).cast("long").alias("bin"),
+    )
+
+
 # ----------------------------------------------------------- text analysis
 
 _LANG_MARKERS = {

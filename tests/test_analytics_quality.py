@@ -323,3 +323,24 @@ def test_dedup_clusters_deep_chain_converges(spark):
     got = dedup_clusters(pairs, max_iterations=40).collect()
     assert {r.cluster_id for r in got} == {0}
     assert sum(r.is_keeper for r in got) == 1
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: within a shard, offsets are the exclusive
+    running sum in doc_id order (contiguous concat stream, no gaps or
+    overlaps) and a document's bin is its start offset / seq_len."""
+    from engine.spark.analytics import pack_sequences
+
+    rows = pack_sequences(spark, "/root/testdata/sf0.001", seq_len=512).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 16
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in docs:
+            assert r.start_tok == expect, (shard, r.doc_id)
+            assert r.bin == r.start_tok // 512
+            assert r.est_tokens >= 1
+            expect += r.est_tokens
