@@ -53,12 +53,16 @@ def _ex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _per_turn_path(sf_dir: str) -> str:
+    # keyed by pid so concurrent sessions (bench + pytest) can't
+    # overwrite the parquet while the other's DuckDB oracle reads it;
+    # queries() and oracle_sql() run in one process, so both sides of a
+    # comparison always derive the same path
     import os
     import tempfile
 
     return os.path.join(
         tempfile.gettempdir(),
-        f"entry_per_turn_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"entry_per_turn_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
 
 
@@ -191,8 +195,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairs -> connected components -> keep/drop decision -> applied
         "dedup_cluster_assign": A.dedup_cluster_assign,
         "dedup_apply": A.dedup_apply,
-        "dedup_minhash_lsh": A.dedup_minhash_lsh,   # rows-only (LSH)
-        "dedup_simhash": A.dedup_simhash,           # rows-only (bit ops)
+        # fully oracled since the portable md5 double-hash (DuckDB
+        # computes bit-identical signatures/simhashes)
+        "dedup_minhash_lsh": A.dedup_minhash_lsh,
+        # band_bits pinned to 10 (6 bands) for the static oracle SQL;
+        # the production default is adaptive (corpus-sized keyspace)
+        "dedup_simhash": lambda s, d: A.dedup_simhash(s, d, band_bits=10),
+        # the production composition: LSH candidates -> exact jaccard
+        # verified on candidates only -> components -> anti-join
+        "dedup_lsh_verified": A.lsh_verified_pairs,
+        "dedup_apply_lsh": A.dedup_apply_lsh,
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
         # sign arithmetic; the functions' production default is adaptive
         # (corpus-sized keyspace, engine/spark/analytics.py)
@@ -217,6 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_invoice_fields": validate_invoice_fields,
         "validate_invoice_extracted": validate_invoice_extracted,
         "doc_token_estimate": doc_token_estimate,
+        # deterministic CareerProgression (the last reference response
+        # field; analyzer.py:443-470, native over the experience array)
+        "career_progression": _career_progression,
         # full ATS lifecycle (A5 complete + suggestion/summary/
         # recommendation generators, all native; engine/spark/ats.py)
         "ats_full_score": _ats.ats_full_score,
@@ -247,6 +262,12 @@ def _lang_scores() -> str:
         "(" + " + ".join(_hits(w) for w in words) + f") AS s_{lang}"
         for lang, words in _LANGS.items()
     )
+
+
+def _career_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.spark.validation import career_progression_table
+
+    return career_progression_table(spark, sf_dir)
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +332,248 @@ def _skill_match_oracle() -> str:
             FROM u)
         SELECT candidate_id, jd_skill, match_type FROM best WHERE rn = 1
     """
+
+
+def _shingle_ctes(where: str = "") -> str:
+    """Shared DuckDB CTE chain: distinct word-3-gram shingles per doc
+    (identical tokenization to engine.spark.analytics._shingles)."""
+    return rf"""
+        words AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+            FROM documents {where}
+        ), idx AS (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM words WHERE len(w) >= 3
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM idx
+        )"""
+
+
+def _bucket_pair_ctes(src: str, payload: str, max_bucket_docs: int) -> str:
+    """DuckDB twin of analytics._bucketed_pairs: bucket self-join with
+    the hub-star guard for oversized (boilerplate-skew) buckets."""
+    return f"""
+        sized AS (
+            SELECT doc_id, {payload}, bucket,
+                   count(*) OVER (PARTITION BY bucket) AS bsize,
+                   min(doc_id) OVER (PARTITION BY bucket) AS hub
+            FROM {src}
+        ), bpairs AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.{payload} AS pa, y.{payload} AS pb
+            FROM sized x JOIN sized y
+              ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+            WHERE x.bsize <= {max_bucket_docs}
+            UNION ALL
+            SELECT h.doc_id, m.doc_id, h.{payload}, m.{payload}
+            FROM sized h JOIN sized m ON h.bucket = m.bucket
+            WHERE h.bsize > {max_bucket_docs}
+              AND h.doc_id = h.hub AND m.doc_id <> m.hub
+        )"""
+
+
+def _minhash_ctes() -> str:
+    """MinHash(32) signatures + 8x4 LSH band buckets in DuckDB, bit-
+    identical to analytics._minhash_bands via the portable md5 double
+    hash (Kirsch–Mitzenmacher: h_k = a + k*(2b+1))."""
+    from engine.spark.analytics import (
+        LSH_BANDS,
+        LSH_MAX_BUCKET_DOCS,
+        MINHASH_K,
+    )
+
+    rows_per_band = MINHASH_K // LSH_BANDS
+    sig_items = ", ".join(f"min(ha + {k} * hb)" for k in range(MINHASH_K))
+    band_exprs = []
+    for band in range(LSH_BANDS):
+        parts = " || ',' || ".join(
+            f"CAST(sig[{band * rows_per_band + r + 1}] AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_exprs.append(
+            f"('0x' || substr(md5('{band}:' || {parts}), 1, 15))::BIGINT"
+        )
+    return f"""
+        {_shingle_ctes()}, hsh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
+                   ('0x' || substr(md5(shingle), 9, 8))::BIGINT * 2 + 1 AS hb
+            FROM sh
+        ), sig AS (
+            SELECT doc_id, [{sig_items}] AS sig FROM hsh GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, sig, unnest([{", ".join(band_exprs)}]) AS bucket
+            FROM sig
+        ), {_bucket_pair_ctes("bands", "sig", LSH_MAX_BUCKET_DOCS)}, est AS (
+            SELECT DISTINCT doc_a, doc_b,
+                   round(len(list_filter(range(1, {MINHASH_K + 1}),
+                                         i -> pa[i] = pb[i])) / {MINHASH_K},
+                         6) AS est_jaccard
+            FROM bpairs
+        )"""
+
+
+def _minhash_lsh_oracle() -> str:
+    return f"""
+        WITH {_minhash_ctes()}
+        SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+def _simhash_oracle(band_bits: int = 10) -> str:
+    """DuckDB twin of analytics.dedup_simhash: 60-bit SimHash bit-vote
+    over the portable per-shingle hash, multi-band buckets (band index
+    high, hash slice low), hub-star skew guard, full-hamming verify."""
+    from engine.spark.analytics import LSH_MAX_BUCKET_DOCS, SIMHASH_BITS
+
+    n_bands = max(1, SIMHASH_BITS // band_bits)
+    mask = (1 << band_bits) - 1
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
+        for bit in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{bit} > 0 THEN (1::BIGINT << {bit}) ELSE 0::BIGINT END)"
+        for bit in range(SIMHASH_BITS)
+    )
+    band_exprs = ", ".join(
+        f"({b << band_bits} + ((simhash >> {b * band_bits}) & {mask}))"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH {_shingle_ctes()}, hsh AS (
+            SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+            FROM sh
+        ), votes AS (
+            SELECT doc_id, {votes} FROM hsh GROUP BY doc_id
+        ), simh AS (
+            SELECT doc_id, ({assemble}) AS simhash FROM votes
+        ), b AS (
+            SELECT doc_id, simhash, unnest([{band_exprs}]) AS bucket
+            FROM simh
+        ), {_bucket_pair_ctes("b", "simhash", LSH_MAX_BUCKET_DOCS)}
+        SELECT DISTINCT doc_a, doc_b,
+               CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+        FROM bpairs
+        WHERE bit_count(xor(pa, pb)) <= 6
+    """
+
+
+def _lsh_verified_ctes(min_jaccard: float) -> str:
+    """LSH candidates (any band collision) verified with exact n-gram
+    Jaccard computed only on those pairs — DuckDB twin of
+    analytics.lsh_verified_pairs."""
+    return f"""
+        {_minhash_ctes()}, cand AS (
+            SELECT doc_a, doc_b FROM est
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), icounts AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS icount
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ), ver AS (
+            SELECT i.doc_a, i.doc_b,
+                   round(icount / (na.n + nb.n - icount), 6) AS jaccard
+            FROM icounts i
+            JOIN sizes na ON na.doc_id = i.doc_a
+            JOIN sizes nb ON nb.doc_id = i.doc_b
+        ), vpairs AS (
+            SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {min_jaccard}
+        )"""
+
+
+def _lsh_verified_oracle() -> str:
+    return f"""
+        WITH {_lsh_verified_ctes(0.5)}
+        SELECT doc_a, doc_b, jaccard FROM vpairs
+    """
+
+
+def _dedup_apply_lsh_oracle() -> str:
+    """Recursive-CTE transitive closure over the LSH-verified pairs,
+    then the corpus minus exact-group and component non-keepers —
+    DuckDB twin of analytics.dedup_apply_lsh."""
+    return f"""
+        WITH RECURSIVE {_lsh_verified_ctes(0.5)},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        near_drop AS (
+            SELECT node AS doc_id FROM reach GROUP BY node
+            HAVING node != min(r)),
+        exact_drop AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                FROM documents)
+            WHERE doc_id != keep_id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM near_drop
+                             UNION SELECT doc_id FROM exact_drop)
+    """
+
+
+_CAREER_PROGRESSION_SQL = """
+    WITH c AS (
+        SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS n_roles FROM documents
+    ), r AS (
+        SELECT doc_id, n_roles,
+               list_transform(generate_series(0, n_roles - 1),
+                              i -> 6 + (doc_id * 7 + i * 11) % 48) AS durs,
+               list_transform(generate_series(0, n_roles - 1),
+                              i -> (doc_id + 3 * i) % 7) AS comps,
+               list_transform(generate_series(0, n_roles - 2),
+                              i -> (doc_id + 5 * i) % 9) AS gaps,
+               -- chronological level step newer-minus-older; stored
+               -- 1-indexed level[i] = (doc_id + 2*(i-1)) % 4
+               list_transform(generate_series(1, n_roles - 1),
+                              i -> (doc_id + 2 * (i - 1)) % 4
+                                 - (doc_id + 2 * i) % 4) AS climbs,
+               doc_id % 4 AS recent_level,
+               (doc_id + 2 * (n_roles - 1)) % 4 AS earliest_level
+        FROM c
+    ), t AS (
+        SELECT *,
+            len(list_filter(climbs, x -> x > 0)) > 0 AS any_up,
+            len(list_filter(climbs, x -> x < 0)) > 0 AS any_down,
+            CAST(len(list_distinct(comps)) AS INT) AS total_companies
+        FROM r
+    ), u AS (
+        SELECT *,
+            CASE WHEN any_up AND any_down THEN 'mixed'
+                 WHEN any_up THEN 'upward'
+                 WHEN any_down THEN 'downward'
+                 ELSE 'lateral' END AS trajectory
+        FROM t
+    )
+    SELECT doc_id, n_roles,
+           round(list_sum(durs) / n_roles, 4) AS avg_tenure_months,
+           CAST(list_max(durs) AS INT) AS longest_tenure_months,
+           total_companies,
+           CAST(coalesce(list_max(gaps), 0) AS INT) AS longest_gap_months,
+           trajectory,
+           (recent_level >= 2 AND recent_level > earliest_level)
+               AS has_leadership_progression,
+           CASE recent_level WHEN 0 THEN 'Engineer'
+                WHEN 1 THEN 'Senior Engineer'
+                WHEN 2 THEN 'Lead Engineer'
+                ELSE 'Engineering Manager' END AS most_recent_title,
+           trajectory || ' trajectory across '
+               || CAST(total_companies AS VARCHAR) || ' companies over '
+               || CAST(n_roles AS VARCHAR) || ' roles' AS progression_summary
+    FROM u
+"""
 
 
 _NGRAM_JACCARD_SQL = r"""
@@ -868,6 +1131,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "dedup_lsh_verified": _lsh_verified_oracle(),
+        "dedup_apply_lsh": _dedup_apply_lsh_oracle(),
         # corpus minus exact-group and near-dup-component non-keepers
         "dedup_apply": """
             WITH RECURSIVE j AS (__PAIRS__),
@@ -909,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
                    (node = min(r)) AS is_keeper
             FROM reach GROUP BY node
         """.replace("__PAIRS__", _NGRAM_JACCARD_SQL),
+        "career_progression": _CAREER_PROGRESSION_SQL,
         "skill_match_tiers": _skill_match_oracle(),
         "validate_invoice_fields": _invoice_fields_oracle(),
         **_ats_oracles(),
@@ -1138,8 +1406,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(bytes_in) AS BIGINT) AS bytes_in
             FROM t GROUP BY ws, quality_bucket
         """,
-        # extract_turns_scalar / extract_spans / validate_invoice_extracted /
-        # dedup_minhash_lsh / dedup_simhash: intentionally no oracle —
-        # kernel-backed whole-document Python semantics (rows-only check);
-        # their correctness gate is the per-turn oracle-equality pytest.
+        # extract_turns_scalar / extract_spans / validate_invoice_extracted:
+        # intentionally no oracle — kernel-backed whole-document Python
+        # semantics (rows-only check); their correctness gate is the
+        # per-turn oracle-equality pytest.
     }

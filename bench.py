@@ -191,21 +191,27 @@ def _equality_pass_rate(spark, path: str, sample_n: int = 2000) -> tuple[float, 
     return (passes / n if n else 0.0), n
 
 
-def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query best-of-3 walls plus a spin-probe reading taken right
+    after each query's timed runs — so any slow per-query number in a
+    recorded bench can be attributed to host steal (spin >> clean) or
+    to the engine (spin ~ clean) without re-running."""
     import __spark_entry__ as entry_mod
 
     names = BENCH_QUERY_NAMES
     qs = entry_mod.queries()
     out: dict[str, float] = {}
+    spins: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(2):  # best-of-2: host steal noise (see _run_extraction)
+        for _ in range(3):  # best-of-3: host steal noise (see _run_extraction)
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             wall = time.time() - t0
             best = wall if best is None else min(best, wall)
         out[name] = round(best, 3)
-    return out
+        spins[name] = round(_spin_probe(), 2)
+    return out, spins
 
 
 BENCH_QUERY_NAMES = [
@@ -225,11 +231,18 @@ BENCH_QUERY_NAMES = [
 ]
 
 
+# measured clean-host value of _spin_probe on this sandbox (5 back-to-
+# back runs 0.602-0.613 s, 2026-08-17); the wait gate trips at 1.5x it
+SPIN_CLEAN_S = 0.61
+SPIN_THRESHOLD_S = round(1.5 * SPIN_CLEAN_S, 2)
+
+
 def _spin_probe() -> float:
-    """Fixed single-thread CPU loop (~1.0 s on a clean host): a
-    cheap, Spark-free measure of how much of this VM's CPU the shared
-    host is actually delivering at this moment. Recorded beside each
-    timed leg so a reader can tell engine regressions from host steal."""
+    """Fixed single-thread CPU loop (~SPIN_CLEAN_S = 0.61 s on a clean
+    host): a cheap, Spark-free measure of how much of this VM's CPU the
+    shared host is actually delivering at this moment. Recorded beside
+    each timed leg so a reader can tell engine regressions from host
+    steal."""
     t0 = time.perf_counter()
     x = 0
     for i in range(20_000_000):
@@ -237,7 +250,9 @@ def _spin_probe() -> float:
     return time.perf_counter() - t0
 
 
-def _wait_for_clean_host(max_wait_s: int = 300, threshold: float = 0.95) -> float:
+def _wait_for_clean_host(
+    max_wait_s: int = 300, threshold: float = SPIN_THRESHOLD_S
+) -> float:
     """Bounded wait for a clean host window before a timed run: the
     shared host's steal comes in minute-scale bursts (BENCH/BASELINE.md
     "Measurement discipline"), so waiting out a burst — up to
@@ -248,7 +263,7 @@ def _wait_for_clean_host(max_wait_s: int = 300, threshold: float = 0.95) -> floa
     spin = _spin_probe()
     while spin > threshold and waited < max_wait_s:
         print(
-            f"[bench] host busy (spin {spin:.2f}s, clean ~0.65); waiting",
+            f"[bench] host busy (spin {spin:.2f}s, clean ~{SPIN_CLEAN_S}); waiting",
             file=sys.stderr,
         )
         time.sleep(30)
@@ -364,6 +379,7 @@ def main() -> None:
 
     scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
     eq_rate, eq_n = None, 0
+    query_spins: dict[str, float] = {}
     # host-state evidence: spin probe before and after the timed work
     # (~0.65 s when this shared-host VM is getting its CPU; see
     # BENCH/BASELINE.md "Measurement discipline") so every recorded
@@ -387,7 +403,7 @@ def main() -> None:
         eq_rate, eq_n = _equality_pass_rate(
             spark, _materialize_inputs(spark, sf_dir, n_convs)
         )
-        queries = _bench_queries(spark, sf_dir)
+        queries, query_spins = _bench_queries(spark, sf_dir)
         queries["extract_pipeline"] = round(extract_wall, 3)
         queries["extract_pipeline_salted"] = round(salted_wall, 3)
         spark.stop()
@@ -403,6 +419,8 @@ def main() -> None:
         "turns": n_turns,
         "cpus": cpus,
     }
+    if query_spins:
+        result["query_spin_s"] = query_spins
     if eq_rate is not None:
         result["equality_pass_rate"] = round(eq_rate, 6)
         result["equality_sample"] = eq_n

@@ -403,3 +403,60 @@ def overall_validation_score(
     penalty = sum(ISSUE_PENALTIES.get(s, 0.0) for s in issue_severities)
     penalty = min(penalty, 0.5)
     return round(max(0.0, base - penalty), 3)
+
+
+# --- career progression (analyzer.py:443-470, schemas/candidate.py:72-80) ---
+
+CAREER_TITLES = (
+    "Engineer", "Senior Engineer", "Lead Engineer", "Engineering Manager",
+)
+
+
+def career_progression(jobs: list[dict]) -> dict:
+    """Deterministic CareerProgression derivation from an experience
+    array — the native counterpart of the reference's LLM-filled
+    ``CareerProgression`` response model (backend/app/services/
+    candidate/analyzer.py:443-470; schema backend/app/schemas/
+    candidate.py:72-80): trajectory, avg/longest tenure, company
+    count, leadership progression, summary — plus n_roles /
+    longest-gap / most-recent-title, all derivable without an LLM.
+
+    ``jobs`` is most-recent-first (resume order); each entry carries
+    duration_months, level (0=IC..3=Manager), company,
+    gap_after_months (gap to the NEXT-older role; the last entry's
+    gap is ignored). Trajectory compares consecutive chronological
+    level steps: all up → upward, all down → downward, flat →
+    lateral, otherwise mixed; a single role is lateral.
+    avg_tenure_months rounds to 4 dp (every tie-free rational with
+    denominator ≤ 5, so engines agree bit-for-bit)."""
+    n = len(jobs)
+    durs = [j["duration_months"] for j in jobs]
+    levels = [j["level"] for j in jobs]
+    comps = [j["company"] for j in jobs]
+    gaps = [j["gap_after_months"] for j in jobs[:-1]]
+    climbs = [levels[i] - levels[i + 1] for i in range(n - 1)]
+    any_up = any(c > 0 for c in climbs)
+    any_down = any(c < 0 for c in climbs)
+    if any_up and any_down:
+        traj = "mixed"
+    elif any_up:
+        traj = "upward"
+    elif any_down:
+        traj = "downward"
+    else:
+        traj = "lateral"
+    n_companies = len(set(comps))
+    return {
+        "n_roles": n,
+        "avg_tenure_months": round(sum(durs) / n, 4),
+        "longest_tenure_months": max(durs),
+        "total_companies": n_companies,
+        "longest_gap_months": max(gaps) if gaps else 0,
+        "trajectory": traj,
+        "has_leadership_progression": levels[0] >= 2 and levels[0] > levels[-1],
+        "most_recent_title": CAREER_TITLES[levels[0]],
+        "progression_summary": (
+            f"{traj} trajectory across {n_companies} companies "
+            f"over {n} roles"
+        ),
+    }

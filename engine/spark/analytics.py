@@ -26,6 +26,29 @@ if TYPE_CHECKING:
 MINHASH_K = 32
 LSH_BANDS = 8  # 8 bands x 4 rows
 NGRAM_N = 3
+SIMHASH_BITS = 60  # portable-hash width (15 hex chars of md5)
+LSH_MAX_BUCKET_DOCS = 64  # band-bucket skew guard (see dedup_minhash_lsh)
+
+
+def _phash60(col) -> "F.Column":
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 → int64.
+    DuckDB computes the bit-identical value as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — the hash both engines
+    share so LSH banding/verification is fully oracle-checkable
+    (xxhash64 has no DuckDB twin)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _phash32_pair(col) -> tuple["F.Column", "F.Column"]:
+    """Two independent 32-bit portable hashes from one md5 (hex chars
+    1-8 and 9-16) — the double-hashing base (Kirsch–Mitzenmacher):
+    h_k = a + k*(2b+1) gives K seeded hashes from ONE md5 per shingle
+    instead of K, with no int64 overflow (max < 2^39, safe under ANSI
+    mode). DuckDB twin: ``('0x'||substr(md5(x),1,8))::BIGINT`` etc."""
+    m = F.md5(col)
+    a = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    return a, b
 
 
 def _docs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -67,44 +90,120 @@ def _shingles(docs: "DataFrame") -> "DataFrame":
     ).distinct()
 
 
-def dedup_minhash_lsh(
-    spark: "SparkSession", sf_dir: str, jaccard_threshold: float = 0.5
+def _bucketed_pairs(
+    b: "DataFrame", payload: str, max_bucket_docs: int
 ) -> "DataFrame":
-    """MinHash(32) + LSH(8 bands x 4) candidate pairs, LSH-bucket join
-    only (no cross product), verified by estimated signature agreement."""
-    sh = _shingles(_docs(spark, sf_dir))
-    sig = sh.groupBy("doc_id").agg(
+    """Self-join within ``bucket`` with an oversized-bucket guard — the
+    LSH/SimHash skew defense. Boilerplate-heavy corpora put thousands of
+    near-identical docs in ONE bucket; a naive bucket self-join is then
+    O(bucket²) pairs and a single reducer owns all of them (AQE can
+    split the shuffle partition, but not the quadratic pair count
+    itself). Buckets with ≤ ``max_bucket_docs`` members pair all-pairs;
+    larger buckets emit only a STAR around the bucket's min doc id —
+    O(bucket) pairs that preserve the connectivity the downstream
+    connected-components stage needs (every member links to the hub, so
+    the cluster is identical whenever members truly match the hub —
+    exactly the boilerplate case that creates oversized buckets).
+    Returns (doc_a, doc_b, pa, pb) with doc_a < doc_b and the payload
+    column from each side."""
+    w = Window.partitionBy("bucket")
+    sized = (
+        b.select("doc_id", "bucket", payload)
+        .withColumn("bsize", F.count("*").over(w))
+        .withColumn("hub", F.min("doc_id").over(w))
+    )
+    small = sized.filter(F.col("bsize") <= max_bucket_docs).select(
+        "doc_id", "bucket", payload
+    )
+    x, y = small.alias("x"), small.alias("y")
+    psmall = x.join(
+        y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.doc_id") < F.col("y.doc_id"))
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.col(f"x.{payload}").alias("pa"),
+        F.col(f"y.{payload}").alias("pb"),
+    )
+    big = sized.filter(F.col("bsize") > max_bucket_docs)
+    hubs = big.filter(F.col("doc_id") == F.col("hub")).select(
+        "bucket", F.col("doc_id").alias("doc_a"), F.col(payload).alias("pa")
+    )
+    members = big.filter(F.col("doc_id") != F.col("hub")).select(
+        "bucket", F.col("doc_id").alias("doc_b"), F.col(payload).alias("pb")
+    )
+    pbig = members.join(hubs, "bucket").select("doc_a", "doc_b", "pa", "pb")
+    return psmall.unionByName(pbig)
+
+
+def _minhash_bands(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, sig, bucket) — MinHash(32) signatures banded 8×4.
+
+    Portable double-hashing: ONE md5 per shingle yields two 32-bit
+    halves (a, b); seed k's hash is a + k*(2b+1) (Kirsch–Mitzenmacher),
+    so DuckDB computes bit-identical signatures (no xxhash64 twin
+    exists) and the whole LSH chain is oracle-checkable. The band
+    fingerprint hashes (band_id, its signature slice) rendered as a
+    string — same md5 path, same value in both engines. The sig array
+    rides along so the pair stage needs NO join back to sig."""
+    sh = _shingles(docs)
+    a, b = _phash32_pair(F.col("shingle"))
+    hashed = sh.select("doc_id", a.alias("ha"), (b * 2 + 1).alias("hb"))
+    sig = hashed.groupBy("doc_id").agg(
         F.array(
-            *[F.min(F.xxhash64("shingle", F.lit(seed))) for seed in range(MINHASH_K)]
+            *[F.min(F.col("ha") + seed * F.col("hb")) for seed in range(MINHASH_K)]
         ).alias("sig")
     )
     rows_per_band = MINHASH_K // LSH_BANDS
-    # band fingerprint = hash of (band_id, its signature slice); the sig
-    # array rides along so the pair stage needs NO join back to sig
-    # (a re-join would recompute the shingle+min-agg subtree per side)
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         "sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda b: F.xxhash64(b, F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            F.array(
+                *[
+                    _phash60(
+                        F.concat(
+                            F.lit(f"{band}:"),
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice("sig", band * rows_per_band + 1, rows_per_band),
+                                    lambda v: v.cast("string"),
+                                ),
+                            ),
+                        )
+                    )
+                    for band in range(LSH_BANDS)
+                ]
             )
         ).alias("bucket"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+
+
+def dedup_minhash_lsh(
+    spark: "SparkSession",
+    sf_dir: str,
+    jaccard_threshold: float = 0.5,
+    max_bucket_docs: int = LSH_MAX_BUCKET_DOCS,
+) -> "DataFrame":
+    """MinHash(32) + LSH(8 bands x 4) candidate pairs, LSH-bucket join
+    only (no cross product), verified by estimated signature agreement.
+    Oversized band buckets (boilerplate skew) emit hub-star pairs
+    instead of all-pairs (_bucketed_pairs). Fully DuckDB-oracled via
+    the portable md5 double-hash (_minhash_bands)."""
+    bands = _minhash_bands(_docs(spark, sf_dir))
+    pairs = _bucketed_pairs(bands, "sig", max_bucket_docs)
     est = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(
                 F.size(
                     F.filter(
-                        F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v
+                        F.zip_with("pa", "pb", lambda x, y: x == y), lambda v: v
                     )
                 )
-                / MINHASH_K
+                / MINHASH_K,
+                6,
             ).alias("est_jaccard"),
         )
         # a pair can collide in several bands → keep one row
@@ -114,40 +213,92 @@ def dedup_minhash_lsh(
     return est.filter(F.col("est_jaccard") >= jaccard_threshold)
 
 
-def dedup_simhash(spark: "SparkSession", sf_dir: str, max_hamming: int = 6) -> "DataFrame":
-    """64-bit SimHash near-dup pairs; pre-bucketed by the top 16 bits so
-    the join is bucket-local, verified by full hamming distance.
+def adaptive_simhash_band_bits(n_docs: int, lo: int = 10, hi: int = 20) -> int:
+    """Band width that scales the per-band bucket keyspace with the
+    corpus (≥ 2n keys per band, same contract as adaptive_sign_dims),
+    clamped to [10, 20]. Wider bands at scale mean fewer bands
+    (floor(60/bits)) and a weaker pigeonhole guarantee — the classic
+    SimHash trade (Manku et al., WWW'07 run 8B docs with comparable
+    block sizes at hamming ≤ 3); the max_bucket_docs hub-star guard
+    bounds whatever skew remains."""
+    import math
+
+    want = math.ceil(math.log2(max(n_docs, 2))) + 1
+    return min(max(want, lo), hi)
+
+
+def dedup_simhash(
+    spark: "SparkSession",
+    sf_dir: str,
+    max_hamming: int = 6,
+    band_bits: int | None = None,
+    max_bucket_docs: int = LSH_MAX_BUCKET_DOCS,
+) -> "DataFrame":
+    """60-bit SimHash near-dup pairs, multi-band bucketed: the hash is
+    split into floor(60/band_bits) disjoint bit-blocks and a pair is a
+    candidate when ANY block matches exactly (pigeonhole: hamming ≤
+    bands−1 is guaranteed to collide somewhere; higher distances
+    collide with the s-curve probability), then the FULL hamming
+    distance verifies every candidate — zero false positives.
+    band_bits=None derives the width from the corpus size
+    (adaptive_simhash_band_bits: ≥ 2n keys per band); the oracled
+    entry pins band_bits=10 (6 bands, guarantee ≤ 5). Oversized
+    buckets emit hub-star pairs (_bucketed_pairs skew guard).
 
     Bit-vote is fused into one higher-order expression over the per-doc
     hash array (collect_list -> transform/aggregate SQL lambdas): one
-    shuffle, no 64x row amplification. Replaced the earlier narrow
-    explode + two-phase vote (output-identical, measured -30% and one
-    fewer shuffle at sf0.1); per-doc array size = n shingles, bounded by
-    the reference's 10 MB payload cap.
-    """
-    sh = _shingles(_docs(spark, sf_dir)).withColumn("h", F.xxhash64("shingle"))
+    shuffle, no 60x row amplification; per-doc array size = n shingles,
+    bounded by the reference's 10 MB payload cap. The per-shingle hash
+    is the portable 60-bit md5 prefix (_phash60) so DuckDB computes
+    bit-identical simhashes and the operator is fully oracled."""
+    docs = _docs(spark, sf_dir)
+    if band_bits is None:
+        band_bits = adaptive_simhash_band_bits(docs.count())
+    n_bands = max(1, SIMHASH_BITS // band_bits)
+    sh = _shingles(docs).withColumn("h", _phash60(F.col("shingle")))
     hs = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
     simhash = hs.select(
         "doc_id",
-        F.expr("""
+        F.expr(f"""
           aggregate(
             zip_with(
-              transform(sequence(0, 63), bit ->
+              transform(sequence(0, {SIMHASH_BITS - 1}), bit ->
                 aggregate(hs, 0L, (a, h) ->
                   a + IF((shiftrightunsigned(h, bit) & 1) = 1, 1, -1))),
-              sequence(0, 63),
+              sequence(0, {SIMHASH_BITS - 1}),
               (s, bit) -> IF(s > 0, shiftleft(1L, bit), 0L)),
             0L, (a, x) -> a + x)
         """).alias("simhash"),
-    ).withColumn("bucket", F.shiftrightunsigned("simhash", 48))
-    a, b = simhash.alias("a"), simhash.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+    )
+    # bucket key = band index in the high bits, band's hash slice low —
+    # bands live in disjoint keyspaces within one explode/self-join
+    mask = (1 << band_bits) - 1
+    banded = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.lit(b << band_bits)
+                        + F.shiftrightunsigned("simhash", b * band_bits).bitwiseAND(
+                            F.lit(mask)
+                        )
+                    ).cast("long")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        _bucketed_pairs(banded, "simhash", max_bucket_docs)
+        # a pair can collide in several bands -> keep one row
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),
+        )
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
 
@@ -166,6 +317,46 @@ def dedup_ngram_jaccard(
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def lsh_verified_pairs(
+    spark: "SparkSession",
+    sf_dir: str,
+    min_jaccard: float = 0.5,
+    est_floor: float = 0.0,
+    max_bucket_docs: int = LSH_MAX_BUCKET_DOCS,
+) -> "DataFrame":
+    """The production pair source: LSH band-collision candidates
+    verified with EXACT n-gram Jaccard computed ONLY on those pairs —
+    never all-pairs (dedup_ngram_jaccard's bounded-id all-pairs join is
+    the oracle-friendly verify stage, not a scale path). Intersections
+    come from joining the candidate pairs back to the shingle sets:
+    pair ⋈ shingles(doc_a) on doc_a, then ⋈ shingles on (doc_b,
+    shingle) — work is proportional to candidate-pair shingles, not to
+    corpus². ``est_floor`` optionally pre-filters candidates by the
+    signature estimate (0.0 = pure band collision, max recall; raise it
+    at scale to shed verify cost)."""
+    cands = dedup_minhash_lsh(
+        spark, sf_dir, jaccard_threshold=est_floor, max_bucket_docs=max_bucket_docs
+    ).select("doc_a", "doc_b")
+    sh = _shingles(_docs(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    inter = (
+        a_sh.join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -237,6 +428,14 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never return partially-propagated labels: a duplicate chain
+        # with diameter > max_iterations would silently yield wrong
+        # keep/drop decisions at 10^12-doc scale
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing); raise max_iterations"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
@@ -251,13 +450,14 @@ def dedup_cluster_assign(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return dedup_clusters(dedup_ngram_jaccard(spark, sf_dir))
 
 
-def dedup_apply(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """The end of the dedup pipeline: the corpus with duplicates
-    DROPPED. Non-keepers come from exact content groups (every id but
-    the group minimum) and from near-dup components (cluster
-    non-keepers over the jaccard pairs); the corpus anti-joins the
-    union. Emits the surviving doc ids — at scale this is the
-    keep-list write that every downstream training job reads."""
+def _apply_drops(spark: "SparkSession", sf_dir: str, pairs: "DataFrame") -> "DataFrame":
+    """Shared tail of the dedup pipeline: the corpus with duplicates
+    DROPPED, given a near-duplicate pair source. Non-keepers come from
+    exact content groups (every id but the group minimum) and from
+    near-dup components (cluster non-keepers over ``pairs``); the
+    corpus anti-joins the union. Emits the surviving doc ids — at
+    scale this is the keep-list write that every downstream training
+    job reads."""
     docs = _docs(spark, sf_dir).select("doc_id")
     exact = (
         _docs(spark, sf_dir)
@@ -268,12 +468,41 @@ def dedup_apply(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .select("doc_id")
     )
     near = (
-        dedup_cluster_assign(spark, sf_dir)
+        dedup_clusters(pairs)
         .filter(~F.col("is_keeper"))
         .select("doc_id")
     )
     drop = exact.unionByName(near).distinct()
     return docs.join(drop, "doc_id", "left_anti")
+
+
+def dedup_apply(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Surviving corpus after exact + near-dup drops, with the
+    SQL-expressible bounded-id jaccard pair source (oracle path; see
+    dedup_apply_lsh for the production pair source)."""
+    return _apply_drops(spark, sf_dir, dedup_ngram_jaccard(spark, sf_dir))
+
+
+def dedup_apply_lsh(
+    spark: "SparkSession",
+    sf_dir: str,
+    min_jaccard: float = 0.5,
+    max_bucket_docs: int = LSH_MAX_BUCKET_DOCS,
+) -> "DataFrame":
+    """THE production dedup composition a 100 TB corpus runs first:
+    MinHash+LSH band-collision candidates → exact n-gram Jaccard
+    verified ONLY on those candidate pairs (lsh_verified_pairs; never
+    all-pairs) → connected components (dedup_clusters) → anti-join of
+    exact-group and component non-keepers. One call, corpus in →
+    deduplicated keep-list out. Every stage is a bucket-local or
+    key-local shuffle; nothing is quadratic in the corpus
+    (_bucketed_pairs hub-star guard bounds even pathological
+    boilerplate buckets). Fully DuckDB-oracled via the portable md5
+    hashes."""
+    pairs = lsh_verified_pairs(
+        spark, sf_dir, min_jaccard=min_jaccard, max_bucket_docs=max_bucket_docs
+    )
+    return _apply_drops(spark, sf_dir, pairs)
 
 
 # ------------------------------------------------------- similarity search

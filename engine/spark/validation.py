@@ -375,3 +375,93 @@ def with_validation_score(
         F.round(F.greatest(base - penalty, F.lit(0.0)), 3)
     )
     return df.withColumn(out_col, score)
+
+
+# --- career progression (analyzer.py:443-470, candidate.py:72-80) ---
+
+def synthetic_resume_experience(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Deterministic experience arrays derived from doc_id (the same
+    synthetic-derivation pattern every other candidate query uses):
+    1-5 roles, most-recent first, each with duration / level / company
+    / gap-to-next-older — the input shape the reference's candidate
+    analyzer receives from parsed resumes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    n = (d % 5 + 1).cast("int")
+    exp = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            (6 + (d * 7 + i * 11) % 48).cast("int").alias("duration_months"),
+            ((d + 2 * i) % 4).cast("int").alias("level"),
+            F.concat(F.lit("company-"), ((d + 3 * i) % 7).cast("string")).alias(
+                "company"
+            ),
+            ((d + 5 * i) % 9).cast("int").alias("gap_after_months"),
+        ),
+    )
+    return docs.select("doc_id", exp.alias("experience"))
+
+
+def career_progression_cols(resumes: "DataFrame") -> "DataFrame":
+    """CareerProgression natively over an ``experience`` array column —
+    the deterministic counterpart of the reference's LLM-filled
+    response model (analyzer.py:443-470; schema candidate.py:72-80),
+    numerically identical to engine.kernel.scoring.career_progression
+    (parity-tested). One map-only pass of higher-order functions: no
+    shuffle, no Python — the 100 TB shape for a per-row derivation."""
+    from engine.kernel.scoring import CAREER_TITLES
+
+    exp = F.col("experience")
+    n = F.size(exp)
+    durs = F.transform(exp, lambda j: j["duration_months"])
+    levels = F.transform(exp, lambda j: j["level"])
+    comps = F.transform(exp, lambda j: j["company"])
+    gaps = F.slice(F.transform(exp, lambda j: j["gap_after_months"]), 1, n - 1)
+    # chronological level step = newer minus next-older (stored order
+    # is most-recent first)
+    climbs = F.zip_with(
+        F.slice(levels, 1, n - 1),
+        F.slice(levels, 2, n - 1),
+        lambda newer, older: newer - older,
+    )
+    any_up = F.exists(climbs, lambda c: c > 0)
+    any_down = F.exists(climbs, lambda c: c < 0)
+    traj = (
+        F.when(any_up & any_down, "mixed")
+        .when(any_up, "upward")
+        .when(any_down, "downward")
+        .otherwise("lateral")
+    )
+    recent_level = F.element_at(levels, 1)
+    earliest_level = F.element_at(levels, -1)
+    n_companies = F.size(F.array_distinct(comps)).cast("int")
+    title = F.element_at(
+        F.array(*[F.lit(t) for t in CAREER_TITLES]), recent_level + 1
+    )
+    return resumes.select(
+        "doc_id",
+        n.cast("int").alias("n_roles"),
+        F.round(
+            F.aggregate(durs, F.lit(0), lambda a, x: a + x) / n, 4
+        ).alias("avg_tenure_months"),
+        F.array_max(durs).cast("int").alias("longest_tenure_months"),
+        n_companies.alias("total_companies"),
+        F.coalesce(F.array_max(gaps), F.lit(0)).cast("int").alias(
+            "longest_gap_months"
+        ),
+        traj.alias("trajectory"),
+        ((recent_level >= 2) & (recent_level > earliest_level)).alias(
+            "has_leadership_progression"
+        ),
+        title.alias("most_recent_title"),
+        F.concat(
+            traj, F.lit(" trajectory across "), n_companies.cast("string"),
+            F.lit(" companies over "), n.cast("string"), F.lit(" roles"),
+        ).alias("progression_summary"),
+    )
+
+
+def career_progression_table(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """queries() entry: the generic operator applied to the
+    deterministic synthetic experience table."""
+    return career_progression_cols(synthetic_resume_experience(spark, sf_dir))

@@ -315,3 +315,42 @@ def test_harvest_resume_skills_matches_kernel(spark):
             [list(e[0] or []) for e in (exp or [])],
         )
         assert got[rid] == expected, rid
+
+
+def test_career_progression_native_matches_kernel(spark):
+    """Native career-progression columns == kernel derivation for every
+    doc in sf0.001 (same doc_id formula on both sides)."""
+    from engine.kernel.scoring import career_progression
+    from engine.spark.validation import career_progression_table
+
+    got = {
+        r.doc_id: r.asDict()
+        for r in career_progression_table(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got
+    for doc_id, row in got.items():
+        n = doc_id % 5 + 1
+        jobs = [
+            {
+                "duration_months": 6 + (doc_id * 7 + i * 11) % 48,
+                "level": (doc_id + 2 * i) % 4,
+                "company": f"company-{(doc_id + 3 * i) % 7}",
+                "gap_after_months": (doc_id + 5 * i) % 9,
+            }
+            for i in range(n)
+        ]
+        want = career_progression(jobs)
+        for k, v in want.items():
+            assert row[k] == v, (doc_id, k, row[k], v)
+
+
+def test_career_progression_trajectories_cover_all_classes(spark):
+    from engine.spark.validation import career_progression_table
+
+    trajs = {
+        r.trajectory
+        for r in career_progression_table(spark, "/root/testdata/sf0.001").collect()
+    }
+    # single-role → lateral; 2-role ±2 climbs → upward/downward;
+    # 3+ roles alternate → mixed: all four classes must appear
+    assert trajs == {"lateral", "upward", "downward", "mixed"}
