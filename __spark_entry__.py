@@ -76,7 +76,28 @@ def _per_turn_parquet(spark: SparkSession, sf_dir: str) -> str:
     _ex(spark, sf_dir).select(
         "conv_id", "turn_idx", "ts", "bytes_in", "is_empty",
         "estimated_tokens", "quality_score", "quality_bucket",
-        "overall_confidence",
+        "overall_confidence", "n_chunks",
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _spans_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the posexplode span transport (the extract_spans
+    projection) so DuckDB can cross-check it against the scalar-path
+    per-turn parquet — the two are independent projections of the same
+    kernel output, so a drift in span explosion/transport shows up as
+    count mismatches in extract_spans_consistency."""
+    import os
+
+    path = _per_turn_path(sf_dir) + "_spans"
+    from pyspark.sql import functions as F
+
+    df = _ex(spark, sf_dir)
+    df.select(
+        "conv_id", "turn_idx", F.posexplode_outer("spans").alias("pos", "span")
+    ).select(
+        "conv_id", "turn_idx", "pos",
+        F.col("span.estimated_tokens").alias("span_tokens"),
     ).write.mode("overwrite").parquet(path)
     return path
 
@@ -104,6 +125,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("span.start_char").alias("start_char"),
             F.col("span.end_char").alias("end_char"),
             F.col("span.estimated_tokens").alias("span_tokens"),
+        )
+
+    def extract_spans_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # internal-consistency oracle closing the silent-drift class on
+        # the two no-oracle projections: per conversation, the scalar
+        # path's sum(n_chunks) must equal the posexplode path's span
+        # count (count of non-null pos — empty turns emit a null-span
+        # row), with both sides re-aggregated by DuckDB from the
+        # materialized parquets
+        turns = spark.read.parquet(_per_turn_parquet(spark, sf_dir))
+        spans = spark.read.parquet(_spans_parquet(spark, sf_dir))
+        t = turns.groupBy("conv_id").agg(
+            F.sum("n_chunks").cast("long").alias("chunks_sum"),
+            F.count("*").alias("n_turns"),
+        )
+        s = spans.groupBy("conv_id").agg(
+            F.count("pos").alias("spans_sum"),
+            F.sum("span_tokens").cast("long").alias("span_tokens_sum"),
+        )
+        return t.join(s, "conv_id").select(
+            "conv_id", "n_turns", "chunks_sum", "spans_sum",
+            "span_tokens_sum",
+            (F.col("chunks_sum") == F.col("spans_sum")).alias("consistent"),
         )
 
     def extract_conversation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction pipeline (kernel-backed; rows-only vs oracle)
         "extract_turns_scalar": extract_turns_scalar,
         "extract_spans": extract_spans,
+        "extract_spans_consistency": extract_spans_consistency,
         "extract_conversation_rollup": extract_conversation_rollup,
         "extract_quality_drift": extract_quality_drift,
         "validate_invoice_fields": validate_invoice_fields,
@@ -1390,6 +1435,24 @@ def oracle_sql() -> dict[str, str]:
                    max(quality_score) AS max_quality_score
             FROM read_parquet('{_per_turn_path("/root/testdata/sf0.01")}/*.parquet')
             GROUP BY conv_id
+        """,
+        "extract_spans_consistency": f"""
+            WITH t AS (
+                SELECT conv_id,
+                       CAST(sum(n_chunks) AS BIGINT) AS chunks_sum,
+                       CAST(count(*) AS BIGINT) AS n_turns
+                FROM read_parquet('{_per_turn_path("/root/testdata/sf0.01")}/*.parquet')
+                GROUP BY conv_id),
+            s AS (
+                SELECT conv_id,
+                       CAST(count(pos) AS BIGINT) AS spans_sum,
+                       CAST(sum(span_tokens) AS BIGINT) AS span_tokens_sum
+                FROM read_parquet('{_per_turn_path("/root/testdata/sf0.01")}_spans/*.parquet')
+                GROUP BY conv_id)
+            SELECT t.conv_id, n_turns, chunks_sum, spans_sum,
+                   span_tokens_sum,
+                   (chunks_sum = spans_sum) AS consistent
+            FROM t JOIN s ON t.conv_id = s.conv_id
         """,
         "extract_quality_drift": f"""
             WITH t AS (

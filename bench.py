@@ -221,6 +221,8 @@ BENCH_QUERY_NAMES = [
         "sessionize_events",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_apply_lsh",
+        "career_progression",
         "simsearch_bruteforce",
         "simsearch_ivf",
         "lang_id",

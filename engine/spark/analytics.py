@@ -727,6 +727,38 @@ def adaptive_n_centroids(
     return max(lo, min(hi, -(-max(n_vectors, 1) // target_cell_rows)))
 
 
+def train_ivf_codebook(
+    spark: "SparkSession",
+    sf_dir: str,
+    n_centroids: int | None = None,
+    sample: int = 2048,
+    iters: int = 5,
+) -> "DataFrame":
+    """Train the k-means IVF codebook ONCE and return it as a (cid,
+    centroid) DataFrame to persist (``df.write.parquet(path)``) — the
+    shape a real serving job needs: repeated queries load the table
+    instead of re-sampling/re-training per call
+    (simsearch_ivf_centroids(codebook=...)). Deterministic, so a
+    persisted codebook reproduces the in-line training exactly."""
+    embs = _vecs(spark, sf_dir)
+    if n_centroids is None:
+        n, _dim = _corpus_stats(embs)
+        n_centroids = adaptive_n_centroids(n)
+    cents = _train_centroids(embs, n_centroids, sample, iters)
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cid int, centroid array<double>",
+    )
+
+
+def load_ivf_codebook(spark: "SparkSession", path: str) -> list[list[float]]:
+    """Load a persisted codebook back into the plan-literal form the
+    IVF operators consume (cid order = training order, so assignment
+    tie-breaks are identical to the training run)."""
+    rows = spark.read.parquet(path).orderBy("cid").collect()
+    return [list(r.centroid) for r in rows]
+
+
 def simsearch_ivf_centroids(
     spark: "SparkSession",
     sf_dir: str,
@@ -736,6 +768,7 @@ def simsearch_ivf_centroids(
     probes: int = 2,
     sample: int = 2048,
     iters: int = 5,
+    codebook: list[list[float]] | None = None,
 ) -> "DataFrame":
     """Standard centroid-quantizer IVF (the scale path real vector
     stores use, vs the cheaper sign-bucket variant above): k-means
@@ -749,12 +782,17 @@ def simsearch_ivf_centroids(
     so results are reproducible; no SQL oracle (the codebook is data-
     dependent) — recall vs brute force is asserted in tests instead
     (≥ 0.9 on the clustered fixture). n_centroids=None derives the
-    cell count from the corpus size (adaptive_n_centroids)."""
+    cell count from the corpus size (adaptive_n_centroids). Pass
+    ``codebook`` (train_ivf_codebook → persist → load_ivf_codebook) to
+    skip training — the serving-job path."""
     embs = _vecs(spark, sf_dir)
-    if n_centroids is None:
-        n, _dim = _corpus_stats(embs)
-        n_centroids = adaptive_n_centroids(n)
-    cents = _train_centroids(embs, n_centroids, sample, iters)
+    if codebook is not None:
+        cents = codebook
+    else:
+        if n_centroids is None:
+            n, _dim = _corpus_stats(embs)
+            n_centroids = adaptive_n_centroids(n)
+        cents = _train_centroids(embs, n_centroids, sample, iters)
     dists = _centroid_dists(cents)
     corpus = embs.select(
         "vec_id", "v", F.array_min(dists)["cid"].alias("cell")

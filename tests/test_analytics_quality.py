@@ -439,3 +439,26 @@ def test_dedup_apply_lsh_survivors(spark, boilerplate_dir):
         r.doc_id for r in dedup_apply_lsh(spark, boilerplate_dir).collect()
     )
     assert survivors == [0] + [500 + i for i in range(20)]
+
+
+def test_persisted_codebook_reproduces_inline_training(spark, tmp_path):
+    """train-once / persist / load must give IDENTICAL results to
+    in-line training (deterministic codebook; the serving-job path
+    never re-samples)."""
+    from engine.spark.analytics import (
+        load_ivf_codebook,
+        simsearch_ivf_centroids,
+        train_ivf_codebook,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cb_path = str(tmp_path / "codebook")
+    train_ivf_codebook(spark, sf).write.parquet(cb_path)
+    cb = load_ivf_codebook(spark, cb_path)
+    served = sorted(
+        tuple(r) for r in simsearch_ivf_centroids(spark, sf, codebook=cb).collect()
+    )
+    inline = sorted(
+        tuple(r) for r in simsearch_ivf_centroids(spark, sf).collect()
+    )
+    assert served == inline and served

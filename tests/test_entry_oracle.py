@@ -89,3 +89,15 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n > 0
     assert df.filter("is_empty").count() < n  # extraction actually extracts
+
+
+def test_spans_consistency_all_true(spark):
+    """The scalar path's n_chunks and the posexplode span transport
+    must agree for every conversation — the internal-consistency gate
+    over the two intentionally-no-oracle projections."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["extract_spans_consistency"](spark, SF_DIR).collect()
+    assert rows
+    bad = [r.conv_id for r in rows if not r.consistent]
+    assert not bad, bad[:5]
