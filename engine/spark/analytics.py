@@ -70,13 +70,21 @@ def dedup_exact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
-def _shingles(docs: "DataFrame") -> "DataFrame":
-    """Word 3-gram shingles per doc (native: split + sequence + transform)."""
+def _shingles(docs: "DataFrame", distinct: bool = True) -> "DataFrame":
+    """Word 3-gram shingles per doc (native: split + sequence +
+    transform). ``distinct=False`` skips the dedup shuffle — the
+    exploded shingle table is the LARGEST intermediate in the whole
+    dedup pipeline, so consumers whose aggregate is duplicate-
+    insensitive (MinHash: min over hashes) must not pay a full-table
+    shuffle to deduplicate it (measured output-identical, and the
+    shuffle it removes is the one that dominates at corpus scale).
+    Set-semantics consumers (jaccard counts, simhash bit-votes) keep
+    the default."""
     toks = docs.select(
         "doc_id",
         F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ").alias("w"),
     ).filter(F.size("w") >= NGRAM_N)
-    return toks.select(
+    out = toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -87,7 +95,8 @@ def _shingles(docs: "DataFrame") -> "DataFrame":
                 ),
             )
         ).alias("shingle"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def _bucketed_pairs(
@@ -144,8 +153,12 @@ def _minhash_bands(docs: "DataFrame") -> "DataFrame":
     exists) and the whole LSH chain is oracle-checkable. The band
     fingerprint hashes (band_id, its signature slice) rendered as a
     string — same md5 path, same value in both engines. The sig array
-    rides along so the pair stage needs NO join back to sig."""
-    sh = _shingles(docs)
+    rides along so the pair stage needs NO join back to sig.
+    Shingles are NOT deduplicated: min() is duplicate-insensitive and
+    skipping the distinct removes the dedup pipeline's biggest shuffle
+    (the exploded shingle table); map-side partial min-agg absorbs the
+    duplicates instead."""
+    sh = _shingles(docs, distinct=False)
     a, b = _phash32_pair(F.col("shingle"))
     hashed = sh.select("doc_id", a.alias("ha"), (b * 2 + 1).alias("hb"))
     sig = hashed.groupBy("doc_id").agg(

@@ -35,26 +35,46 @@ def _dec(name: str):
     return F.col(name).cast("decimal(18,2)")
 
 
+def _cents_revenue() -> "F.Column":
+    """Exact discounted revenue `round(sum(price·(1−disc)), 2)` in
+    integer cents: p_c·(100−d_c) is the exact product in 10^-4-dollar
+    units, so the long sum is exact and HALF_UP at 2 dp is
+    floor((S+50)/100)/100 — bit-identical to the DECIMAL(18,2)
+    formulation (the oracles keep DECIMAL as the cross-arithmetic
+    check) with whole-stage-codegen long math instead of Decimal128."""
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    return F.floor((F.sum(pc * (100 - dc)) + 50) / 100).cast("double") / 100
+
+
 def q1_pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """TPC-H Q1 shape (A1/A6 batch roll-up analogue): grouped money math."""
+    """TPC-H Q1 shape (A1/A6 batch roll-up analogue): grouped money
+    math — exact INTEGER-CENTS arithmetic (see order_consistency):
+    2-dp inputs as longs, so every sum is exact, the disc-price
+    product sum is p_c·(100−d_c) in 10^-4-dollar units with HALF_UP =
+    floor((S+50)/100)/100, and the averages divide exact integer
+    numerators — bit-identical to the DECIMAL(18,2) chain
+    (A/B-verified at sf0.01 + sf0.1) and ~1.5× faster (long codegen
+    vs Decimal128 for the product). The DuckDB oracle keeps DECIMAL,
+    cross-checking the two exact arithmetics; avg() over raw doubles
+    stays banned (accumulation-order-dependent)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            (F.sum(qc).cast("double") / 100).alias("sum_qty"),
+            (F.sum(pc).cast("double") / 100).alias("sum_base_price"),
+            (
+                F.floor((F.sum(pc * (100 - dc)) + 50) / 100).cast("double") / 100
+            ).alias("sum_disc_price"),
             F.round(
-                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2
-            ).cast("double").alias("sum_disc_price"),
-            # exact-numerator averages: the 2-dp column sums exactly in
-            # decimal, so numerator/denominator (and the rounded
-            # quotient) are bit-identical across engines — avg() over
-            # raw doubles is accumulation-order-dependent
-            F.round(
-                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+                (F.sum(qc).cast("double") / 100) / F.count(F.lit(1)), 4
             ).alias("avg_qty"),
             F.round(
-                F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 4
+                (F.sum(dc).cast("double") / 100) / F.count(F.lit(1)), 4
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -221,8 +241,7 @@ def part_type_shares(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return j.groupBy("p_brand", "type_class").agg(
-        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
-        .cast("double").alias("revenue"),
+        _cents_revenue().alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -295,8 +314,7 @@ def revenue_by_nation(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
     )
     return j.groupBy("n_name").agg(
-        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
-        .cast("double").alias("revenue"),
+        _cents_revenue().alias("revenue"),
         F.count("*").alias("n_items"),
     )
 

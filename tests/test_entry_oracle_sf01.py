@@ -26,9 +26,13 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
-# these two oracles read a per-turn parquet whose path is pinned to the
-# driver's sf0.01 run
-SF_PINNED = {"extract_conversation_rollup", "extract_quality_drift"}
+# these oracles read materialized parquets whose paths are pinned to
+# the driver's sf0.01 run
+SF_PINNED = {
+    "extract_conversation_rollup",
+    "extract_quality_drift",
+    "extract_spans_consistency",
+}
 
 
 @pytest.fixture(scope="module")
