@@ -456,6 +456,93 @@ def dedup_clusters(
     )
 
 
+def dedup_clusters_star(
+    pairs: "DataFrame",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 30,
+) -> "DataFrame":
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round alternative to dedup_clusters'
+    min-label propagation, whose round count is the component
+    DIAMETER. Near-dup components are usually shallow (dups of a
+    common source), so min-label's one-action-per-round loop is the
+    default; a 10^12-doc corpus with adversarial chain-shaped
+    components (A≈B≈C≈… pairwise-similar chains) needs this variant:
+    a 50-deep chain converges in ~5 alternating rounds here vs 50+
+    label rounds.
+
+    Edges are kept oriented large→small (u > v). Large-star connects
+    every larger neighbor of u to min(Γ(u) ∪ {u}); small-star
+    connects u and its smaller neighbors to their minimum. The
+    fixpoint is one star per component rooted at the component min —
+    read labels straight off the edges. Same output contract as
+    dedup_clusters: (doc_id, cluster_id, is_keeper), raises on
+    non-convergence instead of returning partial labels."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    edges = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        joined = ls.join(m2, "u")
+        ss = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+        )
+        new_edges = (
+            ss.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            new_edges.unionByName(edges)
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") == 1)
+            .count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_rounds} rounds"
+        )
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+    roots = (
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return (
+        labels.unionByName(roots)
+        .distinct()
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def dedup_cluster_assign(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Cluster assignment over the (fully SQL-expressible) n-gram
     Jaccard pairs, so the whole chain pairs → components → keepers has
@@ -463,7 +550,12 @@ def dedup_cluster_assign(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return dedup_clusters(dedup_ngram_jaccard(spark, sf_dir))
 
 
-def _apply_drops(spark: "SparkSession", sf_dir: str, pairs: "DataFrame") -> "DataFrame":
+def _apply_drops(
+    spark: "SparkSession",
+    sf_dir: str,
+    pairs: "DataFrame",
+    clusterer: str = "label",
+) -> "DataFrame":
     """Shared tail of the dedup pipeline: the corpus with duplicates
     DROPPED, given a near-duplicate pair source. Non-keepers come from
     exact content groups (every id but the group minimum) and from
@@ -480,8 +572,9 @@ def _apply_drops(spark: "SparkSession", sf_dir: str, pairs: "DataFrame") -> "Dat
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id")
     )
+    cluster_fn = dedup_clusters_star if clusterer == "star" else dedup_clusters
     near = (
-        dedup_clusters(pairs)
+        cluster_fn(pairs)
         .filter(~F.col("is_keeper"))
         .select("doc_id")
     )
@@ -501,6 +594,7 @@ def dedup_apply_lsh(
     sf_dir: str,
     min_jaccard: float = 0.5,
     max_bucket_docs: int = LSH_MAX_BUCKET_DOCS,
+    clusterer: str = "label",
 ) -> "DataFrame":
     """THE production dedup composition a 100 TB corpus runs first:
     MinHash+LSH band-collision candidates → exact n-gram Jaccard
@@ -511,11 +605,15 @@ def dedup_apply_lsh(
     key-local shuffle; nothing is quadratic in the corpus
     (_bucketed_pairs hub-star guard bounds even pathological
     boilerplate buckets). Fully DuckDB-oracled via the portable md5
-    hashes."""
+    hashes. ``clusterer``: "label" (min-label, rounds ≈ diameter —
+    right for real shallow near-dup components) or "star" (alternating
+    large/small-star, O(log n) rounds — right when chain-shaped
+    components are possible); both produce identical components
+    (equivalence-tested)."""
     pairs = lsh_verified_pairs(
         spark, sf_dir, min_jaccard=min_jaccard, max_bucket_docs=max_bucket_docs
     )
-    return _apply_drops(spark, sf_dir, pairs)
+    return _apply_drops(spark, sf_dir, pairs, clusterer=clusterer)
 
 
 # ------------------------------------------------------- similarity search

@@ -197,3 +197,51 @@ def stream_quality_drift(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DOC_STREAM_SCHEMA = "doc_id long, text string, ts timestamp"
+
+
+def stream_dedup_exact(
+    spark: "SparkSession",
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> "StreamingQuery":
+    """Streaming exact dedup over a document stream: the FIRST arrival
+    of each content hash passes, later identical payloads are dropped —
+    the incremental twin of analytics.dedup_exact for corpora that
+    keep arriving.
+
+    State design for 10^12 docs: ``dropDuplicatesWithinWatermark``
+    keeps one state row per distinct hash only within the watermark
+    horizon and evicts it as event time advances — bounded state,
+    unlike a plain streaming ``dropDuplicates`` whose state grows with
+    every distinct document ever seen and eventually OOMs. The trade
+    is the standard one: a duplicate arriving after the horizon passes
+    again (downstream batch dedup_exact catches those); the horizon is
+    the knob. Exactly-once via checkpoint + append sink."""
+    src = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    deduped = (
+        src.withColumn("content_hash", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{output_dir}/deduped")
+
+    writer = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -462,3 +462,49 @@ def test_persisted_codebook_reproduces_inline_training(spark, tmp_path):
         tuple(r) for r in simsearch_ivf_centroids(spark, sf).collect()
     )
     assert served == inline and served
+
+
+def test_star_clusters_match_min_label(spark):
+    """Alternating large/small-star components == min-label propagation
+    on a 50-deep path (diameter stress: star needs O(log n) rounds,
+    label needs 50), a merged-chain graph, and seeded random graphs."""
+    from engine.spark.analytics import dedup_clusters, dedup_clusters_star
+
+    def both(edges, label_iters=80):
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        a = {
+            (r.doc_id, r.cluster_id, r.is_keeper)
+            for r in dedup_clusters(df, max_iterations=label_iters).collect()
+        }
+        b = {
+            (r.doc_id, r.cluster_id, r.is_keeper)
+            for r in dedup_clusters_star(df).collect()
+        }
+        assert a == b, (sorted(a - b)[:5], sorted(b - a)[:5])
+        return a
+
+    # 12-deep path: star converges in ~4 alternating rounds vs 12
+    # label rounds (the 30-deep min-label case is covered separately by
+    # test_dedup_clusters_deep_chain_converges)
+    got = both([(i, i + 1) for i in range(12)], label_iters=20)
+    assert {c for _, c, _ in got} == {0}
+
+    both([(1, 2), (2, 3), (10, 11), (3, 10), (20, 21)])  # chain merge
+
+    import random
+
+    rng = random.Random(5)
+    nodes = list(range(60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)]
+    both([(a, b) for a, b in edges if a != b])
+
+
+def test_dedup_apply_lsh_star_matches_label(spark, boilerplate_dir):
+    from engine.spark.analytics import dedup_apply_lsh
+
+    a = sorted(r.doc_id for r in dedup_apply_lsh(spark, boilerplate_dir).collect())
+    b = sorted(
+        r.doc_id
+        for r in dedup_apply_lsh(spark, boilerplate_dir, clusterer="star").collect()
+    )
+    assert a == b

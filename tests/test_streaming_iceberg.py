@@ -141,3 +141,47 @@ def test_stream_conversation_state_accumulates(spark, tmp_path_factory):
         assert got.max_quality_score == exp.max_quality_score, cid
     # both arrivals produced a snapshot: more rows than conversations
     assert snaps.count() > len(expected)
+
+
+def test_stream_dedup_exact_drops_cross_batch_duplicates(spark, tmp_path_factory):
+    """Streaming exact dedup: within-batch and cross-drain duplicates
+    of the same content are dropped (state survives via checkpoint);
+    fresh content always passes."""
+    import datetime as dt
+
+    from engine.spark.streaming import stream_dedup_exact
+
+    base = tmp_path_factory.mktemp("sdedup")
+    in_dir, out_dir, ckpt = (str(base / d) for d in ("in", "out", "ckpt"))
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [
+        (0, "alpha body", t0),
+        (1, "beta body", t0),
+        (2, "alpha body", t0),  # within-batch duplicate of doc 0
+    ]
+    spark.createDataFrame(
+        rows1, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_dedup_exact(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+
+    got1 = spark.read.parquet(f"{out_dir}/deduped")
+    assert got1.count() == 2
+    assert {r.text for r in got1.collect()} == {"alpha body", "beta body"}
+
+    # second drain: repeats within the watermark horizon + new content
+    rows2 = [
+        (3, "alpha body", t0 + dt.timedelta(minutes=5)),   # cross-drain dup
+        (4, "gamma body", t0 + dt.timedelta(minutes=5)),   # fresh
+    ]
+    spark.createDataFrame(
+        rows2, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_dedup_exact(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+
+    got2 = spark.read.parquet(f"{out_dir}/deduped")
+    assert got2.count() == 3
+    texts = sorted(r.text for r in got2.collect())
+    assert texts == ["alpha body", "beta body", "gamma body"]
