@@ -249,6 +249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified on candidates only -> components -> anti-join
         "dedup_lsh_verified": A.lsh_verified_pairs,
         "dedup_apply_lsh": A.dedup_apply_lsh,
+        # the full training-corpus pipeline in one call: quality
+        # filter -> dedup -> pack (loader-ready bins)
+        "corpus_prepare": A.corpus_prepare,
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
         # sign arithmetic; the functions' production default is adaptive
         # (corpus-sized keyspace, engine/spark/analytics.py)
@@ -379,14 +382,14 @@ def _skill_match_oracle() -> str:
     """
 
 
-def _shingle_ctes(where: str = "") -> str:
+def _shingle_ctes(src: str = "documents", where: str = "") -> str:
     """Shared DuckDB CTE chain: distinct word-3-gram shingles per doc
     (identical tokenization to engine.spark.analytics._shingles)."""
     return rf"""
         words AS (
             SELECT doc_id,
                    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
-            FROM documents {where}
+            FROM {src} {where}
         ), idx AS (
             SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
             FROM words WHERE len(w) >= 3
@@ -420,7 +423,7 @@ def _bucket_pair_ctes(src: str, payload: str, max_bucket_docs: int) -> str:
         )"""
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(src: str = "documents") -> str:
     """MinHash(32) signatures + 8x4 LSH band buckets in DuckDB, bit-
     identical to analytics._minhash_bands via the portable md5 double
     hash (Kirsch–Mitzenmacher: h_k = a + k*(2b+1))."""
@@ -442,7 +445,7 @@ def _minhash_ctes() -> str:
             f"('0x' || substr(md5('{band}:' || {parts}), 1, 15))::BIGINT"
         )
     return f"""
-        {_shingle_ctes()}, hsh AS (
+        {_shingle_ctes(src)}, hsh AS (
             SELECT doc_id,
                    ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
                    ('0x' || substr(md5(shingle), 9, 8))::BIGINT * 2 + 1 AS hb
@@ -507,12 +510,12 @@ def _simhash_oracle(band_bits: int = 10) -> str:
     """
 
 
-def _lsh_verified_ctes(min_jaccard: float) -> str:
+def _lsh_verified_ctes(min_jaccard: float, src: str = "documents") -> str:
     """LSH candidates (any band collision) verified with exact n-gram
     Jaccard computed only on those pairs — DuckDB twin of
     analytics.lsh_verified_pairs."""
     return f"""
-        {_minhash_ctes()}, cand AS (
+        {_minhash_ctes(src)}, cand AS (
             SELECT doc_a, doc_b FROM est
         ), sizes AS (
             SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
@@ -540,12 +543,13 @@ def _lsh_verified_oracle() -> str:
     """
 
 
-def _dedup_apply_lsh_oracle() -> str:
-    """Recursive-CTE transitive closure over the LSH-verified pairs,
-    then the corpus minus exact-group and component non-keepers —
-    DuckDB twin of analytics.dedup_apply_lsh."""
+def _apply_lsh_drop_ctes(src: str = "documents") -> str:
+    """Recursive-CTE transitive closure over the LSH-verified pairs +
+    the exact-group drops — the shared tail of dedup_apply_lsh and
+    corpus_prepare (DuckDB twin of analytics._apply_drops_docs).
+    Yields a ``survivors`` CTE of surviving doc ids."""
     return f"""
-        WITH RECURSIVE {_lsh_verified_ctes(0.5)},
+        {_lsh_verified_ctes(0.5, src)},
         edges AS (
             SELECT doc_a AS a, doc_b AS b FROM vpairs
             UNION SELECT doc_b, doc_a FROM vpairs),
@@ -561,11 +565,53 @@ def _dedup_apply_lsh_oracle() -> str:
         exact_drop AS (
             SELECT doc_id FROM (
                 SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-                FROM documents)
-            WHERE doc_id != keep_id)
-        SELECT doc_id FROM documents
-        WHERE doc_id NOT IN (SELECT doc_id FROM near_drop
-                             UNION SELECT doc_id FROM exact_drop)
+                FROM {src})
+            WHERE doc_id != keep_id),
+        survivors AS (
+            SELECT doc_id, text FROM {src}
+            WHERE doc_id NOT IN (SELECT doc_id FROM near_drop
+                                 UNION SELECT doc_id FROM exact_drop))
+    """
+
+
+def _dedup_apply_lsh_oracle() -> str:
+    """The corpus minus exact-group and component non-keepers —
+    DuckDB twin of analytics.dedup_apply_lsh."""
+    return f"""
+        WITH RECURSIVE {_apply_lsh_drop_ctes()}
+        SELECT doc_id FROM survivors
+    """
+
+
+def _corpus_prepare_oracle() -> str:
+    """DuckDB twin of analytics.corpus_prepare: quality filter →
+    dedup (exact + LSH-verified near-dup) → per-shard concat packing,
+    with the filter folded in via a ``corpus`` CTE feeding the shared
+    LSH chain."""
+    quality = r"""
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            WHERE len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) >= 30
+              AND coalesce(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / NULLIF(length(text), 0) <= 0.3, FALSE)
+        )"""
+    return f"""
+        WITH RECURSIVE {quality}, {_apply_lsh_drop_ctes("corpus")},
+        d AS (
+            SELECT doc_id,
+                   CAST(doc_id % 16 AS INT) AS shard,
+                   greatest(1, CAST(floor(length(text) / 4) AS BIGINT)) AS est_tokens
+            FROM survivors),
+        c AS (
+            SELECT *,
+                   CAST(sum(est_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM d)
+        SELECT doc_id, shard, est_tokens,
+               cum - est_tokens AS start_tok,
+               CAST(floor((cum - est_tokens) / 4096) AS BIGINT) AS bin
+        FROM c
     """
 
 
@@ -1180,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "dedup_lsh_verified": _lsh_verified_oracle(),
         "dedup_apply_lsh": _dedup_apply_lsh_oracle(),
+        "corpus_prepare": _corpus_prepare_oracle(),
         # corpus minus exact-group and near-dup-component non-keepers
         "dedup_apply": """
             WITH RECURSIVE j AS (__PAIRS__),

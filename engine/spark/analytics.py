@@ -203,7 +203,15 @@ def dedup_minhash_lsh(
     Oversized band buckets (boilerplate skew) emit hub-star pairs
     instead of all-pairs (_bucketed_pairs). Fully DuckDB-oracled via
     the portable md5 double-hash (_minhash_bands)."""
-    bands = _minhash_bands(_docs(spark, sf_dir))
+    return _minhash_est_pairs(
+        _docs(spark, sf_dir), jaccard_threshold, max_bucket_docs
+    )
+
+
+def _minhash_est_pairs(
+    docs: "DataFrame", jaccard_threshold: float, max_bucket_docs: int
+) -> "DataFrame":
+    bands = _minhash_bands(docs)
     pairs = _bucketed_pairs(bands, "sig", max_bucket_docs)
     est = (
         pairs.select(
@@ -361,10 +369,21 @@ def lsh_verified_pairs(
     corpus². ``est_floor`` optionally pre-filters candidates by the
     signature estimate (0.0 = pure band collision, max recall; raise it
     at scale to shed verify cost)."""
-    cands = dedup_minhash_lsh(
-        spark, sf_dir, jaccard_threshold=est_floor, max_bucket_docs=max_bucket_docs
-    ).select("doc_a", "doc_b")
-    sh = _shingles(_docs(spark, sf_dir))
+    return _lsh_verified_pairs_docs(
+        _docs(spark, sf_dir), min_jaccard, est_floor, max_bucket_docs
+    )
+
+
+def _lsh_verified_pairs_docs(
+    docs: "DataFrame",
+    min_jaccard: float = 0.5,
+    est_floor: float = 0.0,
+    max_bucket_docs: int = LSH_MAX_BUCKET_DOCS,
+) -> "DataFrame":
+    cands = _minhash_est_pairs(docs, est_floor, max_bucket_docs).select(
+        "doc_a", "doc_b"
+    )
+    sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a_sh = cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
     inter = (
@@ -556,6 +575,14 @@ def _apply_drops(
     pairs: "DataFrame",
     clusterer: str = "label",
 ) -> "DataFrame":
+    return _apply_drops_docs(_docs(spark, sf_dir), pairs, clusterer)
+
+
+def _apply_drops_docs(
+    corpus: "DataFrame",
+    pairs: "DataFrame",
+    clusterer: str = "label",
+) -> "DataFrame":
     """Shared tail of the dedup pipeline: the corpus with duplicates
     DROPPED, given a near-duplicate pair source. Non-keepers come from
     exact content groups (every id but the group minimum) and from
@@ -563,9 +590,9 @@ def _apply_drops(
     corpus anti-joins the union. Emits the surviving doc ids — at
     scale this is the keep-list write that every downstream training
     job reads."""
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = corpus.select("doc_id")
     exact = (
-        _docs(spark, sf_dir)
+        corpus
         .groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("keep_id"), F.collect_list("doc_id").alias("ids"))
         .select(F.explode("ids").alias("doc_id"), "keep_id")
@@ -998,7 +1025,13 @@ def pack_sequences(
     stage scales out. Token counts are the T7 estimator over raw text
     (chars/4, floor 1) so the whole operator is one scan + one
     per-shard window."""
-    docs = _docs(spark, sf_dir).select(
+    return _pack_docs(_docs(spark, sf_dir), seq_len, n_shards)
+
+
+def _pack_docs(
+    corpus: "DataFrame", seq_len: int = 4096, n_shards: int = 16
+) -> "DataFrame":
+    docs = corpus.select(
         "doc_id",
         (F.col("doc_id") % n_shards).cast("int").alias("shard"),
         F.greatest(F.lit(1), F.floor(F.length("text") / 4))
@@ -1105,3 +1138,51 @@ def fingerprint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     docs = _docs(spark, sf_dir)
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+# ------------------------------------------------- full corpus pipeline
+
+def quality_filter_docs(
+    corpus: "DataFrame", min_words: int = 30, max_digit_ratio: float = 0.3
+) -> "DataFrame":
+    """Training-corpus quality gate (the filter stage every LLM data
+    pipeline runs first): keep documents with at least ``min_words``
+    whitespace words and a digit ratio at or below
+    ``max_digit_ratio``. Empty/degenerate texts (null ratio via
+    try_divide) are dropped. Identical predicates in the DuckDB
+    oracle; map-only, no shuffle."""
+    words = F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+    dr = F.try_divide(
+        F.length(F.regexp_replace("text", r"[^0-9]", "")), F.length("text")
+    )
+    return corpus.filter(
+        (F.size(words) >= min_words)
+        & F.coalesce(dr <= max_digit_ratio, F.lit(False))
+    )
+
+
+def corpus_prepare(
+    spark: "SparkSession",
+    sf_dir: str,
+    min_words: int = 30,
+    max_digit_ratio: float = 0.3,
+    min_jaccard: float = 0.5,
+    seq_len: int = 4096,
+    n_shards: int = 16,
+) -> "DataFrame":
+    """THE end-to-end training-data preparation pipeline as one call:
+    quality filter → exact + LSH near-dup dedup (candidates verified
+    with exact jaccard on candidate pairs only) → concat-packing of
+    the surviving corpus into fixed-token bins. Raw documents in,
+    loader-ready (doc_id, shard, est_tokens, start_tok, bin) out —
+    what a 100 TB pretraining corpus actually runs, with every stage
+    the bucket-local / map-only shape documented on its operator.
+    Fully DuckDB-oracled end-to-end (the quality predicate folds into
+    the shared shingle/LSH CTE chain via a `corpus` CTE)."""
+    filtered = quality_filter_docs(
+        _docs(spark, sf_dir), min_words, max_digit_ratio
+    )
+    pairs = _lsh_verified_pairs_docs(filtered, min_jaccard=min_jaccard)
+    survivors = _apply_drops_docs(filtered, pairs)
+    kept = filtered.join(survivors.select("doc_id"), "doc_id")
+    return _pack_docs(kept, seq_len, n_shards)

@@ -508,3 +508,27 @@ def test_dedup_apply_lsh_star_matches_label(spark, boilerplate_dir):
         for r in dedup_apply_lsh(spark, boilerplate_dir, clusterer="star").collect()
     )
     assert a == b
+
+
+def test_corpus_prepare_filters_dedups_and_packs(spark, boilerplate_dir):
+    """End-to-end pipeline semantics on the skewed fixture: the
+    boilerplate dups collapse to their hub, quality-failing docs are
+    gone, and the survivors are contiguously packed per shard."""
+    from engine.spark.analytics import corpus_prepare, quality_filter_docs, _docs
+
+    rows = corpus_prepare(spark, boilerplate_dir, min_words=30).collect()
+    ids = sorted(r.doc_id for r in rows)
+    # 150 identical boilerplate docs -> hub 0 survives; random docs
+    # (120 words each, all past the quality gate) survive
+    assert ids == [0] + [500 + i for i in range(20)]
+    kept = quality_filter_docs(_docs(spark, boilerplate_dir), min_words=30).count()
+    assert kept == 170  # gate is non-vacuous only on short docs; none here
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for docs in by_shard.values():
+        docs.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in docs:
+            assert r.start_tok == expect
+            expect += r.est_tokens
