@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the corpus dedup / preparation job —
+the keep-list (or loader-ready packed-corpus) write every downstream
+training job reads.
+
+Usage (local sandbox):
+    scripts/package.sh   # builds dist/engine.zip
+    spark-submit --py-files dist/engine.zip jobs/dedup_job.py \
+        --input /path/with/documents.parquet --output /path/out \
+        [--mode keep-list|prepare] [--min-jaccard 0.5] \
+        [--min-words 30] [--seq-len 4096] [--shards 16]
+
+Modes:
+- keep-list: dedup_apply_lsh — exact + LSH-verified near-dup dedup;
+  writes the surviving doc ids.
+- prepare: corpus_prepare — quality filter + dedup + fixed-token
+  concat packing; writes the loader-ready (doc_id, shard, est_tokens,
+  start_tok, bin) table.
+
+Output overwrite is idempotent: re-running the same invocation
+produces the identical table (every stage is deterministic), so a
+failed/killed run is simply re-submitted. A metrics JSON
+(rows in/out, drop rate) is written beside the table for the run log.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="corpus dedup / preparation")
+    ap.add_argument("--input", required=True,
+                    help="dir containing documents.parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", choices=("keep-list", "prepare"),
+                    default="keep-list")
+    ap.add_argument("--min-jaccard", type=float, default=0.5)
+    ap.add_argument("--min-words", type=int, default=30)
+    ap.add_argument("--seq-len", type=int, default=4096)
+    ap.add_argument("--shards", type=int, default=16)
+    ap.add_argument("--clusterer", choices=("label", "star"), default="label")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from engine.spark import analytics as A
+
+    spark = SparkSession.builder.appName(f"dedup-{args.mode}").getOrCreate()
+
+    n_in = A._docs(spark, args.input).count()
+    if args.mode == "keep-list":
+        out = A.dedup_apply_lsh(
+            spark, args.input, min_jaccard=args.min_jaccard,
+            clusterer=args.clusterer,
+        )
+        table = "keep_list"
+    else:
+        out = A.corpus_prepare(
+            spark, args.input, min_words=args.min_words,
+            min_jaccard=args.min_jaccard, seq_len=args.seq_len,
+            n_shards=args.shards,
+        )
+        table = "prepared"
+
+    dest = f"{args.output}/{table}"
+    out.write.mode("overwrite").parquet(dest)
+    n_out = spark.read.parquet(dest).count()
+    metrics = {
+        "mode": args.mode,
+        "rows_in": n_in,
+        "rows_out": n_out,
+        "drop_rate": round(1 - n_out / n_in, 6) if n_in else None,
+        "output": dest,
+    }
+    with open(f"{args.output}/metrics_{args.mode}.json", "w") as f:
+        json.dump(metrics, f)
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
