@@ -258,6 +258,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda s, d: A.dedup_embedding_cosine(
             s, d, sign_dims=6
         ),
+        # the vector-side keep-list (cosine pairs -> components ->
+        # anti-join); same pinned sign_dims for the static oracle
+        "dedup_apply_embeddings": lambda s, d: A.dedup_apply_embeddings(
+            s, d, sign_dims=6
+        ),
         "simsearch_bruteforce": A.simsearch_bruteforce,
         "simsearch_ivf": lambda s, d: A.simsearch_ivf(s, d, sign_dims=6),
         # rows-only: the k-means codebook is data-dependent, so no SQL
@@ -665,6 +670,44 @@ _CAREER_PROGRESSION_SQL = """
                || CAST(n_roles AS VARCHAR) || ' roles' AS progression_summary
     FROM u
 """
+
+
+# sign-bucketed embedding near-dup pair CTEs (unit-normalized, 6-bit
+# buckets × 2 probes — pinned to match the queries() lambda); shared by
+# the pair-listing and keep-list oracles
+_EMB_PAIR_CTES = """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u FROM embeddings),
+                 e AS (SELECT vec_id,
+                              list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS v
+                       FROM e0 WHERE list_dot_product(u, u) > 0),
+                 b0 AS (SELECT vec_id, v,
+                              (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+                            + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+                            + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+                            + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+                            + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+                            + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+                       FROM e),
+                 b1 AS (SELECT vec_id, v,
+                              (CASE WHEN v[7] > 0 THEN 1 ELSE 0 END)
+                            + (CASE WHEN v[8] > 0 THEN 2 ELSE 0 END)
+                            + (CASE WHEN v[9] > 0 THEN 4 ELSE 0 END)
+                            + (CASE WHEN v[10] > 0 THEN 8 ELSE 0 END)
+                            + (CASE WHEN v[11] > 0 THEN 16 ELSE 0 END)
+                            + (CASE WHEN v[12] > 0 THEN 32 ELSE 0 END) AS bucket
+                       FROM e),
+                 cand AS (
+                     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.v AS va, c.v AS vb
+                     FROM b0 a JOIN b0 c
+                       ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+                     UNION
+                     SELECT a.vec_id, c.vec_id, a.v, c.v
+                     FROM b1 a JOIN b1 c
+                       ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+                 sims AS (
+                     -- unit vectors (normalized once in CTE e): cosine = dot
+                     SELECT vec_a, vec_b,
+                            round(list_dot_product(va, vb), 5) AS cosine
+                     FROM cand)"""
 
 
 _NGRAM_JACCARD_SQL = r"""
@@ -1319,41 +1362,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
-        "dedup_embedding_cosine": """
-            WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u FROM embeddings),
-                 e AS (SELECT vec_id,
-                              list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS v
-                       FROM e0 WHERE list_dot_product(u, u) > 0),
-                 b0 AS (SELECT vec_id, v,
-                              (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
-                            + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
-                            + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
-                            + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
-                            + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
-                            + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
-                       FROM e),
-                 b1 AS (SELECT vec_id, v,
-                              (CASE WHEN v[7] > 0 THEN 1 ELSE 0 END)
-                            + (CASE WHEN v[8] > 0 THEN 2 ELSE 0 END)
-                            + (CASE WHEN v[9] > 0 THEN 4 ELSE 0 END)
-                            + (CASE WHEN v[10] > 0 THEN 8 ELSE 0 END)
-                            + (CASE WHEN v[11] > 0 THEN 16 ELSE 0 END)
-                            + (CASE WHEN v[12] > 0 THEN 32 ELSE 0 END) AS bucket
-                       FROM e),
-                 cand AS (
-                     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.v AS va, c.v AS vb
-                     FROM b0 a JOIN b0 c
-                       ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-                     UNION
-                     SELECT a.vec_id, c.vec_id, a.v, c.v
-                     FROM b1 a JOIN b1 c
-                       ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
-                 sims AS (
-                     -- unit vectors (normalized once in CTE e): cosine = dot
-                     SELECT vec_a, vec_b,
-                            round(list_dot_product(va, vb), 5) AS cosine
-                     FROM cand)
+        "dedup_embedding_cosine": f"""
+            WITH {_EMB_PAIR_CTES}
             SELECT vec_a, vec_b, cosine FROM sims WHERE cosine >= 0.35
+        """,
+        "dedup_apply_embeddings": f"""
+            WITH RECURSIVE {_EMB_PAIR_CTES},
+            p AS (SELECT vec_a, vec_b FROM sims WHERE cosine >= 0.35),
+            edges AS (
+                SELECT vec_a AS a, vec_b AS b FROM p
+                UNION SELECT vec_b, vec_a FROM p),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e2.a, reach.r FROM edges e2 JOIN reach ON e2.b = reach.node
+            ),
+            dropped AS (
+                SELECT node AS vec_id FROM reach GROUP BY node
+                HAVING node != min(r))
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         """,
         "simsearch_bruteforce": """
             WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u FROM embeddings),

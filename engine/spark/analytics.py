@@ -1009,6 +1009,34 @@ def dedup_embedding_cosine(
     return sims.filter(F.col("cosine") >= threshold)
 
 
+def dedup_apply_embeddings(
+    spark: "SparkSession",
+    sf_dir: str,
+    threshold: float = 0.35,
+    sign_dims: int | None = None,
+    probes: int = 2,
+    clusterer: str = "label",
+) -> "DataFrame":
+    """The vector-side keep-list: embedding-cosine near-dup pairs →
+    connected components → anti-join, emitting the surviving vec_ids
+    (zero-norm failed-embedding rows pass through untouched — they
+    pair with nothing). No separate exact stage: identical vectors
+    have cosine 1.0 ≥ any threshold, so the cosine pairs subsume
+    exact dups. The default threshold matches the oracled pair query
+    on this synthetic corpus; real near-dup pruning runs ~0.95+ —
+    threshold is the knob, the plan shape is identical."""
+    pairs = dedup_embedding_cosine(
+        spark, sf_dir, threshold=threshold, sign_dims=sign_dims, probes=probes
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    cluster_fn = dedup_clusters_star if clusterer == "star" else dedup_clusters
+    drop = (
+        cluster_fn(pairs)
+        .filter(~F.col("is_keeper"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return _embs(spark, sf_dir).select("vec_id").join(drop, "vec_id", "left_anti")
+
+
 def pack_sequences(
     spark: "SparkSession", sf_dir: str, seq_len: int = 4096, n_shards: int = 16
 ) -> "DataFrame":

@@ -532,3 +532,27 @@ def test_corpus_prepare_filters_dedups_and_packs(spark, boilerplate_dir):
         for r in docs:
             assert r.start_tok == expect
             expect += r.est_tokens
+
+
+def test_dedup_apply_embeddings_drops_planted(spark, tmp_path):
+    """Planted near-identical vectors collapse to their min-id keeper;
+    unrelated vectors and the zero-norm sentinel survive."""
+    import random
+
+    from engine.spark.analytics import dedup_apply_embeddings
+
+    rng = random.Random(21)
+    dim = 32
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(100)]
+    for j, base_id in enumerate((7, 40, 88)):
+        rows.append((500 + j, [x + rng.gauss(0, 0.001) for x in rows[base_id][1]]))
+    rows.append((900, [0.0] * dim))  # zero-norm failed-embedding row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "embdir")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    kept = sorted(
+        r.vec_id
+        for r in dedup_apply_embeddings(spark, out, threshold=0.95).collect()
+    )
+    assert kept == list(range(100)) + [900]
