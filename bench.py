@@ -274,6 +274,42 @@ def _wait_for_clean_host(
     return spin
 
 
+def _set_affinity(n_cores: int | None) -> None:
+    """Pin the whole session (this Python process + the persistent
+    py4j JVM, all threads) to the first ``n_cores`` CPUs — or release
+    to all CPUs when None. Scaling legs run under hard caps so each
+    leg is an honest N-core machine: without the cap, a local[6] leg's
+    JVM/Arrow/GC threads and Python workers borrow idle host cores and
+    over-deliver (measured: 8.7k→12.8k t/s at 6 slots depending on how
+    busy the co-tenant host was), which makes the N→4N ratio a
+    function of host idleness instead of the engine. Python workers
+    fork from the JVM after the cap is applied, so they inherit it."""
+    import subprocess
+
+    n = os.cpu_count() or 1
+    mask = f"0-{n - 1}" if n_cores is None else (
+        f"0-{n_cores - 1}" if n_cores > 1 else "0"
+    )
+
+    def descendants(pid: int) -> list[int]:
+        out = subprocess.run(
+            ["pgrep", "-P", str(pid)], capture_output=True, text=True
+        )
+        kids = [int(x) for x in out.stdout.split()]
+        found = list(kids)
+        for k in kids:
+            found += descendants(k)
+        return found
+
+    # the gateway Popen is the spark-submit WRAPPER; the JVM is its
+    # child — pin the whole tree, every thread
+    pids = [os.getpid()] + descendants(os.getpid())
+    for pid in pids:
+        subprocess.run(
+            ["taskset", "-apc", mask, str(pid)], capture_output=True
+        )
+
+
 def _skew_bench(spark) -> dict:
     """North-rule skew evidence: a 64k-turn mega-thread beside 2k
     normal conversations. 'salted' is the engine's default layout
@@ -457,8 +493,16 @@ def main() -> None:
         spins: dict[int, list] = {n_lo: [], n_hi: []}
         for c in (n_lo, n_hi, n_lo, n_hi):
             s = get_spark(f"bench-scale-{c}", cpus=c, shuffle_partitions=max(c, 8))
-            spins[c].append(_wait_for_clean_host(max_wait_s=120))
-            n, wall = _run_extraction(s, sf_dir, scale_convs, warm=True, repeats=2)
+            # hard CPU cap AFTER the session exists (the persistent JVM
+            # must be pinned too) and BEFORE any job spawns Python
+            # workers — each leg then sees exactly its slot count of
+            # cores, like a real c-core executor allocation
+            _set_affinity(c)
+            try:
+                spins[c].append(_wait_for_clean_host(max_wait_s=120))
+                n, wall = _run_extraction(s, sf_dir, scale_convs, warm=True, repeats=2)
+            finally:
+                _set_affinity(None)
             turns_by_c[c] = n
             walls[c] = min(walls.get(c, wall), wall)
             s.stop()
@@ -475,6 +519,10 @@ def main() -> None:
         ) / 4.0
         scaling["efficiency_N_to_4N"] = round(eff, 3)
         scaling["pair"] = f"local[{n_lo}] -> local[{n_hi}]"
+        scaling["affinity"] = (
+            "hard per-leg CPU cap (taskset, all threads incl. the JVM): "
+            "each leg sees exactly its slot count of cores"
+        )
         result["scaling"] = scaling
         if scaling_only:
             result["value"] = scaling[f"local[{n_hi}]"]["turns_per_sec"]
