@@ -66,14 +66,16 @@ def _per_turn_path(sf_dir: str) -> str:
     )
 
 
-def _per_turn_parquet(spark: SparkSession, sf_dir: str) -> str:
+def _per_turn_parquet(
+    spark: SparkSession, sf_dir: str, df: DataFrame | None = None
+) -> str:
     """Materialize per-turn extraction scalars to a deterministic local
     parquet (written eagerly when the query is invoked, before the
     oracle runs) so DuckDB can recompute corpus rollups from exactly
     the rows the Spark side aggregated. Extraction is deterministic, so
     repeated writes are byte-stable in content."""
     path = _per_turn_path(sf_dir)
-    _ex(spark, sf_dir).select(
+    (df if df is not None else _ex(spark, sf_dir)).select(
         "conv_id", "turn_idx", "ts", "bytes_in", "is_empty",
         "estimated_tokens", "quality_score", "quality_bucket",
         "overall_confidence", "n_chunks",
@@ -81,18 +83,19 @@ def _per_turn_parquet(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _spans_parquet(spark: SparkSession, sf_dir: str) -> str:
+def _spans_parquet(
+    spark: SparkSession, sf_dir: str, df: DataFrame | None = None
+) -> str:
     """Materialize the posexplode span transport (the extract_spans
     projection) so DuckDB can cross-check it against the scalar-path
     per-turn parquet — the two are independent projections of the same
     kernel output, so a drift in span explosion/transport shows up as
     count mismatches in extract_spans_consistency."""
-    import os
-
     path = _per_turn_path(sf_dir) + "_spans"
     from pyspark.sql import functions as F
 
-    df = _ex(spark, sf_dir)
+    if df is None:
+        df = _ex(spark, sf_dir)
     df.select(
         "conv_id", "turn_idx", F.posexplode_outer("spans").alias("pos", "span")
     ).select(
@@ -134,8 +137,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count (count of non-null pos — empty turns emit a null-span
         # row), with both sides re-aggregated by DuckDB from the
         # materialized parquets
-        turns = spark.read.parquet(_per_turn_parquet(spark, sf_dir))
-        spans = spark.read.parquet(_spans_parquet(spark, sf_dir))
+        # one shared extraction pass feeds both materializations
+        ex = _ex(spark, sf_dir).persist()
+        try:
+            turns = spark.read.parquet(_per_turn_parquet(spark, sf_dir, ex))
+            spans = spark.read.parquet(_spans_parquet(spark, sf_dir, ex))
+        finally:
+            ex.unpersist()
         t = turns.groupBy("conv_id").agg(
             F.sum("n_chunks").cast("long").alias("chunks_sum"),
             F.count("*").alias("n_turns"),
@@ -238,6 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
         # pairs -> connected components -> keep/drop decision -> applied
         "dedup_cluster_assign": A.dedup_cluster_assign,
+        # O(log n) star algorithm over the same pairs -> same oracle
+        "dedup_cluster_assign_star": A.dedup_cluster_assign_star,
         "dedup_apply": A.dedup_apply,
         # fully oracled since the portable md5 double-hash (DuckDB
         # computes bit-identical signatures/simhashes)
@@ -1297,6 +1307,23 @@ def oracle_sql() -> dict[str, str]:
         # connected components over the jaccard pairs: recursive-CTE
         # transitive closure labels each node with the min reachable id
         "dedup_cluster_assign": """
+            WITH RECURSIVE j AS (__PAIRS__),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM j
+                UNION SELECT doc_b, doc_a FROM j),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id,
+                   (node = min(r)) AS is_keeper
+            FROM reach GROUP BY node
+        """.replace("__PAIRS__", _NGRAM_JACCARD_SQL),
+        # the star algorithm must produce identical components — same
+        # closure twin, full oracle row for the O(log n) variant
+        "dedup_cluster_assign_star": """
             WITH RECURSIVE j AS (__PAIRS__),
             edges AS (
                 SELECT doc_a AS a, doc_b AS b FROM j

@@ -569,6 +569,14 @@ def dedup_cluster_assign(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return dedup_clusters(dedup_ngram_jaccard(spark, sf_dir))
 
 
+def dedup_cluster_assign_star(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Same pairs, star algorithm: components must be identical to the
+    min-label path, so this shares dedup_cluster_assign's DuckDB
+    oracle — the star variant gets its own full correctness row, not
+    just an equivalence pytest."""
+    return dedup_clusters_star(dedup_ngram_jaccard(spark, sf_dir))
+
+
 def _apply_drops(
     spark: "SparkSession",
     sf_dir: str,
