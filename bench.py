@@ -222,6 +222,7 @@ BENCH_QUERY_NAMES = [
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_apply_lsh",
+        "corpus_prepare",
         "career_progression",
         "simsearch_bruteforce",
         "simsearch_ivf",

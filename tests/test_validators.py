@@ -354,3 +354,37 @@ def test_career_progression_trajectories_cover_all_classes(spark):
     # single-role → lateral; 2-role ±2 climbs → upward/downward;
     # 3+ roles alternate → mixed: all four classes must appear
     assert trajs == {"lateral", "upward", "downward", "mixed"}
+
+
+def test_career_progression_properties():
+    """Property sweep over the kernel derivation (no Spark): output
+    invariants hold for arbitrary job histories."""
+    import random
+
+    from engine.kernel.scoring import CAREER_TITLES, career_progression
+
+    rng = random.Random(13)
+    for _ in range(300):
+        n = rng.randint(1, 8)
+        jobs = [
+            {
+                "duration_months": rng.randint(1, 120),
+                "level": rng.randint(0, 3),
+                "company": f"c{rng.randint(0, 5)}",
+                "gap_after_months": rng.randint(0, 24),
+            }
+            for _ in range(n)
+        ]
+        got = career_progression(jobs)
+        assert got["n_roles"] == n
+        assert got["trajectory"] in {"upward", "downward", "lateral", "mixed"}
+        assert 0 < got["avg_tenure_months"] <= got["longest_tenure_months"]
+        assert 1 <= got["total_companies"] <= n
+        assert got["most_recent_title"] == CAREER_TITLES[jobs[0]["level"]]
+        if n == 1:
+            assert got["trajectory"] == "lateral"
+            assert got["longest_gap_months"] == 0
+            assert not got["has_leadership_progression"]
+        levels = [j["level"] for j in jobs]
+        if got["has_leadership_progression"]:
+            assert levels[0] >= 2 and levels[0] > levels[-1]
