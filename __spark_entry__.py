@@ -56,14 +56,25 @@ def _per_turn_path(sf_dir: str) -> str:
     # keyed by pid so concurrent sessions (bench + pytest) can't
     # overwrite the parquet while the other's DuckDB oracle reads it;
     # queries() and oracle_sql() run in one process, so both sides of a
-    # comparison always derive the same path
+    # comparison always derive the same path. Cleaned up at process
+    # exit — pid keying otherwise leaks one parquet dir per run.
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    return os.path.join(
+    path = os.path.join(
         tempfile.gettempdir(),
         f"entry_per_turn_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
+    if path not in _TMP_PATHS:
+        _TMP_PATHS.add(path)
+        for p in (path, path + "_spans"):
+            atexit.register(shutil.rmtree, p, ignore_errors=True)
+    return path
+
+
+_TMP_PATHS: set[str] = set()
 
 
 def _per_turn_parquet(

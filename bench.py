@@ -275,7 +275,7 @@ def _wait_for_clean_host(
     return spin
 
 
-def _set_affinity(n_cores: int | None) -> None:
+def _set_affinity(n_cores: int | None) -> bool:
     """Pin the whole session (this Python process + the persistent
     py4j JVM, all threads) to the first ``n_cores`` CPUs — or release
     to all CPUs when None. Scaling legs run under hard caps so each
@@ -303,12 +303,21 @@ def _set_affinity(n_cores: int | None) -> None:
         return found
 
     # the gateway Popen is the spark-submit WRAPPER; the JVM is its
-    # child — pin the whole tree, every thread
+    # child — pin the whole tree, every thread. Returns False when any
+    # taskset call failed (tool missing, pid gone) so the caller can
+    # record honestly that the leg ran UNPINNED instead of asserting a
+    # cap that never applied.
+    ok = True
     pids = [os.getpid()] + descendants(os.getpid())
     for pid in pids:
-        subprocess.run(
-            ["taskset", "-apc", mask, str(pid)], capture_output=True
-        )
+        try:
+            r = subprocess.run(
+                ["taskset", "-apc", mask, str(pid)], capture_output=True
+            )
+            ok = ok and r.returncode == 0
+        except OSError:
+            ok = False
+    return ok
 
 
 def _skew_bench(spark) -> dict:
@@ -492,13 +501,14 @@ def main() -> None:
         walls: dict[int, float] = {}
         turns_by_c: dict[int, int] = {}
         spins: dict[int, list] = {n_lo: [], n_hi: []}
+        pinned_ok = True
         for c in (n_lo, n_hi, n_lo, n_hi):
             s = get_spark(f"bench-scale-{c}", cpus=c, shuffle_partitions=max(c, 8))
             # hard CPU cap AFTER the session exists (the persistent JVM
             # must be pinned too) and BEFORE any job spawns Python
             # workers — each leg then sees exactly its slot count of
             # cores, like a real c-core executor allocation
-            _set_affinity(c)
+            pinned_ok = _set_affinity(c) and pinned_ok
             try:
                 spins[c].append(_wait_for_clean_host(max_wait_s=120))
                 n, wall = _run_extraction(s, sf_dir, scale_convs, warm=True, repeats=2)
@@ -523,6 +533,9 @@ def main() -> None:
         scaling["affinity"] = (
             "hard per-leg CPU cap (taskset, all threads incl. the JVM): "
             "each leg sees exactly its slot count of cores"
+            if pinned_ok
+            else "UNPINNED: taskset failed on at least one leg — legs may "
+            "have borrowed idle host cores"
         )
         result["scaling"] = scaling
         if scaling_only:

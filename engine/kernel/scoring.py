@@ -428,8 +428,24 @@ def career_progression(jobs: list[dict]) -> dict:
     level steps: all up → upward, all down → downward, flat →
     lateral, otherwise mixed; a single role is lateral.
     avg_tenure_months rounds to 4 dp (every tie-free rational with
-    denominator ≤ 5, so engines agree bit-for-bit)."""
+    denominator ≤ 5, so engines agree bit-for-bit). An empty history
+    (a resume whose experience failed to parse) yields the degenerate
+    lateral record, not a crash."""
     n = len(jobs)
+    if n == 0:
+        return {
+            "n_roles": 0,
+            "avg_tenure_months": 0.0,
+            "longest_tenure_months": 0,
+            "total_companies": 0,
+            "longest_gap_months": 0,
+            "trajectory": "lateral",
+            "has_leadership_progression": False,
+            "most_recent_title": "",
+            "progression_summary": (
+                "lateral trajectory across 0 companies over 0 roles"
+            ),
+        }
     durs = [j["duration_months"] for j in jobs]
     levels = [j["level"] for j in jobs]
     comps = [j["company"] for j in jobs]

@@ -1215,9 +1215,15 @@ def corpus_prepare(
     the bucket-local / map-only shape documented on its operator.
     Fully DuckDB-oracled end-to-end (the quality predicate folds into
     the shared shingle/LSH CTE chain via a `corpus` CTE)."""
+    # the filtered corpus feeds four independent plan subtrees (LSH
+    # pairs, the exact-hash stage, the keep-list anti-join, the final
+    # pack join) — materialize it ONCE instead of re-scanning + re-
+    # running the regex predicates per subtree; at production scale
+    # this checkpoint is the filtered-corpus table a real pipeline
+    # would persist anyway
     filtered = quality_filter_docs(
         _docs(spark, sf_dir), min_words, max_digit_ratio
-    )
+    ).localCheckpoint()
     pairs = _lsh_verified_pairs_docs(filtered, min_jaccard=min_jaccard)
     survivors = _apply_drops_docs(filtered, pairs)
     kept = filtered.join(survivors.select("doc_id"), "doc_id")

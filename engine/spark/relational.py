@@ -35,16 +35,37 @@ def _dec(name: str):
     return F.col(name).cast("decimal(18,2)")
 
 
+def _half_up(sum_col: "F.Column", unit_div: int) -> "F.Column":
+    """HALF_UP rounding of an exact integer sum to cents, in INTEGER
+    arithmetic end-to-end: (S + unit_div/2) div unit_div — never
+    floor((S+k)/d) on a double, whose exactness dies at 2^53 (a
+    per-group sum a large-SF corpus can reach long before the long
+    itself overflows). The long sum's own capacity bounds the per-
+    GROUP volume: ≤ ~8·10^9 lineitems/group for the 2-factor product,
+    ≤ ~7.6·10^7 for the 3-factor one; beyond that, the DECIMAL(18,2)
+    formulation the DuckDB oracles keep (sum widens to DECIMAL(28,2))
+    is the drop-in replacement — the trade is documented, not
+    silent."""
+    half = unit_div // 2
+    # the one division happens per GROUP, in decimal: (38,0)/literal is
+    # exact for any long (x/100 has ≤ 2 fractional digits, well inside
+    # the result scale), so floor never sees a double
+    return F.floor(
+        (sum_col + half).cast("decimal(38,0)") / unit_div
+    ).cast("long")
+
+
 def _cents_revenue() -> "F.Column":
     """Exact discounted revenue `round(sum(price·(1−disc)), 2)` in
     integer cents: p_c·(100−d_c) is the exact product in 10^-4-dollar
     units, so the long sum is exact and HALF_UP at 2 dp is
-    floor((S+50)/100)/100 — bit-identical to the DECIMAL(18,2)
-    formulation (the oracles keep DECIMAL as the cross-arithmetic
-    check) with whole-stage-codegen long math instead of Decimal128."""
+    (S+50) div 100 in integer math — bit-identical to the
+    DECIMAL(18,2) formulation (the oracles keep DECIMAL as the
+    cross-arithmetic check) with whole-stage-codegen long math
+    instead of Decimal128. Scale bound: see _half_up."""
     pc = F.round(F.col("l_extendedprice") * 100).cast("long")
     dc = F.round(F.col("l_discount") * 100).cast("long")
-    return F.floor((F.sum(pc * (100 - dc)) + 50) / 100).cast("double") / 100
+    return _half_up(F.sum(pc * (100 - dc)), 100).cast("double") / 100
 
 
 def q1_pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -68,7 +89,7 @@ def q1_pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             (F.sum(qc).cast("double") / 100).alias("sum_qty"),
             (F.sum(pc).cast("double") / 100).alias("sum_base_price"),
             (
-                F.floor((F.sum(pc * (100 - dc)) + 50) / 100).cast("double") / 100
+                _half_up(F.sum(pc * (100 - dc)), 100).cast("double") / 100
             ).alias("sum_disc_price"),
             F.round(
                 (F.sum(qc).cast("double") / 100) / F.count(F.lit(1)), 4
@@ -163,7 +184,7 @@ def order_consistency(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .agg(F.sum(pc * (100 - dc) * (100 + tc)).alias("S"))
         .select(
             "l_orderkey",
-            (F.floor((F.col("S") + 5000) / 10000).cast("double") / 100).alias(
+            (_half_up(F.col("S"), 10000).cast("double") / 100).alias(
                 "line_revenue"
             ),
         )

@@ -222,7 +222,14 @@ def stream_dedup_exact(
     every distinct document ever seen and eventually OOMs. The trade
     is the standard one: a duplicate arriving after the horizon passes
     again (downstream batch dedup_exact catches those); the horizon is
-    the knob. Exactly-once via checkpoint + append sink."""
+    the knob. Exactly-once: the checkpoint tracks progress and the
+    foreachBatch sink is IDEMPOTENT — each microbatch overwrites its
+    own `batch=<id>` partition, so a batch replayed after a crash
+    between sink write and checkpoint commit rewrites the same
+    partition instead of appending duplicates (a blind append sink
+    would be at-least-once, reintroducing exactly the duplicates this
+    operator removes). Readers scan the root; `batch` surfaces as a
+    partition column."""
     src = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 16)
@@ -235,7 +242,9 @@ def stream_dedup_exact(
     )
 
     def sink(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(f"{output_dir}/deduped")
+        batch_df.write.mode("overwrite").parquet(
+            f"{output_dir}/deduped/batch={batch_id}"
+        )
 
     writer = (
         deduped.writeStream.foreachBatch(sink)

@@ -416,12 +416,15 @@ def career_progression_cols(resumes: "DataFrame") -> "DataFrame":
     durs = F.transform(exp, lambda j: j["duration_months"])
     levels = F.transform(exp, lambda j: j["level"])
     comps = F.transform(exp, lambda j: j["company"])
-    gaps = F.slice(F.transform(exp, lambda j: j["gap_after_months"]), 1, n - 1)
+    # slice length clamps at 0: an empty experience array would
+    # otherwise feed slice a -1 length (runtime error, not null)
+    n1 = F.greatest(n - 1, F.lit(0))
+    gaps = F.slice(F.transform(exp, lambda j: j["gap_after_months"]), 1, n1)
     # chronological level step = newer minus next-older (stored order
     # is most-recent first)
     climbs = F.zip_with(
-        F.slice(levels, 1, n - 1),
-        F.slice(levels, 2, n - 1),
+        F.slice(levels, 1, n1),
+        F.slice(levels, 2, n1),
         lambda newer, older: newer - older,
     )
     any_up = F.exists(climbs, lambda c: c > 0)
@@ -432,27 +435,40 @@ def career_progression_cols(resumes: "DataFrame") -> "DataFrame":
         .when(any_down, "downward")
         .otherwise("lateral")
     )
-    recent_level = F.element_at(levels, 1)
-    earliest_level = F.element_at(levels, -1)
+    # try_element_at + coalesce: an EMPTY experience array (failed
+    # resume parse) must yield the kernel's degenerate lateral record,
+    # not an ANSI INVALID_ARRAY_INDEX crash
+    recent_level = F.try_element_at(levels, F.lit(1))
+    earliest_level = F.try_element_at(levels, F.lit(-1))
     n_companies = F.size(F.array_distinct(comps)).cast("int")
-    title = F.element_at(
-        F.array(*[F.lit(t) for t in CAREER_TITLES]), recent_level + 1
+    title = F.coalesce(
+        F.try_element_at(
+            F.array(*[F.lit(t) for t in CAREER_TITLES]), recent_level + 1
+        ),
+        F.lit(""),
     )
     return resumes.select(
         "doc_id",
         n.cast("int").alias("n_roles"),
-        F.round(
-            F.aggregate(durs, F.lit(0), lambda a, x: a + x) / n, 4
+        F.coalesce(
+            F.round(
+                F.try_divide(F.aggregate(durs, F.lit(0), lambda a, x: a + x), n),
+                4,
+            ),
+            F.lit(0.0),
         ).alias("avg_tenure_months"),
-        F.array_max(durs).cast("int").alias("longest_tenure_months"),
+        F.coalesce(F.array_max(durs), F.lit(0)).cast("int").alias(
+            "longest_tenure_months"
+        ),
         n_companies.alias("total_companies"),
         F.coalesce(F.array_max(gaps), F.lit(0)).cast("int").alias(
             "longest_gap_months"
         ),
         traj.alias("trajectory"),
-        ((recent_level >= 2) & (recent_level > earliest_level)).alias(
-            "has_leadership_progression"
-        ),
+        F.coalesce(
+            (recent_level >= 2) & (recent_level > earliest_level),
+            F.lit(False),
+        ).alias("has_leadership_progression"),
         title.alias("most_recent_title"),
         F.concat(
             traj, F.lit(" trajectory across "), n_companies.cast("string"),

@@ -19,8 +19,9 @@ Modes:
 
 Output overwrite is idempotent: re-running the same invocation
 produces the identical table (every stage is deterministic), so a
-failed/killed run is simply re-submitted. A metrics JSON
-(rows in/out, drop rate) is written beside the table for the run log.
+failed/killed run is simply re-submitted. A metrics JSON line
+(rows in/out, drop rate) is written beside the table — via Spark, so
+object-store/HDFS outputs work — for the run log.
 """
 
 from __future__ import annotations
@@ -75,8 +76,12 @@ def main(argv: list[str] | None = None) -> int:
         "drop_rate": round(1 - n_out / n_in, 6) if n_in else None,
         "output": dest,
     }
-    with open(f"{args.output}/metrics_{args.mode}.json", "w") as f:
-        json.dump(metrics, f)
+    # write metrics through Spark so hdfs://-style outputs work too
+    # (builtin open() only handles local paths); overwrite keeps the
+    # re-submission idempotent
+    spark.createDataFrame([(json.dumps(metrics),)], "v string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{args.output}/metrics_{args.mode}")
     print(json.dumps(metrics))
     spark.stop()
     return 0

@@ -388,3 +388,23 @@ def test_career_progression_properties():
         levels = [j["level"] for j in jobs]
         if got["has_leadership_progression"]:
             assert levels[0] >= 2 and levels[0] > levels[-1]
+
+
+def test_career_progression_empty_history(spark):
+    """A resume with no parseable experience yields the degenerate
+    lateral record on BOTH sides (kernel dict == native row), not a
+    ZeroDivisionError / ANSI array-index crash."""
+    from engine.kernel.scoring import career_progression
+    from engine.spark.validation import career_progression_cols
+
+    want = career_progression([])
+    assert want["n_roles"] == 0 and want["trajectory"] == "lateral"
+
+    df = spark.createDataFrame(
+        [(1, [])],
+        "doc_id long, experience array<struct<duration_months: int, "
+        "level: int, company: string, gap_after_months: int>>",
+    )
+    row = career_progression_cols(df).collect()[0].asDict()
+    for k, v in want.items():
+        assert row[k] == v, (k, row[k], v)
