@@ -101,3 +101,26 @@ def test_spans_consistency_all_true(spark):
     assert rows
     bad = [r.conv_id for r in rows if not r.consistent]
     assert not bad, bad[:5]
+
+
+def test_half_up_exact_beyond_double_precision(spark):
+    """The review fix: HALF_UP of a per-group cents sum must stay
+    exact past 2^53, where the earlier floor((S+k)/d)-on-a-double
+    formulation silently drifts by a cent."""
+    from pyspark.sql import functions as F
+
+    from engine.spark.relational import _half_up
+
+    vals = [
+        0, 49, 50, 51, 99, 100, 12345,
+        2**53 + 49, 2**53 + 51,          # past double's integer range
+        2**60 + 49, 2**60 + 50, 2**60 + 51,
+        9_223_372_036_854_775_007,       # near long max, still safe +50
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, s long")
+    got = {
+        r.i: r.c
+        for r in df.groupBy("i").agg(_half_up(F.sum("s"), 100).alias("c")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == (v + 50) // 100, (v, got[i], (v + 50) // 100)
