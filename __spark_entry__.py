@@ -306,6 +306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic CareerProgression (the last reference response
         # field; analyzer.py:443-470, native over the experience array)
         "career_progression": _career_progression,
+        # the reference's post-LLM fit-response normalization
+        # (allowlists/defaults/rec-map, analyzer.py:401-505) over
+        # deterministic synthetic responses
+        "candidate_fit_parse": _candidate_fit_parse,
         # full ATS lifecycle (A5 complete + suggestion/summary/
         # recommendation generators, all native; engine/spark/ats.py)
         "ats_full_score": _ats.ats_full_score,
@@ -342,6 +346,41 @@ def _career_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.spark.validation import career_progression_table
 
     return career_progression_table(spark, sf_dir)
+
+
+def _candidate_fit_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.spark.validation import candidate_fit_parse_table
+
+    return candidate_fit_parse_table(spark, sf_dir)
+
+
+# expected normalization outcomes per synthetic-response branch
+# (doc_id % 5), derived independently of the JSON intermediate
+_FIT_PARSE_SQL = """
+    SELECT doc_id,
+        CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN CAST(doc_id % 101 AS INT)
+            WHEN 2 THEN 93 WHEN 4 THEN 10 ELSE 50 END AS fit_score,
+        CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'strong_hire' WHEN 2 THEN 'good_fit'
+            WHEN 4 THEN 'not_recommended' ELSE 'needs_review'
+        END AS recommendation,
+        CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 4 THEN 2 ELSE 0
+        END AS red_flag_count,
+        (doc_id % 5 IN (0, 4)) AS has_critical_red_flags,
+        CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'short_tenure:high'
+            WHEN 1 THEN 'other:medium'
+            WHEN 4 THEN 'employment_gap:low;no_progression:high'
+            ELSE '' END AS flags_scalar,
+        CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 1 WHEN 4 THEN 2 ELSE 0 END AS n_strengths,
+        CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN CAST(doc_id % 100 AS VARCHAR)
+            WHEN 4 THEN '80;95' ELSE '' END AS strength_relevance
+    FROM documents
+"""
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1350,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node
         """.replace("__PAIRS__", _NGRAM_JACCARD_SQL),
         "career_progression": _CAREER_PROGRESSION_SQL,
+        "candidate_fit_parse": _FIT_PARSE_SQL,
         "skill_match_tiers": _skill_match_oracle(),
         "validate_invoice_fields": _invoice_fields_oracle(),
         **_ats_oracles(),

@@ -476,3 +476,76 @@ def career_progression(jobs: list[dict]) -> dict:
             f"over {n} roles"
         ),
     }
+
+
+# --- candidate-fit response normalization (analyzer.py:401-505) ---
+
+RED_FLAG_TYPES = (
+    "short_tenure", "employment_gap", "overqualified", "underqualified",
+    "frequent_job_changes", "career_regression", "overlapping_jobs",
+    "missing_recent_experience", "no_progression", "education_mismatch",
+    "other",
+)
+RECOMMENDATION_TYPES = (
+    "strong_hire", "good_fit", "potential_fit", "needs_review",
+    "not_recommended",
+)
+
+
+def parse_candidate_fit(data: dict) -> dict:
+    """The reference's deterministic post-LLM normalization of a
+    candidate-fit response (backend/app/services/candidate/
+    analyzer.py:401-505, enums schemas/candidate.py:13-45): red-flag
+    type allowlist (unknown → "other"), severity allowlist (unknown →
+    "medium"), per-item defaults (title "Unspecified flag", strength
+    category "general" / relevance 80), recommendation uppercase-map
+    with NEEDS_REVIEW fallback, fit_score default 50, derived
+    red_flag_count and has_critical_red_flags (any normalized
+    severity == high). Malformed (non-dict) list entries are skipped,
+    like the reference's per-item try/except."""
+    red_flags = []
+    for rf in data.get("red_flags") or []:
+        if not isinstance(rf, dict):
+            continue
+        ft = str(rf.get("flag_type", "OTHER")).upper()
+        if ft not in [t.upper() for t in RED_FLAG_TYPES]:
+            ft = "OTHER"
+        sev = str(rf.get("severity", "medium")).lower()
+        if sev not in ("high", "medium", "low"):
+            sev = "medium"
+        red_flags.append(
+            {
+                "flag_type": ft.lower(),
+                "severity": sev,
+                "title": rf.get("title", "Unspecified flag"),
+                "description": rf.get("description", ""),
+            }
+        )
+    strengths = []
+    for s in data.get("strengths") or []:
+        if not isinstance(s, dict):
+            continue
+        strengths.append(
+            {
+                "category": s.get("category", "general"),
+                "title": s.get("title", ""),
+                "description": s.get("description", ""),
+                "relevance_score": s.get("relevance_score", 80),
+            }
+        )
+    rec = str(data.get("recommendation", "NEEDS_REVIEW")).upper()
+    if rec not in [r.upper() for r in RECOMMENDATION_TYPES]:
+        rec = "NEEDS_REVIEW"
+    return {
+        "fit_score": data.get("fit_score", 50),
+        "recommendation": rec.lower(),
+        "recommendation_text": data.get("recommendation_text", ""),
+        "red_flags": red_flags,
+        "red_flag_count": len(red_flags),
+        "has_critical_red_flags": any(
+            f["severity"] == "high" for f in red_flags
+        ),
+        "strengths": strengths,
+        "n_strengths": len(strengths),
+        "executive_summary": data.get("executive_summary", ""),
+    }

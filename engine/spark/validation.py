@@ -481,3 +481,172 @@ def career_progression_table(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """queries() entry: the generic operator applied to the
     deterministic synthetic experience table."""
     return career_progression_cols(synthetic_resume_experience(spark, sf_dir))
+
+
+# --- candidate-fit response normalization (analyzer.py:401-505) ---
+
+FIT_RESPONSE_SCHEMA = T.StructType(
+    [
+        T.StructField("fit_score", T.IntegerType()),
+        T.StructField("recommendation", T.StringType()),
+        T.StructField("recommendation_text", T.StringType()),
+        T.StructField(
+            "red_flags",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("flag_type", T.StringType()),
+                        T.StructField("severity", T.StringType()),
+                        T.StructField("title", T.StringType()),
+                        T.StructField("description", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "strengths",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("category", T.StringType()),
+                        T.StructField("title", T.StringType()),
+                        T.StructField("description", T.StringType()),
+                        T.StructField("relevance_score", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("executive_summary", T.StringType()),
+    ]
+)
+
+
+def parse_candidate_fit_cols(df: "DataFrame", json_col: str = "analysis_json") -> "DataFrame":
+    """Native twin of engine.kernel.scoring.parse_candidate_fit (the
+    reference's deterministic post-LLM normalization,
+    analyzer.py:401-505): from_json + transform/when-chains, no
+    Python. Emits driver-comparable scalars; array details are
+    scalarized as ';'-joined strings."""
+    from engine.kernel.scoring import RECOMMENDATION_TYPES, RED_FLAG_TYPES
+
+    p = F.from_json(F.col(json_col), FIT_RESPONSE_SCHEMA)
+    flags = F.coalesce(
+        p["red_flags"],
+        F.array().cast(FIT_RESPONSE_SCHEMA["red_flags"].dataType),
+    )
+    types_upper = [t.upper() for t in RED_FLAG_TYPES]
+    norm_flags = F.transform(
+        flags,
+        lambda rf: F.struct(
+            F.lower(
+                F.when(
+                    F.upper(F.coalesce(rf["flag_type"], F.lit("OTHER"))).isin(
+                        types_upper
+                    ),
+                    F.coalesce(rf["flag_type"], F.lit("OTHER")),
+                ).otherwise("OTHER")
+            ).alias("flag_type"),
+            F.when(
+                F.lower(F.coalesce(rf["severity"], F.lit("medium"))).isin(
+                    "high", "medium", "low"
+                ),
+                F.lower(F.coalesce(rf["severity"], F.lit("medium"))),
+            )
+            .otherwise("medium")
+            .alias("severity"),
+        ),
+    )
+    strengths = F.coalesce(
+        p["strengths"],
+        F.array().cast(FIT_RESPONSE_SCHEMA["strengths"].dataType),
+    )
+    rec_upper = F.upper(F.coalesce(p["recommendation"], F.lit("NEEDS_REVIEW")))
+    rec = F.lower(
+        F.when(
+            rec_upper.isin([r.upper() for r in RECOMMENDATION_TYPES]), rec_upper
+        ).otherwise("NEEDS_REVIEW")
+    )
+    return df.select(
+        "doc_id",
+        F.coalesce(p["fit_score"], F.lit(50)).cast("int").alias("fit_score"),
+        rec.alias("recommendation"),
+        F.size(norm_flags).cast("int").alias("red_flag_count"),
+        F.exists(norm_flags, lambda x: x["severity"] == "high").alias(
+            "has_critical_red_flags"
+        ),
+        F.concat_ws(
+            ";",
+            F.transform(
+                norm_flags,
+                lambda x: F.concat_ws(":", x["flag_type"], x["severity"]),
+            ),
+        ).alias("flags_scalar"),
+        F.size(strengths).cast("int").alias("n_strengths"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                strengths,
+                lambda s: F.coalesce(s["relevance_score"], F.lit(80)).cast(
+                    "string"
+                ),
+            ),
+        ).alias("strength_relevance"),
+    )
+
+
+def synthetic_fit_responses(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Deterministic LLM-shaped fit-response JSON per doc_id, covering
+    the normalization branches: valid enums, unknown flag type + bad
+    severity, lowercase recommendation, empty payload, multi-flag with
+    default relevance."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    fs = (d % 101).cast("string")
+    rel = (d % 100).cast("string")
+    m = d % 5
+    payload = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('{"fit_score": '), fs,
+                F.lit(
+                    ', "recommendation": "STRONG_HIRE", "red_flags": '
+                    '[{"flag_type": "SHORT_TENURE", "severity": "HIGH", '
+                    '"title": "t"}], "strengths": [{"category": "skills", '
+                    '"title": "x", "relevance_score": '
+                ),
+                rel, F.lit("}]}"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit(
+                '{"recommendation": "maybe", "red_flags": '
+                '[{"flag_type": "ALIEN", "severity": "urgent"}]}'
+            ),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                '{"fit_score": 93, "recommendation": "good_fit", '
+                '"red_flags": [], "strengths": []}'
+            ),
+        )
+        .when(m == 3, F.lit("{}"))
+        .otherwise(
+            F.lit(
+                '{"fit_score": 10, "recommendation": "NOT_RECOMMENDED", '
+                '"red_flags": [{"flag_type": "employment_gap", "severity": '
+                '"low"}, {"flag_type": "no_progression", "severity": "high"}]'
+                ', "strengths": [{"title": "a"}, {"title": "b", '
+                '"relevance_score": 95}]}'
+            )
+        )
+    )
+    return docs.select("doc_id", payload.alias("analysis_json"))
+
+
+def candidate_fit_parse_table(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """queries() entry: the normalization applied to the synthetic
+    responses."""
+    return parse_candidate_fit_cols(synthetic_fit_responses(spark, sf_dir))

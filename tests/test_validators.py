@@ -408,3 +408,81 @@ def test_career_progression_empty_history(spark):
     row = career_progression_cols(df).collect()[0].asDict()
     for k, v in want.items():
         assert row[k] == v, (k, row[k], v)
+
+
+def test_candidate_fit_parse_native_matches_kernel(spark):
+    """Native fit-response normalization == kernel on every synthetic
+    branch (same doc_id formula both sides)."""
+    from engine.kernel.scoring import parse_candidate_fit
+    from engine.spark.validation import candidate_fit_parse_table
+
+    def synth(doc_id):
+        m = doc_id % 5
+        if m == 0:
+            return {
+                "fit_score": doc_id % 101,
+                "recommendation": "STRONG_HIRE",
+                "red_flags": [
+                    {"flag_type": "SHORT_TENURE", "severity": "HIGH", "title": "t"}
+                ],
+                "strengths": [
+                    {"category": "skills", "title": "x",
+                     "relevance_score": doc_id % 100}
+                ],
+            }
+        if m == 1:
+            return {"recommendation": "maybe",
+                    "red_flags": [{"flag_type": "ALIEN", "severity": "urgent"}]}
+        if m == 2:
+            return {"fit_score": 93, "recommendation": "good_fit",
+                    "red_flags": [], "strengths": []}
+        if m == 3:
+            return {}
+        return {
+            "fit_score": 10, "recommendation": "NOT_RECOMMENDED",
+            "red_flags": [
+                {"flag_type": "employment_gap", "severity": "low"},
+                {"flag_type": "no_progression", "severity": "high"},
+            ],
+            "strengths": [{"title": "a"}, {"title": "b", "relevance_score": 95}],
+        }
+
+    rows = {
+        r.doc_id: r
+        for r in candidate_fit_parse_table(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows
+    for doc_id, row in rows.items():
+        want = parse_candidate_fit(synth(doc_id))
+        assert row.fit_score == want["fit_score"], doc_id
+        assert row.recommendation == want["recommendation"], doc_id
+        assert row.red_flag_count == want["red_flag_count"], doc_id
+        assert row.has_critical_red_flags == want["has_critical_red_flags"], doc_id
+        assert row.n_strengths == want["n_strengths"], doc_id
+        want_flags = ";".join(
+            f"{f['flag_type']}:{f['severity']}" for f in want["red_flags"]
+        )
+        assert row.flags_scalar == want_flags, doc_id
+        want_rel = ";".join(str(s["relevance_score"]) for s in want["strengths"])
+        assert row.strength_relevance == want_rel, doc_id
+
+
+def test_parse_candidate_fit_kernel_edge_cases():
+    from engine.kernel.scoring import parse_candidate_fit
+
+    got = parse_candidate_fit(
+        {"red_flags": ["not-a-dict", {"severity": "HIGH"}],
+         "strengths": [None, {"title": "ok"}],
+         "recommendation": "potential_fit"}
+    )
+    # non-dict entries skipped like the reference's try/except
+    assert got["red_flag_count"] == 1
+    assert got["red_flags"][0] == {
+        "flag_type": "other", "severity": "high",
+        "title": "Unspecified flag", "description": "",
+    }
+    assert got["has_critical_red_flags"] is True
+    assert got["n_strengths"] == 1
+    assert got["strengths"][0]["relevance_score"] == 80
+    assert got["recommendation"] == "potential_fit"
+    assert got["fit_score"] == 50
