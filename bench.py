@@ -292,10 +292,17 @@ def _set_affinity(n_cores: int | None) -> bool:
         f"0-{n_cores - 1}" if n_cores > 1 else "0"
     )
 
+    ok = True
+
     def descendants(pid: int) -> list[int]:
-        out = subprocess.run(
-            ["pgrep", "-P", str(pid)], capture_output=True, text=True
-        )
+        nonlocal ok
+        try:
+            out = subprocess.run(
+                ["pgrep", "-P", str(pid)], capture_output=True, text=True
+            )
+        except OSError:
+            ok = False  # no pgrep → the JVM tree stays unpinned
+            return []
         kids = [int(x) for x in out.stdout.split()]
         found = list(kids)
         for k in kids:
@@ -304,10 +311,9 @@ def _set_affinity(n_cores: int | None) -> bool:
 
     # the gateway Popen is the spark-submit WRAPPER; the JVM is its
     # child — pin the whole tree, every thread. Returns False when any
-    # taskset call failed (tool missing, pid gone) so the caller can
-    # record honestly that the leg ran UNPINNED instead of asserting a
-    # cap that never applied.
-    ok = True
+    # pgrep/taskset call failed (tool missing, pid gone) so the caller
+    # can record honestly that the leg ran UNPINNED instead of
+    # asserting a cap that never applied.
     pids = [os.getpid()] + descendants(os.getpid())
     for pid in pids:
         try:

@@ -490,6 +490,16 @@ RECOMMENDATION_TYPES = (
     "strong_hire", "good_fit", "potential_fit", "needs_review",
     "not_recommended",
 )
+_RED_FLAG_TYPES_UPPER = frozenset(t.upper() for t in RED_FLAG_TYPES)
+_RECOMMENDATION_TYPES_UPPER = frozenset(r.upper() for r in RECOMMENDATION_TYPES)
+
+
+def _or_default(value, default):
+    """JSON-null behaves like a missing key (deliberate deviation from
+    the reference's bare dict.get, whose explicit-null passthrough
+    would crash its own pydantic model downstream); matches the native
+    twin's coalesce semantics."""
+    return default if value is None else value
 
 
 def parse_candidate_fit(data: dict) -> dict:
@@ -507,18 +517,18 @@ def parse_candidate_fit(data: dict) -> dict:
     for rf in data.get("red_flags") or []:
         if not isinstance(rf, dict):
             continue
-        ft = str(rf.get("flag_type", "OTHER")).upper()
-        if ft not in [t.upper() for t in RED_FLAG_TYPES]:
+        ft = str(_or_default(rf.get("flag_type"), "OTHER")).upper()
+        if ft not in _RED_FLAG_TYPES_UPPER:
             ft = "OTHER"
-        sev = str(rf.get("severity", "medium")).lower()
+        sev = str(_or_default(rf.get("severity"), "medium")).lower()
         if sev not in ("high", "medium", "low"):
             sev = "medium"
         red_flags.append(
             {
                 "flag_type": ft.lower(),
                 "severity": sev,
-                "title": rf.get("title", "Unspecified flag"),
-                "description": rf.get("description", ""),
+                "title": _or_default(rf.get("title"), "Unspecified flag"),
+                "description": _or_default(rf.get("description"), ""),
             }
         )
     strengths = []
@@ -527,19 +537,19 @@ def parse_candidate_fit(data: dict) -> dict:
             continue
         strengths.append(
             {
-                "category": s.get("category", "general"),
-                "title": s.get("title", ""),
-                "description": s.get("description", ""),
-                "relevance_score": s.get("relevance_score", 80),
+                "category": _or_default(s.get("category"), "general"),
+                "title": _or_default(s.get("title"), ""),
+                "description": _or_default(s.get("description"), ""),
+                "relevance_score": _or_default(s.get("relevance_score"), 80),
             }
         )
-    rec = str(data.get("recommendation", "NEEDS_REVIEW")).upper()
-    if rec not in [r.upper() for r in RECOMMENDATION_TYPES]:
+    rec = str(_or_default(data.get("recommendation"), "NEEDS_REVIEW")).upper()
+    if rec not in _RECOMMENDATION_TYPES_UPPER:
         rec = "NEEDS_REVIEW"
     return {
-        "fit_score": data.get("fit_score", 50),
+        "fit_score": _or_default(data.get("fit_score"), 50),
         "recommendation": rec.lower(),
-        "recommendation_text": data.get("recommendation_text", ""),
+        "recommendation_text": _or_default(data.get("recommendation_text"), ""),
         "red_flags": red_flags,
         "red_flag_count": len(red_flags),
         "has_critical_red_flags": any(
@@ -547,5 +557,5 @@ def parse_candidate_fit(data: dict) -> dict:
         ),
         "strengths": strengths,
         "n_strengths": len(strengths),
-        "executive_summary": data.get("executive_summary", ""),
+        "executive_summary": _or_default(data.get("executive_summary"), ""),
     }

@@ -1217,13 +1217,15 @@ def corpus_prepare(
     the shared shingle/LSH CTE chain via a `corpus` CTE)."""
     # the filtered corpus feeds four independent plan subtrees (LSH
     # pairs, the exact-hash stage, the keep-list anti-join, the final
-    # pack join) — materialize it ONCE instead of re-scanning + re-
-    # running the regex predicates per subtree; at production scale
-    # this checkpoint is the filtered-corpus table a real pipeline
-    # would persist anyway
+    # pack join) — persist() so it materializes ONCE instead of
+    # re-scanning + re-running the regex predicates per subtree.
+    # persist, not localCheckpoint: lineage survives, so a lost
+    # executor recomputes the partition instead of failing the job
+    # (checkpointing is only required where the PLAN must be cut, i.e.
+    # the iterative clustering loops)
     filtered = quality_filter_docs(
         _docs(spark, sf_dir), min_words, max_digit_ratio
-    ).localCheckpoint()
+    ).persist()
     pairs = _lsh_verified_pairs_docs(filtered, min_jaccard=min_jaccard)
     survivors = _apply_drops_docs(filtered, pairs)
     kept = filtered.join(survivors.select("doc_id"), "doc_id")

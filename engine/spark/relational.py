@@ -88,9 +88,7 @@ def q1_pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .agg(
             (F.sum(qc).cast("double") / 100).alias("sum_qty"),
             (F.sum(pc).cast("double") / 100).alias("sum_base_price"),
-            (
-                _half_up(F.sum(pc * (100 - dc)), 100).cast("double") / 100
-            ).alias("sum_disc_price"),
+            _cents_revenue().alias("sum_disc_price"),
             F.round(
                 (F.sum(qc).cast("double") / 100) / F.count(F.lit(1)), 4
             ).alias("avg_qty"),

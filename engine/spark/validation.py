@@ -441,11 +441,13 @@ def career_progression_cols(resumes: "DataFrame") -> "DataFrame":
     recent_level = F.try_element_at(levels, F.lit(1))
     earliest_level = F.try_element_at(levels, F.lit(-1))
     n_companies = F.size(F.array_distinct(comps)).cast("int")
-    title = F.coalesce(
-        F.try_element_at(
+    # empty history → ''; a POPULATED row with an out-of-range level
+    # must still fail loudly (ANSI element_at), matching the kernel's
+    # IndexError — a blanket coalesce would silently swallow that bug
+    title = F.when(n == 0, F.lit("")).otherwise(
+        F.element_at(
             F.array(*[F.lit(t) for t in CAREER_TITLES]), recent_level + 1
-        ),
-        F.lit(""),
+        )
     )
     return resumes.select(
         "doc_id",
@@ -485,40 +487,50 @@ def career_progression_table(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 # --- candidate-fit response normalization (analyzer.py:401-505) ---
 
+# list entries captured as RAW JSON text so each element is parsed
+# (or skipped) individually — a whole-array struct schema would null
+# the entire array on one malformed element, where the kernel (and
+# the reference's per-item try/except) skip just that element
 FIT_RESPONSE_SCHEMA = T.StructType(
     [
         T.StructField("fit_score", T.IntegerType()),
         T.StructField("recommendation", T.StringType()),
         T.StructField("recommendation_text", T.StringType()),
-        T.StructField(
-            "red_flags",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("flag_type", T.StringType()),
-                        T.StructField("severity", T.StringType()),
-                        T.StructField("title", T.StringType()),
-                        T.StructField("description", T.StringType()),
-                    ]
-                )
-            ),
-        ),
-        T.StructField(
-            "strengths",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("category", T.StringType()),
-                        T.StructField("title", T.StringType()),
-                        T.StructField("description", T.StringType()),
-                        T.StructField("relevance_score", T.IntegerType()),
-                    ]
-                )
-            ),
-        ),
+        T.StructField("red_flags", T.ArrayType(T.StringType())),
+        T.StructField("strengths", T.ArrayType(T.StringType())),
         T.StructField("executive_summary", T.StringType()),
     ]
 )
+
+_FLAG_SCHEMA = T.StructType(
+    [
+        T.StructField("flag_type", T.StringType()),
+        T.StructField("severity", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+    ]
+)
+
+_STRENGTH_SCHEMA = T.StructType(
+    [
+        T.StructField("category", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("relevance_score", T.IntegerType()),
+    ]
+)
+
+
+def _parse_items(raw_array_col, schema) -> "F.Column":
+    """Per-item parse of raw-JSON list entries: keep only JSON objects
+    (the kernel's isinstance-dict skip — non-object elements like
+    strings/numbers are dropped, not nulled-into), then from_json each
+    survivor."""
+    objects = F.filter(
+        F.coalesce(raw_array_col, F.array().cast("array<string>")),
+        lambda s: F.trim(s).startswith("{"),
+    )
+    return F.transform(objects, lambda s: F.from_json(s, schema))
 
 
 def parse_candidate_fit_cols(df: "DataFrame", json_col: str = "analysis_json") -> "DataFrame":
@@ -530,10 +542,7 @@ def parse_candidate_fit_cols(df: "DataFrame", json_col: str = "analysis_json") -
     from engine.kernel.scoring import RECOMMENDATION_TYPES, RED_FLAG_TYPES
 
     p = F.from_json(F.col(json_col), FIT_RESPONSE_SCHEMA)
-    flags = F.coalesce(
-        p["red_flags"],
-        F.array().cast(FIT_RESPONSE_SCHEMA["red_flags"].dataType),
-    )
+    flags = _parse_items(p["red_flags"], _FLAG_SCHEMA)
     types_upper = [t.upper() for t in RED_FLAG_TYPES]
     norm_flags = F.transform(
         flags,
@@ -556,10 +565,7 @@ def parse_candidate_fit_cols(df: "DataFrame", json_col: str = "analysis_json") -
             .alias("severity"),
         ),
     )
-    strengths = F.coalesce(
-        p["strengths"],
-        F.array().cast(FIT_RESPONSE_SCHEMA["strengths"].dataType),
-    )
+    strengths = _parse_items(p["strengths"], _STRENGTH_SCHEMA)
     rec_upper = F.upper(F.coalesce(p["recommendation"], F.lit("NEEDS_REVIEW")))
     rec = F.lower(
         F.when(

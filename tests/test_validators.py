@@ -486,3 +486,40 @@ def test_parse_candidate_fit_kernel_edge_cases():
     assert got["strengths"][0]["relevance_score"] == 80
     assert got["recommendation"] == "potential_fit"
     assert got["fit_score"] == 50
+
+
+def test_candidate_fit_parse_malformed_and_null_payloads(spark):
+    """Engine JSON-error-model alignment: a type-mismatched array
+    entry is skipped on both sides (kernel isinstance-skip, Spark
+    null-struct filter); explicit JSON nulls take the defaults on
+    both sides (kernel _or_default == native coalesce)."""
+    from engine.kernel.scoring import parse_candidate_fit
+    from engine.spark.validation import parse_candidate_fit_cols
+
+    payloads = [
+        (0, '{"fit_score": 93, "red_flags": ["oops", '
+            '{"severity": "high"}]}'),
+        (1, '{"fit_score": null, "recommendation": null, "strengths": '
+            '[{"relevance_score": null}], "red_flags": null}'),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, analysis_json string")
+    rows = {r.doc_id: r for r in parse_candidate_fit_cols(df).collect()}
+
+    k0 = parse_candidate_fit(
+        {"fit_score": 93, "red_flags": ["oops", {"severity": "high"}]}
+    )
+    assert rows[0].fit_score == k0["fit_score"] == 93
+    assert rows[0].red_flag_count == k0["red_flag_count"] == 1
+    assert rows[0].has_critical_red_flags == k0["has_critical_red_flags"] is True
+    assert rows[0].flags_scalar == "other:high"
+
+    k1 = parse_candidate_fit(
+        {"fit_score": None, "recommendation": None,
+         "strengths": [{"relevance_score": None}], "red_flags": None}
+    )
+    assert rows[1].fit_score == k1["fit_score"] == 50
+    assert rows[1].recommendation == k1["recommendation"] == "needs_review"
+    assert rows[1].red_flag_count == k1["red_flag_count"] == 0
+    assert rows[1].n_strengths == k1["n_strengths"] == 1
+    assert rows[1].strength_relevance == "80"
+    assert k1["strengths"][0]["relevance_score"] == 80
