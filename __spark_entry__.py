@@ -273,6 +273,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full training-corpus pipeline in one call: quality
         # filter -> dedup -> pack (loader-ready bins)
         "corpus_prepare": A.corpus_prepare,
+        # per-batch dedup against a persisted corpus state (exact
+        # hashes + MinHash bands; no old text ever re-read) — the op an
+        # ongoing ingestion pipeline runs per crawl shard. Driver form:
+        # even ids = history, odd ids = new batch
+        "dedup_incremental": A.dedup_incremental,
+        # deterministic hash-keyed per-language downsampling (the
+        # corpus-mixing knob); reproducible + partition-invariant
+        "stratified_sample": A.stratified_sample,
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
         # sign arithmetic; the functions' production default is adaptive
         # (corpus-sized keyspace, engine/spark/analytics.py)
@@ -488,15 +496,14 @@ def _bucket_pair_ctes(src: str, payload: str, max_bucket_docs: int) -> str:
         )"""
 
 
-def _minhash_ctes(src: str = "documents") -> str:
+def _sig_band_ctes(src: str = "documents") -> str:
     """MinHash(32) signatures + 8x4 LSH band buckets in DuckDB, bit-
     identical to analytics._minhash_bands via the portable md5 double
-    hash (Kirsch–Mitzenmacher: h_k = a + k*(2b+1))."""
-    from engine.spark.analytics import (
-        LSH_BANDS,
-        LSH_MAX_BUCKET_DOCS,
-        MINHASH_K,
-    )
+    hash (Kirsch–Mitzenmacher: h_k = a + k*(2b+1)). Emits CTEs
+    sh/hsh/sig/bands; pairing lives in _minhash_ctes so consumers that
+    pair a SUBSET of the bands (dedup_incremental) can reuse the chain
+    without the name-colliding sized/bpairs tail."""
+    from engine.spark.analytics import LSH_BANDS, MINHASH_K
 
     rows_per_band = MINHASH_K // LSH_BANDS
     sig_items = ", ".join(f"min(ha + {k} * hb)" for k in range(MINHASH_K))
@@ -520,7 +527,14 @@ def _minhash_ctes(src: str = "documents") -> str:
         ), bands AS (
             SELECT doc_id, sig, unnest([{", ".join(band_exprs)}]) AS bucket
             FROM sig
-        ), {_bucket_pair_ctes("bands", "sig", LSH_MAX_BUCKET_DOCS)}, est AS (
+        )"""
+
+
+def _minhash_ctes(src: str = "documents") -> str:
+    from engine.spark.analytics import LSH_MAX_BUCKET_DOCS, MINHASH_K
+
+    return f"""
+        {_sig_band_ctes(src)}, {_bucket_pair_ctes("bands", "sig", LSH_MAX_BUCKET_DOCS)}, est AS (
             SELECT DISTINCT doc_a, doc_b,
                    round(len(list_filter(range(1, {MINHASH_K + 1}),
                                          i -> pa[i] = pb[i])) / {MINHASH_K},
@@ -645,6 +659,73 @@ def _dedup_apply_lsh_oracle() -> str:
     return f"""
         WITH RECURSIVE {_apply_lsh_drop_ctes()}
         SELECT doc_id FROM survivors
+    """
+
+
+def _dedup_incremental_oracle() -> str:
+    """DuckDB twin of analytics.dedup_incremental: even doc ids are the
+    already-ingested corpus (state), odd ids the new batch. Signatures/
+    bands are computed once over all documents — per-doc values are
+    identical whichever side they're computed on — then filtered by
+    parity per stage, exactly mirroring the Spark plan's state vs batch
+    tables."""
+    from engine.spark.analytics import LSH_MAX_BUCKET_DOCS, MINHASH_K
+
+    est = (
+        f"round(len(list_filter(range(1, {MINHASH_K + 1}), "
+        f"i -> n.sig[i] = o.sig[i])) / {MINHASH_K}, 6)"
+    )
+    return f"""
+        WITH RECURSIVE {_sig_band_ctes()}, newdocs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        ), s1 AS (
+            SELECT n.doc_id, n.text FROM newdocs n
+            WHERE md5(n.text) NOT IN (
+                    SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+              AND n.doc_id = (SELECT min(m.doc_id) FROM newdocs m
+                              WHERE md5(m.text) = md5(n.text))
+        ), hits_old AS (
+            SELECT DISTINCT n.doc_id
+            FROM bands n JOIN bands o ON n.bucket = o.bucket
+            WHERE n.doc_id IN (SELECT doc_id FROM s1)
+              AND o.doc_id % 2 = 0
+              AND {est} >= 0.5
+        ), s2 AS (
+            SELECT doc_id, text FROM s1
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits_old)
+        ), bands2 AS (
+            SELECT doc_id, sig, bucket FROM bands
+            WHERE doc_id IN (SELECT doc_id FROM s2)
+        ), {_bucket_pair_ctes("bands2", "sig", LSH_MAX_BUCKET_DOCS)}, cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM bpairs
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), icounts AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS icount
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ), vpairs AS (
+            SELECT i.doc_a, i.doc_b
+            FROM icounts i
+            JOIN sizes na ON na.doc_id = i.doc_a
+            JOIN sizes nb ON nb.doc_id = i.doc_b
+            WHERE round(icount / (na.n + nb.n - icount), 6) >= 0.5
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs
+        ), nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        ), near_drop AS (
+            SELECT node AS doc_id FROM reach GROUP BY node
+            HAVING node != min(r)
+        )
+        SELECT doc_id FROM s2
+        WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
     """
 
 
@@ -1330,6 +1411,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": _lsh_verified_oracle(),
         "dedup_apply_lsh": _dedup_apply_lsh_oracle(),
         "corpus_prepare": _corpus_prepare_oracle(),
+        "dedup_incremental": _dedup_incremental_oracle(),
+        "stratified_sample": f"""
+            WITH langs AS (
+                SELECT doc_id, {lang_pred_case} AS lang_pred
+                FROM (SELECT doc_id, {_lang_scores()} FROM documents)
+            ), uu AS (
+                SELECT doc_id, lang_pred,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':strat-v1'), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+                FROM langs
+            )
+            SELECT doc_id, lang_pred, round(u, 6) AS u FROM uu
+            WHERE u < CASE lang_pred WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5
+                      WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+                      WHEN 'und' THEN 0.25 ELSE 0.0 END
+        """,
         # corpus minus exact-group and near-dup-component non-keepers
         "dedup_apply": """
             WITH RECURSIVE j AS (__PAIRS__),

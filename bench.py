@@ -231,6 +231,8 @@ BENCH_QUERY_NAMES = [
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_apply_lsh",
+        "dedup_incremental",
+        "stratified_sample",
         "corpus_prepare",
         "career_progression",
         "simsearch_bruteforce",

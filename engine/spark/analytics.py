@@ -208,24 +208,31 @@ def dedup_minhash_lsh(
     )
 
 
+def _est_jaccard(pa, pb) -> "F.Column":
+    """Signature-agreement Jaccard estimate: fraction of the MINHASH_K
+    signature slots two docs agree on (the standard MinHash estimator)."""
+    return F.round(
+        F.size(F.filter(F.zip_with(pa, pb, lambda x, y: x == y), lambda v: v))
+        / MINHASH_K,
+        6,
+    )
+
+
 def _minhash_est_pairs(
     docs: "DataFrame", jaccard_threshold: float, max_bucket_docs: int
 ) -> "DataFrame":
-    bands = _minhash_bands(docs)
+    return _est_pairs_from_bands(
+        _minhash_bands(docs), jaccard_threshold, max_bucket_docs
+    )
+
+
+def _est_pairs_from_bands(
+    bands: "DataFrame", jaccard_threshold: float, max_bucket_docs: int
+) -> "DataFrame":
     pairs = _bucketed_pairs(bands, "sig", max_bucket_docs)
     est = (
         pairs.select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with("pa", "pb", lambda x, y: x == y), lambda v: v
-                    )
-                )
-                / MINHASH_K,
-                6,
-            ).alias("est_jaccard"),
+            "doc_a", "doc_b", _est_jaccard("pa", "pb").alias("est_jaccard")
         )
         # a pair can collide in several bands → keep one row
         .groupBy("doc_a", "doc_b")
@@ -383,6 +390,16 @@ def _lsh_verified_pairs_docs(
     cands = _minhash_est_pairs(docs, est_floor, max_bucket_docs).select(
         "doc_a", "doc_b"
     )
+    return _verify_pairs(cands, docs, min_jaccard)
+
+
+def _verify_pairs(
+    cands: "DataFrame", docs: "DataFrame", min_jaccard: float
+) -> "DataFrame":
+    """Exact n-gram Jaccard computed ONLY on the given candidate pairs
+    (the verify tail shared by lsh_verified_pairs and
+    dedup_incremental): pair ⋈ shingles(doc_a), then ⋈ shingles on
+    (doc_b, shingle) — work ∝ candidate-pair shingles, never corpus²."""
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a_sh = cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -649,6 +666,124 @@ def dedup_apply_lsh(
         spark, sf_dir, min_jaccard=min_jaccard, max_bucket_docs=max_bucket_docs
     )
     return _apply_drops(spark, sf_dir, pairs, clusterer=clusterer)
+
+
+# ---------------------------------------------------- incremental dedup
+
+def build_dedup_state(docs: "DataFrame", state_dir: str) -> None:
+    """Persist a corpus' dedup STATE: exact content hashes + MinHash
+    signatures/band buckets of every document. The state is ~100
+    bytes/doc vs the corpus' kilobytes — the artifact an ongoing
+    ingestion pipeline keeps between batches so each new crawl shard
+    dedups against the full history WITHOUT ever re-reading old text
+    (at 100 TB, re-shingling the historical corpus per batch is the
+    cost this design removes; only the new batch is ever processed)."""
+    docs.select("doc_id", F.md5("text").alias("content_hash")).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/exact")
+    _minhash_bands(docs).write.mode("overwrite").parquet(f"{state_dir}/bands")
+
+
+def update_dedup_state(
+    docs: "DataFrame", survivors: "DataFrame", state_dir: str
+) -> None:
+    """Append a processed batch's SURVIVING docs to the persisted
+    state, so the next batch dedups against history + this batch."""
+    kept = docs.join(survivors.select("doc_id"), "doc_id")
+    kept.select("doc_id", F.md5("text").alias("content_hash")).write.mode(
+        "append"
+    ).parquet(f"{state_dir}/exact")
+    _minhash_bands(kept).write.mode("append").parquet(f"{state_dir}/bands")
+
+
+def dedup_incremental_batch(
+    new_docs: "DataFrame",
+    state_exact: "DataFrame",
+    state_bands: "DataFrame",
+    min_jaccard: float = 0.5,
+    est_threshold: float = 0.5,
+    max_bucket_docs: int = LSH_MAX_BUCKET_DOCS,
+    clusterer: str = "label",
+) -> "DataFrame":
+    """Surviving doc ids of a NEW batch deduped against a persisted
+    corpus state AND within itself — the operation an ongoing training
+    pipeline runs per ingested shard. Three stages, none of which
+    touches old corpus text:
+
+    1. exact: drop new docs whose content hash exists in the state;
+       within the batch keep the min doc id per hash (one hash-keyed
+       shuffle join against the state's hash table).
+    2. near-dup vs history: the new docs' MinHash band buckets join
+       the state's band table; colliding (new, old) pairs whose
+       signature-estimate Jaccard ≥ ``est_threshold`` drop the new
+       doc. Estimate-only by design: the state carries signatures,
+       not text, so history-side verification would need the old
+       corpus — the standard at-scale trade (the estimator's error at
+       K=32 is ~1/√32 ≈ 0.18, and near-dup thresholds sit far from
+       the planted-dup scores).
+    3. near-dup within batch: band-collision candidates among the
+       remaining new docs, verified with EXACT n-gram Jaccard on
+       those pairs only, → connected components → keep component min
+       (same verified path as dedup_apply_lsh).
+
+    Band/signature work is computed ONCE over the exact-surviving
+    batch and reused by stages 2 and 3."""
+    hashed = new_docs.select(
+        "doc_id", "text", F.md5("text").alias("content_hash")
+    )
+    not_old = hashed.join(
+        state_exact.select("content_hash").distinct(), "content_hash", "left_anti"
+    )
+    keep_ids = not_old.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s1 = not_old.join(keep_ids.select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    bands = _minhash_bands(s1)
+    hits_old = (
+        bands.alias("n")
+        .join(state_bands.alias("o"), "bucket")
+        .filter(
+            _est_jaccard(F.col("n.sig"), F.col("o.sig")) >= est_threshold
+        )
+        .select(F.col("n.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(hits_old, "doc_id", "left_anti")
+    bands2 = bands.join(s2.select("doc_id"), "doc_id")
+    cands = _est_pairs_from_bands(bands2, 0.0, max_bucket_docs).select(
+        "doc_a", "doc_b"
+    )
+    pairs = _verify_pairs(cands, s2, min_jaccard)
+    cluster_fn = dedup_clusters_star if clusterer == "star" else dedup_clusters
+    near = cluster_fn(pairs).filter(~F.col("is_keeper")).select("doc_id")
+    return s2.select("doc_id").join(near, "doc_id", "left_anti")
+
+
+def dedup_incremental(
+    spark: "SparkSession",
+    sf_dir: str,
+    min_jaccard: float = 0.5,
+    est_threshold: float = 0.5,
+    max_bucket_docs: int = LSH_MAX_BUCKET_DOCS,
+) -> "DataFrame":
+    """Driver-query form of dedup_incremental_batch: even doc ids play
+    the already-ingested corpus (state computed in-plan — identical
+    values to a persisted state, parity-tested against the parquet
+    round-trip in tests), odd ids the newly-arrived batch. Fully
+    DuckDB-oracled via the portable md5 hashes."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_incremental_batch(
+        new,
+        old.select(F.md5("text").alias("content_hash")),
+        _minhash_bands(old),
+        min_jaccard=min_jaccard,
+        est_threshold=est_threshold,
+        max_bucket_docs=max_bucket_docs,
+    )
 
 
 # ------------------------------------------------------- similarity search
@@ -1174,6 +1309,41 @@ def fingerprint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     docs = _docs(spark, sf_dir)
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+DEFAULT_SAMPLE_RATES = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.5, "und": 0.25}
+
+
+def stratified_sample(
+    spark: "SparkSession",
+    sf_dir: str,
+    rates: dict[str, float] | None = None,
+    salt: str = "strat-v1",
+) -> "DataFrame":
+    """Deterministic per-stratum downsampling — the corpus-mixing knob
+    every LLM data pipeline turns (e.g. keep all English, thin the
+    rest): keep a doc iff phash60(doc_id:salt)/2^60 < rate[stratum],
+    stratum = predicted language (lang_id).
+
+    Hash-keyed on the doc ID, not the text or a random(): the decision
+    is reproducible across runs, partition-count-invariant, and stable
+    under reshuffles — re-running the pipeline on a re-sharded 100 TB
+    corpus keeps exactly the same documents (a rand()-based sample
+    would not). Changing ``salt`` draws an independent sample. Map-only,
+    zero shuffles; identical md5 arithmetic in the DuckDB oracle."""
+    rates = DEFAULT_SAMPLE_RATES if rates is None else rates
+    langs = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    u = _phash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+    ) / F.lit(float(1 << 60))
+    rate = F.lit(0.0)
+    for lang, r in rates.items():
+        rate = F.when(F.col("lang_pred") == lang, F.lit(float(r))).otherwise(rate)
+    return (
+        langs.withColumn("u", F.round(u, 6))
+        .filter(u < rate)
+        .select("doc_id", "lang_pred", "u")
+    )
 
 
 # ------------------------------------------------- full corpus pipeline

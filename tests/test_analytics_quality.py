@@ -556,3 +556,85 @@ def test_dedup_apply_embeddings_drops_planted(spark, tmp_path):
         for r in dedup_apply_embeddings(spark, out, threshold=0.95).collect()
     )
     assert kept == list(range(100)) + [900]
+
+
+def test_dedup_incremental_state_roundtrip(spark, planted_dir, tmp_path):
+    """The persisted-state path (build_dedup_state parquet round-trip)
+    must give exactly the in-plan driver results, and the planted
+    cross-batch duplicates must drop: with even ids as history, doc 5
+    (exact copy of old 200) drops at the hash stage, doc 3 (near-dup
+    of old 100) at the signature-estimate stage, and the within-batch
+    pair (11, 101) keeps its min id only."""
+    from engine.spark.analytics import (
+        _docs,
+        build_dedup_state,
+        dedup_incremental,
+        dedup_incremental_batch,
+    )
+
+    docs = _docs(spark, planted_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    build_dedup_state(old, state)
+    via_state = sorted(
+        r.doc_id
+        for r in dedup_incremental_batch(
+            new,
+            spark.read.parquet(f"{state}/exact"),
+            spark.read.parquet(f"{state}/bands"),
+        ).collect()
+    )
+    inline = sorted(
+        r.doc_id for r in dedup_incremental(spark, planted_dir).collect()
+    )
+    assert via_state == inline
+    assert 5 not in via_state  # exact dup of history doc 200
+    assert 3 not in via_state  # near-dup of history doc 100
+    assert 101 not in via_state and 11 in via_state  # in-batch pair
+
+    # --- second batch against the UPDATED state (same flow continued
+    # to avoid re-paying the state build + batch-1 run): an exact copy
+    # of batch-1 survivor 11 drops, a fresh document survives
+    from engine.spark.analytics import update_dedup_state
+
+    surv1 = spark.createDataFrame(
+        [(i,) for i in via_state], "doc_id long"
+    )
+    update_dedup_state(new, surv1, state)
+    text11 = docs.filter(F.col("doc_id") == 11).collect()[0].text
+    fresh = _doc(random.Random(999))
+    b2 = spark.createDataFrame(
+        [(1001, text11), (1002, fresh)], "doc_id long, text string"
+    )
+    surv2 = sorted(
+        r.doc_id
+        for r in dedup_incremental_batch(
+            b2,
+            spark.read.parquet(f"{state}/exact"),
+            spark.read.parquet(f"{state}/bands"),
+        ).collect()
+    )
+    assert surv2 == [1002]
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """Hash-keyed sampling: the same salt reproduces the identical
+    sample; raising every rate grows it into a superset (fixed-u
+    nesting — the property that makes rate changes incremental instead
+    of a full redraw); a different salt draws a different sample."""
+    from engine.spark.analytics import stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    lo = {"en": 0.3, "es": 0.3, "de": 0.3, "fr": 0.3, "und": 0.3}
+    hi = {k: 0.6 for k in lo}
+    a = {r.doc_id for r in stratified_sample(spark, sf, lo).collect()}
+    b = {r.doc_id for r in stratified_sample(spark, sf, lo).collect()}
+    big = {r.doc_id for r in stratified_sample(spark, sf, hi).collect()}
+    other = {
+        r.doc_id
+        for r in stratified_sample(spark, sf, lo, salt="strat-v2").collect()
+    }
+    assert a == b
+    assert a < big
+    assert other != a

@@ -287,6 +287,25 @@ def test_noshuffle_falls_back_on_coarse_layout(spark, tmp_path_factory):
     assert a == b and len(a) > 0
 
 
+def test_bench_layout_feeds_wide_stages(spark):
+    """Layout-v3 guard: the bench's materialized input must scan as
+    >=4 task waves at the widest leg (24 slots) under the bench's 4 MB
+    split bins. Round 3 found the 64-file/16 MB-bin layout silently
+    packed into 32 tasks = 2 waves, idling 1/3 of the wide leg's slots
+    and deflating the measured N->4N efficiency to 0.59 in a clean
+    window (BENCH/BASELINE.md §2 wave-quantization finding)."""
+    import bench
+
+    path = bench._materialize_inputs(spark, "/root/testdata/sf0.001", 300)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    try:
+        parts = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert parts >= 4 * 24
+
+
 def test_partitioned_sink_prunes_on_part_id(spark, transcripts, tmp_path_factory):
     """The job's partitionBy('part_id') layout must give partition
     pruning on reads: a part_id filter appears as PartitionFilters in
