@@ -281,6 +281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic hash-keyed per-language downsampling (the
         # corpus-mixing knob); reproducible + partition-invariant
         "stratified_sample": A.stratified_sample,
+        # eval-set n-gram decontamination (the GPT-3-style 13-gram
+        # overlap rule); driver form: doc_id % 5 == 0 plays the
+        # held-out benchmark set
+        "decontaminate": A.decontaminate,
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
         # sign arithmetic; the functions' production default is adaptive
         # (corpus-sized keyspace, engine/spark/analytics.py)
@@ -878,6 +882,33 @@ _NGRAM_JACCARD_SQL = r"""
         """
 
 
+def _decontaminate_oracle(n: int = 13, eval_mod: int = 5) -> str:
+    """DuckDB twin of analytics.decontaminate: same lower +
+    whitespace-normalize word split as the Spark side, word ``n``-grams,
+    eval set = doc_id % eval_mod == 0; a training doc drops iff it
+    shares ANY n-gram with any eval doc. Docs shorter than n words
+    carry no grams and always survive — both engines by construction."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ), g AS (
+            SELECT doc_id, {gram} AS gram
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - {n - 1})) AS i
+                  FROM words WHERE len(w) >= {n})
+        ), ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {eval_mod} = 0),
+        hits AS (
+            SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+            WHERE g.doc_id % {eval_mod} != 0)
+        SELECT doc_id FROM documents
+        WHERE doc_id % {eval_mod} != 0
+          AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """
+
+
 def _invoice_fields_oracle() -> str:
     """DuckDB twin of validate_invoice_fields: same orders-derived
     synthetic invoice fields, same predicates, same sorted ';'-joined
@@ -1412,6 +1443,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply_lsh": _dedup_apply_lsh_oracle(),
         "corpus_prepare": _corpus_prepare_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),
+        "decontaminate": _decontaminate_oracle(),
         "stratified_sample": f"""
             WITH langs AS (
                 SELECT doc_id, {lang_pred_case} AS lang_pred

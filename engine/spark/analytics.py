@@ -786,6 +786,73 @@ def dedup_incremental(
     )
 
 
+# -------------------------------------------------------- decontamination
+
+def _ngrams(docs: "DataFrame", n: int) -> "DataFrame":
+    """Word n-grams per doc, same tokenization as _shingles (lowered,
+    whitespace-normalized); docs shorter than n words emit none."""
+    toks = docs.select(
+        "doc_id",
+        F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ").alias("w"),
+    ).filter(F.size("w") >= n)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("w", i + j + 1) for j in range(n)]
+                ),
+            )
+        ).alias("gram"),
+    )
+
+
+def decontaminate_batch(
+    corpus: "DataFrame", eval_docs: "DataFrame", n: int = 13
+) -> "DataFrame":
+    """Training-corpus DECONTAMINATION — drop every training document
+    sharing any word ``n``-gram with a held-out evaluation set (the
+    13-gram overlap rule used by the GPT-3/PaLM training pipelines to
+    keep benchmark text out of the training mix). Returns the
+    surviving corpus doc ids.
+
+    Scale shape: eval sets are tiny (thousands of docs) next to a
+    100 TB corpus, so their distinct n-gram set BROADCASTS and the
+    corpus side is a map-side broadcast join over its exploded
+    n-grams — the corpus is scanned once and never shuffled (verified
+    in the physical plan: both corpus-sized inputs sit under
+    BroadcastHashJoins with BuildRight = the eval side). The only
+    exchanges are over the contaminated-id set (distinct + anti-join
+    build), which is bounded by the number of HITS, not corpus size;
+    if hits ever outgrew the broadcast threshold AQE falls back to a
+    shuffled anti-join on doc_id alone. Docs shorter than n words
+    carry no n-grams and always survive (both engines agree by
+    construction)."""
+    ev_grams = _ngrams(eval_docs, n).select("gram").distinct()
+    hits = (
+        _ngrams(corpus, n)
+        .join(F.broadcast(ev_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return corpus.select("doc_id").join(hits, "doc_id", "left_anti")
+
+
+def decontaminate(
+    spark: "SparkSession", sf_dir: str, n: int = 13, eval_mod: int = 5
+) -> "DataFrame":
+    """Driver-query form of decontaminate_batch: doc ids divisible by
+    ``eval_mod`` play the held-out benchmark set, the rest the training
+    corpus (the modulus puts several planted near-dup partners across
+    the split, so contamination is non-vacuous at sf0.01). Fully
+    DuckDB-oracled."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % eval_mod == 0)
+    corpus = docs.filter(F.col("doc_id") % eval_mod != 0)
+    return decontaminate_batch(corpus, ev, n)
+
+
 # ------------------------------------------------------- similarity search
 
 def _dot(a, b):

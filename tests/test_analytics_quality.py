@@ -638,3 +638,34 @@ def test_stratified_sample_deterministic_and_nested(spark):
     assert a == b
     assert a < big
     assert other != a
+
+
+def test_decontaminate_batch_planted(spark):
+    """A corpus doc embedding any 13-gram of an eval doc drops; an
+    unrelated doc survives, and so does a doc shorter than 13 words —
+    even a verbatim PREFIX of an eval doc (it carries no 13-gram).
+    The driver form must be non-vacuous at sf0.01 (some docs actually
+    drop), otherwise its oracle match would prove nothing."""
+    from engine.spark.analytics import decontaminate, decontaminate_batch
+
+    ev_text = " ".join(f"bench{i}" for i in range(20))
+    contaminated = (
+        "intro words here "
+        + " ".join(f"bench{i}" for i in range(5, 18))
+        + " trailing words"
+    )
+    clean = " ".join(f"other{i}" for i in range(40))
+    short_prefix = " ".join(f"bench{i}" for i in range(12))
+    ev = spark.createDataFrame([(0, ev_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, contaminated), (2, clean), (3, short_prefix)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in decontaminate_batch(corpus, ev).collect())
+    assert kept == [2, 3]
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_corpus = docs.filter(F.col("doc_id") % 5 != 0).count()
+    n_kept = decontaminate(spark, sf).count()
+    assert 0 < n_kept < n_corpus
