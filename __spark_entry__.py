@@ -285,6 +285,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overlap rule); driver form: doc_id % 5 == 0 plays the
         # held-out benchmark set
         "decontaminate": A.decontaminate,
+        # Gopher-style repetition metrics + gate; map-only (sorted-
+        # array fold for modes, no explode/groupBy shuffle)
+        "repetition_metrics": A.repetition_metrics,
+        # PII redaction (emails + phones counted and replaced); driver
+        # form synthesizes a deterministic blob from customer keys
+        "pii_scrub": A.pii_scrub,
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
         # sign arithmetic; the functions' production default is adaptive
         # (corpus-sized keyspace, engine/spark/analytics.py)
@@ -909,6 +915,78 @@ def _decontaminate_oracle(n: int = 13, eval_mod: int = 5) -> str:
     """
 
 
+def _repetition_oracle() -> str:
+    """DuckDB twin of analytics.repetition_metrics: the relational
+    formulation (unnest + two-level GROUP BY for counts/modes) of what
+    the Spark side computes with map-only array folds — thresholds
+    injected from the module so the gate can never drift."""
+    from engine.spark.analytics import REP_DUP_2GRAM_T, REP_TOP_WORD_T
+
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ), wstat AS (
+            SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS topc
+            FROM (SELECT doc_id, word, count(*) AS c
+                  FROM (SELECT doc_id, unnest(w) AS word FROM words)
+                  GROUP BY doc_id, word)
+            GROUP BY doc_id
+        ), gstat AS (
+            SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS topc
+            FROM (SELECT doc_id, gram, count(*) AS c
+                  FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+                        FROM (SELECT doc_id, w,
+                                     unnest(generate_series(1, len(w) - 1)) AS i
+                              FROM words WHERE len(w) >= 2))
+                  GROUP BY doc_id, gram)
+            GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(ws.n AS BIGINT) AS n_words,
+               round((ws.n - ws.nd) / ws.n, 6) AS dup_word_frac,
+               round(ws.topc / ws.n, 6) AS top_word_frac,
+               round((gs.n - gs.nd) / gs.n, 6) AS dup_2gram_frac,
+               round(gs.topc / gs.n, 6) AS top_2gram_frac,
+               coalesce(round(ws.topc / ws.n, 6) >= {REP_TOP_WORD_T}, false)
+                 OR coalesce(round((gs.n - gs.nd) / gs.n, 6) >= {REP_DUP_2GRAM_T}, false)
+                 AS repetitive
+        FROM words w
+        JOIN wstat ws USING (doc_id)
+        LEFT JOIN gstat gs USING (doc_id)
+    """
+
+
+def _pii_scrub_oracle() -> str:
+    """DuckDB twin of analytics.pii_scrub: identical blob synthesis
+    (pure key arithmetic + name rewrite) and the same regexes injected
+    from the module — RE2 and Java agree on this pattern subset."""
+    from engine.spark.analytics import EMAIL_RE, PHONE_RE
+
+    return f"""
+        WITH blob AS (
+            SELECT c_custkey,
+                   c_name || ' segment ' || c_mktsegment || ' email: ' ||
+                   CASE WHEN c_custkey % 3 = 0 THEN 'none'
+                        ELSE lower(replace(c_name, '#', '.')) || '@example.com'
+                   END || ' phone: ' ||
+                   CASE WHEN c_custkey % 4 = 0 THEN 'unlisted'
+                        ELSE (c_custkey % 90 + 10)::VARCHAR || '-' ||
+                             ((c_custkey * 7) % 900 + 100)::VARCHAR || '-' ||
+                             ((c_custkey * 13) % 900 + 100)::VARCHAR || '-' ||
+                             ((c_custkey * 31) % 9000 + 1000)::VARCHAR
+                   END AS t
+            FROM customer)
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+        FROM blob
+    """
+
+
 def _invoice_fields_oracle() -> str:
     """DuckDB twin of validate_invoice_fields: same orders-derived
     synthetic invoice fields, same predicates, same sorted ';'-joined
@@ -1444,6 +1522,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prepare": _corpus_prepare_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),
         "decontaminate": _decontaminate_oracle(),
+        "repetition_metrics": _repetition_oracle(),
+        "pii_scrub": _pii_scrub_oracle(),
         "stratified_sample": f"""
             WITH langs AS (
                 SELECT doc_id, {lang_pred_case} AS lang_pred

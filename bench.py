@@ -233,6 +233,9 @@ BENCH_QUERY_NAMES = [
         "dedup_apply_lsh",
         "dedup_incremental",
         "stratified_sample",
+        "decontaminate",
+        "repetition_metrics",
+        "pii_scrub",
         "corpus_prepare",
         "career_progression",
         "simsearch_bruteforce",

@@ -853,6 +853,71 @@ def decontaminate(
     return decontaminate_batch(corpus, ev, n)
 
 
+# ----------------------------------------------------------- PII scrub
+
+# Kept to the regex subset Java (Spark) and RE2 (DuckDB) treat
+# identically: no lookaround, no backrefs, \d = [0-9] in both.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{2}-\d{3}-\d{3}-\d{4}"
+
+
+def pii_scrub_batch(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """PII redaction — the scrub pass a training pipeline runs before
+    any text leaves the ingest zone: count + replace emails and
+    TPC-H-format phone numbers with typed placeholders. Emails are
+    replaced first so the phone pass never sees their digit runs; both
+    passes are plain regexp_replace, so the op is map-only with zero
+    shuffles and the scan reads only (id, text)."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
+def pii_scrub(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Driver-query form of pii_scrub_batch over a deterministic
+    PII-bearing blob synthesized from the customer table (the synthetic
+    documents carry no PII): email from c_name, phone digits from pure
+    c_custkey modular arithmetic — both engines rebuild the identical
+    blob, so the scrub itself is what the oracle checks. Keys divisible
+    by 3 get no email and by 4 no phone, making the zero-count path
+    non-vacuous."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    email = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com"),
+    )
+    phone = F.concat_ws(
+        "-",
+        (k % 90 + 10).cast("string"),
+        ((k * 7) % 900 + 100).cast("string"),
+        ((k * 13) % 900 + 100).cast("string"),
+        ((k * 31) % 9000 + 1000).cast("string"),
+    )
+    blob = cust.select(
+        "c_custkey",
+        F.concat_ws(
+            " ",
+            F.col("c_name"),
+            F.lit("segment"),
+            F.col("c_mktsegment"),
+            F.lit("email:"),
+            F.when(k % 3 == 0, F.lit("none")).otherwise(email),
+            F.lit("phone:"),
+            F.when(k % 4 == 0, F.lit("unlisted")).otherwise(phone),
+        ).alias("text"),
+    )
+    return pii_scrub_batch(blob, id_col="c_custkey")
+
+
 # ------------------------------------------------------- similarity search
 
 def _dot(a, b):
@@ -1376,6 +1441,90 @@ def fingerprint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     docs = _docs(spark, sf_dir)
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+# --------------------------------------------------- repetition filter
+
+# Word-occurrence analogues of the Gopher repetition rules [Rae et al.
+# 2021, "Scaling Language Models", Table A1 — character-fraction
+# thresholds]; values chosen so the synthetic corpus splits
+# non-vacuously. Shared with the DuckDB oracle — single source of truth.
+REP_TOP_WORD_T = 0.10
+REP_DUP_2GRAM_T = 0.10
+
+
+def _max_run(arr):
+    """Longest run of equal adjacent elements in a SORTED array — i.e.
+    the highest frequency of any element — as one higher-order fold.
+    This keeps mode-finding map-only: the relational formulation
+    (explode + two-level groupBy) the oracle uses would shuffle every
+    word occurrence in the corpus."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_metrics(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Gopher-style repetition metrics per document: duplicate-word
+    fraction, most-common-word fraction, and the 2-gram analogues of
+    both, plus the boolean gate (top-word OR dup-2gram over threshold).
+    Docs under 2 words carry no 2-grams → null 2-gram fracs, and the
+    gate treats null as not-repetitive (both engines via coalesce).
+
+    Map-only, ZERO shuffles: distinct counts via array_distinct, modes
+    via a sort+fold over the per-doc array (`_max_run`) — nothing
+    corpus-sized is ever exchanged, unlike the naive explode+groupBy
+    which shuffles one row per word occurrence."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+    g2 = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat(
+                F.element_at(w, i + 1), F.lit(" "), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_w, n_g = F.size(w), F.size(g2)
+    top_word_frac = F.round(_max_run(F.array_sort(w)) / n_w, 6)
+    dup_word_frac = F.round((n_w - F.size(F.array_distinct(w))) / n_w, 6)
+    top_2gram_frac = F.round(
+        F.try_divide(_max_run(F.array_sort(g2)), n_g), 6
+    )
+    dup_2gram_frac = F.round(
+        F.try_divide(n_g - F.size(F.array_distinct(g2)), n_g), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_w.cast("long").alias("n_words"),
+        dup_word_frac.alias("dup_word_frac"),
+        top_word_frac.alias("top_word_frac"),
+        dup_2gram_frac.alias("dup_2gram_frac"),
+        top_2gram_frac.alias("top_2gram_frac"),
+        (
+            F.coalesce(
+                top_word_frac >= F.lit(REP_TOP_WORD_T), F.lit(False)
+            )
+            | F.coalesce(
+                dup_2gram_frac >= F.lit(REP_DUP_2GRAM_T), F.lit(False)
+            )
+        ).alias("repetitive"),
+    )
 
 
 DEFAULT_SAMPLE_RATES = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.5, "und": 0.25}

@@ -640,6 +640,55 @@ def test_stratified_sample_deterministic_and_nested(spark):
     assert other != a
 
 
+def test_repetition_metrics_planted(spark, tmp_path):
+    """Exact fractions on planted docs: a heavily repeated doc trips
+    the gate, a unique-word doc doesn't, and a single-word doc gets
+    null 2-gram fracs (no grams) without tripping a null-propagation
+    error in the gate."""
+    from engine.spark.analytics import repetition_metrics
+
+    uniq = " ".join(f"w{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [(1, "a a a a b"), (2, uniq), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    rows = {
+        r.doc_id: r for r in repetition_metrics(spark, out).collect()
+    }
+    r1 = rows[1]
+    assert (r1.n_words, r1.dup_word_frac, r1.top_word_frac) == (5, 0.6, 0.8)
+    assert (r1.dup_2gram_frac, r1.top_2gram_frac) == (0.5, 0.75)
+    assert r1.repetitive
+    r2 = rows[2]
+    assert (r2.dup_word_frac, r2.top_word_frac) == (0.0, 0.066667)
+    assert not r2.repetitive
+    r3 = rows[3]
+    assert (r3.n_words, r3.top_word_frac) == (1, 1.0)
+    assert r3.dup_2gram_frac is None and r3.top_2gram_frac is None
+    assert r3.repetitive  # word arm fires; null 2-gram arm must not veto
+
+
+def test_pii_scrub_batch_planted(spark):
+    """Counts and redaction on planted text: two emails + one phone
+    scrub to typed placeholders; clean text passes through unchanged."""
+    from engine.spark.analytics import pii_scrub_batch
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+e@f-g.org now 12-345-678-9012 end"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub_batch(df).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones) == (2, 1)
+    assert rows[1].scrubbed == "mail <EMAIL> and <EMAIL> now <PHONE> end"
+    assert (rows[2].n_emails, rows[2].n_phones) == (0, 0)
+    assert rows[2].scrubbed == "no pii here"
+
+
 def test_decontaminate_batch_planted(spark):
     """A corpus doc embedding any 13-gram of an eval doc drops; an
     unrelated doc survives, and so does a doc shorter than 13 words —
