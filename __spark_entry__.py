@@ -291,6 +291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII redaction (emails + phones counted and replaced); driver
         # form synthesizes a deterministic blob from customer keys
         "pii_scrub": A.pii_scrub,
+        # corpus-wide word-frequency table (tokenizer-training input);
+        # deterministic top-k under ties via (count DESC, word ASC)
+        "vocab_top_k": A.vocab_top_k,
+        # single-row corpus card: one scan, one reduce
+        "corpus_stats": A.corpus_stats,
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
         # sign arithmetic; the functions' production default is adaptive
         # (corpus-sized keyspace, engine/spark/analytics.py)
@@ -1524,6 +1529,31 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle(),
         "repetition_metrics": _repetition_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
+        "vocab_top_k": r"""
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(
+                      regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS word
+                  FROM documents)
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 200
+        """,
+        "corpus_stats": f"""
+            WITH pre AS (
+                SELECT len(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS nw,
+                       md5(text) AS h,
+                       {lang_pred_case} AS lang
+                FROM (SELECT text, {_lang_scores()} FROM documents)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nw) AS BIGINT) AS total_words,
+                   round(avg(nw), 6) AS avg_words,
+                   round(quantile_cont(nw, 0.5), 6) AS p50_words,
+                   round(quantile_cont(nw, 0.9), 6) AS p90_words,
+                   round(avg(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 6) AS pct_en,
+                   round(1 - count(DISTINCT h) / count(*), 6) AS exact_dup_rate
+            FROM pre
+        """,
         "stratified_sample": f"""
             WITH langs AS (
                 SELECT doc_id, {lang_pred_case} AS lang_pred

@@ -236,6 +236,8 @@ BENCH_QUERY_NAMES = [
         "decontaminate",
         "repetition_metrics",
         "pii_scrub",
+        "vocab_top_k",
+        "corpus_stats",
         "corpus_prepare",
         "career_progression",
         "simsearch_bruteforce",

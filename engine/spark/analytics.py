@@ -1381,19 +1381,13 @@ def lang_id(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """N-gram/stopword language-ID heuristic: argmax of marker-word hit
     counts, 'und' (undetermined) when nothing matches."""
     docs = _docs(spark, sf_dir)
-    scores = docs.select(
+    return docs.select(
         "doc_id",
         *[
             sum(_substr_count(F.col("text"), w) for w in words).alias(f"s_{lang}")
             for lang, words in _LANG_MARKERS.items()
         ],
-    )
-    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_MARKERS])
-    pred = F.when(best <= 0, "und")
-    for lang in _LANG_MARKERS:  # first-match tie-break, fixed order
-        pred = pred.when(F.col(f"s_{lang}") == best, lang)
-    return scores.select(
-        "doc_id", *[f"s_{l}" for l in _LANG_MARKERS], pred.otherwise("und").alias("lang_pred")
+        _lang_pred_expr().alias("lang_pred"),
     )
 
 
@@ -1441,6 +1435,73 @@ def fingerprint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     docs = _docs(spark, sf_dir)
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def vocab_top_k(
+    spark: "SparkSession", sf_dir: str, k: int = 200, min_count: int = 1
+) -> "DataFrame":
+    """Corpus-wide word-frequency table — the input a tokenizer-training
+    job (BPE/unigram) reads. One word-keyed shuffle whose volume is
+    distinct-words-per-partition, not word occurrences (hash aggregate
+    runs map-side partial counts before the exchange); the top-k is a
+    TakeOrdered over the already-tiny vocab table, deterministic under
+    ties via the (count DESC, word ASC) total order."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+    return (
+        docs.select(F.explode(w).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), "word")
+        .limit(k)
+    )
+
+
+def _lang_pred_expr():
+    """Language prediction as a bare Column over ``text`` — the same
+    argmax-of-marker-hits rule as lang_id, usable inside a wider
+    one-pass select (Catalyst's subexpression elimination shares the
+    repeated score terms)."""
+    scores = {
+        lang: sum(_substr_count(F.col("text"), w) for w in words)
+        for lang, words in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, "und")
+    for lang in _LANG_MARKERS:
+        pred = pred.when(scores[lang] == best, lang)
+    return pred.otherwise("und")
+
+
+def corpus_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """One-pass corpus card — the single-row summary a dataset release
+    ships (n docs, token volume, length distribution, language share,
+    exact-dup rate). One scan, one reduce: every per-doc feature is
+    computed in the same map stage, then a single global aggregate.
+
+    Exact percentiles are safe here because the value domain (per-doc
+    word counts) is small-cardinality regardless of corpus size — the
+    per-partition state is a count-map over distinct lengths, not the
+    rows; for unbounded domains swap in approx_percentile."""
+    docs = _docs(spark, sf_dir)
+    nw = F.size(F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " "))
+    pre = docs.select(
+        nw.alias("nw"),
+        F.md5("text").alias("h"),
+        _lang_pred_expr().alias("lang"),
+    )
+    return pre.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("total_words"),
+        F.round(F.avg("nw"), 6).alias("avg_words"),
+        F.round(F.expr("percentile(nw, 0.5)"), 6).alias("p50_words"),
+        F.round(F.expr("percentile(nw, 0.9)"), 6).alias("p90_words"),
+        F.round(F.avg((F.col("lang") == "en").cast("int")), 6).alias("pct_en"),
+        F.round(1 - F.countDistinct("h") / F.count("*"), 6).alias(
+            "exact_dup_rate"
+        ),
+    )
 
 
 # --------------------------------------------------- repetition filter

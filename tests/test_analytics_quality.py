@@ -670,6 +670,28 @@ def test_repetition_metrics_planted(spark, tmp_path):
     assert r3.repetitive  # word arm fires; null 2-gram arm must not veto
 
 
+def test_vocab_top_k_truncation_and_corpus_stats(spark, tmp_path):
+    """Top-k truncation under a count tie is deterministic via the
+    (count DESC, word ASC) total order; corpus_stats gets exact values
+    on a corpus tiny enough to check by hand (incl. a planted exact
+    duplicate driving the dup rate)."""
+    from engine.spark.analytics import corpus_stats, vocab_top_k
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a a c c d e"), (2, "b b b a a a c c d e")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    top = [(r.word, r.n) for r in vocab_top_k(spark, out, k=3).collect()]
+    assert top == [("a", 6), ("b", 6), ("c", 4)]
+
+    cs = corpus_stats(spark, out).collect()[0]
+    assert (cs.n_docs, cs.total_words, cs.avg_words) == (2, 20, 10.0)
+    assert (cs.p50_words, cs.p90_words) == (10.0, 10.0)
+    assert cs.exact_dup_rate == 0.5  # the two docs are identical
+
+
 def test_pii_scrub_batch_planted(spark):
     """Counts and redaction on planted text: two emails + one phone
     scrub to typed placeholders; clean text passes through unchanged."""
