@@ -1381,13 +1381,11 @@ def lang_id(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """N-gram/stopword language-ID heuristic: argmax of marker-word hit
     counts, 'und' (undetermined) when nothing matches."""
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    scores = docs.select("doc_id", *_lang_score_cols())
+    return scores.select(
         "doc_id",
-        *[
-            sum(_substr_count(F.col("text"), w) for w in words).alias(f"s_{lang}")
-            for lang, words in _LANG_MARKERS.items()
-        ],
-        _lang_pred_expr().alias("lang_pred"),
+        *[f"s_{l}" for l in _LANG_MARKERS],
+        _lang_pred_from_scores().alias("lang_pred"),
     )
 
 
@@ -1458,19 +1456,27 @@ def vocab_top_k(
     )
 
 
-def _lang_pred_expr():
-    """Language prediction as a bare Column over ``text`` — the same
-    argmax-of-marker-hits rule as lang_id, usable inside a wider
-    one-pass select (Catalyst's subexpression elimination shares the
-    repeated score terms)."""
-    scores = {
-        lang: sum(_substr_count(F.col("text"), w) for w in words)
+def _lang_score_cols():
+    """Marker-hit score expressions, one aliased column per language."""
+    return [
+        sum(_substr_count(F.col("text"), w) for w in words).alias(f"s_{lang}")
         for lang, words in _LANG_MARKERS.items()
-    }
-    best = F.greatest(*scores.values())
+    ]
+
+
+def _lang_pred_from_scores():
+    """Argmax over ALREADY-MATERIALIZED s_<lang> columns. The scores
+    must live in their own projection: the argmax references every
+    score several times (greatest + one equality per when-branch), and
+    column refs are cheap to repeat while inlined marker-scan
+    expressions are not — an inlined variant re-ran every marker scan
+    per branch and measured 1.6x slower on lang_id and 4x on
+    stratified_sample at sf0.1 (CollapseProject keeps the stage split
+    because the aliases are expensive and multi-referenced)."""
+    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_MARKERS])
     pred = F.when(best <= 0, "und")
-    for lang in _LANG_MARKERS:
-        pred = pred.when(scores[lang] == best, lang)
+    for lang in _LANG_MARKERS:  # first-match tie-break, fixed order
+        pred = pred.when(F.col(f"s_{lang}") == best, lang)
     return pred.otherwise("und")
 
 
@@ -1487,10 +1493,8 @@ def corpus_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     docs = _docs(spark, sf_dir)
     nw = F.size(F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " "))
     pre = docs.select(
-        nw.alias("nw"),
-        F.md5("text").alias("h"),
-        _lang_pred_expr().alias("lang"),
-    )
+        nw.alias("nw"), F.md5("text").alias("h"), *_lang_score_cols()
+    ).select("nw", "h", _lang_pred_from_scores().alias("lang"))
     return pre.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("nw").cast("long").alias("total_words"),
@@ -1549,40 +1553,70 @@ def repetition_metrics(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     Map-only, ZERO shuffles: distinct counts via array_distinct, modes
     via a sort+fold over the per-doc array (`_max_run`) — nothing
     corpus-sized is ever exchanged, unlike the naive explode+groupBy
-    which shuffles one row per word occurrence."""
+    which shuffles one row per word occurrence.
+
+    Assumes non-null text (the documents contract guarantees it,
+    asserted 0 nulls at every SF): a null-text row would yield a row
+    of null metrics here but no row at all in the relational
+    (unnest-based) formulation the oracle runs."""
     docs = _docs(spark, sf_dir)
+    # Staged projections, deliberately: every stage aliases an
+    # expensive expression its successors reference several times, so
+    # CollapseProject keeps the stages separate and each array / fold
+    # is evaluated exactly once per row. The original single-select
+    # version inlined the tokenization + sort + fold into every metric
+    # AND again into the gate column — measured 18.9 s at sf0.1 vs
+    # ~1 s staged (higher-order folds are interpreted, so duplicated
+    # evaluation is not rescued by codegen subexpression elimination).
     w = F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+    s1 = docs.select("doc_id", w.alias("w"))
     g2 = F.when(
-        F.size(w) >= 2,
+        F.size("w") >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
+            F.sequence(F.lit(0), F.size("w") - 2),
             lambda i: F.concat(
-                F.element_at(w, i + 1), F.lit(" "), F.element_at(w, i + 2)
+                F.element_at("w", i + 1), F.lit(" "), F.element_at("w", i + 2)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_w, n_g = F.size(w), F.size(g2)
-    top_word_frac = F.round(_max_run(F.array_sort(w)) / n_w, 6)
-    dup_word_frac = F.round((n_w - F.size(F.array_distinct(w))) / n_w, 6)
-    top_2gram_frac = F.round(
-        F.try_divide(_max_run(F.array_sort(g2)), n_g), 6
-    )
-    dup_2gram_frac = F.round(
-        F.try_divide(n_g - F.size(F.array_distinct(g2)), n_g), 6
-    )
-    return docs.select(
+    s2 = s1.select("doc_id", "w", g2.alias("g2"))
+    s3 = s2.select(
         "doc_id",
-        n_w.cast("long").alias("n_words"),
-        dup_word_frac.alias("dup_word_frac"),
-        top_word_frac.alias("top_word_frac"),
-        dup_2gram_frac.alias("dup_2gram_frac"),
-        top_2gram_frac.alias("top_2gram_frac"),
+        F.size("w").alias("n_w"),
+        F.size("g2").alias("n_g"),
+        F.size(F.array_distinct("w")).alias("nd_w"),
+        F.size(F.array_distinct("g2")).alias("nd_g"),
+        _max_run(F.array_sort("w")).alias("top_w"),
+        _max_run(F.array_sort("g2")).alias("top_g"),
+    )
+    s4 = s3.select(
+        "doc_id",
+        F.col("n_w").cast("long").alias("n_words"),
+        F.round((F.col("n_w") - F.col("nd_w")) / F.col("n_w"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_w") / F.col("n_w"), 6).alias("top_word_frac"),
+        F.round(
+            F.try_divide(F.col("n_g") - F.col("nd_g"), F.col("n_g")), 6
+        ).alias("dup_2gram_frac"),
+        F.round(F.try_divide(F.col("top_g"), F.col("n_g")), 6).alias(
+            "top_2gram_frac"
+        ),
+    )
+    return s4.select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "top_word_frac",
+        "dup_2gram_frac",
+        "top_2gram_frac",
         (
             F.coalesce(
-                top_word_frac >= F.lit(REP_TOP_WORD_T), F.lit(False)
+                F.col("top_word_frac") >= F.lit(REP_TOP_WORD_T), F.lit(False)
             )
             | F.coalesce(
-                dup_2gram_frac >= F.lit(REP_DUP_2GRAM_T), F.lit(False)
+                F.col("dup_2gram_frac") >= F.lit(REP_DUP_2GRAM_T),
+                F.lit(False),
             )
         ).alias("repetitive"),
     )
