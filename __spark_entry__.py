@@ -69,7 +69,7 @@ def _per_turn_path(sf_dir: str) -> str:
     )
     if path not in _TMP_PATHS:
         _TMP_PATHS.add(path)
-        for p in (path, path + "_spans"):
+        for p in (path, path + "_spans", path + "_cb"):
             atexit.register(shutil.rmtree, p, ignore_errors=True)
     return path
 
@@ -114,6 +114,22 @@ def _spans_parquet(
         F.col("span.estimated_tokens").alias("span_tokens"),
     ).write.mode("overwrite").parquet(path)
     return path
+
+
+def _simsearch_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-IVF in its serving shape: train the k-means codebook
+    once (deterministic), persist it as a parquet table, and search
+    from the loaded codebook — the train-once / serve-many split a
+    real vector store runs. Persisting also makes the data-dependent
+    codebook shared input, so the DuckDB twin can recompute the entire
+    search (nearest-cell assignment, 2-probe cell selection, cell-local
+    candidate join, cosine top-k) from the same table."""
+    from engine.spark import analytics as A
+
+    path = _per_turn_path(sf_dir) + "_cb"
+    A.train_ivf_codebook(spark, sf_dir).write.mode("overwrite").parquet(path)
+    codebook = A.load_ivf_codebook(spark, path)
+    return A.simsearch_ivf_centroids(spark, sf_dir, codebook=codebook)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -309,9 +325,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simsearch_bruteforce": A.simsearch_bruteforce,
         "simsearch_ivf": lambda s, d: A.simsearch_ivf(s, d, sign_dims=6),
-        # rows-only: the k-means codebook is data-dependent, so no SQL
-        # twin; recall vs brute force asserted in tests instead
-        "simsearch_ivf_centroids": A.simsearch_ivf_centroids,
+        # served-codebook form: train once (deterministic), persist the
+        # codebook parquet, serve from the loaded codebook — identical
+        # to in-line training (test-asserted), and the persisted table
+        # makes the data-dependent half shared input, so DuckDB can
+        # independently recompute assignment → probe → candidate join →
+        # cosine top-k (full oracle; training itself stays covered by
+        # determinism + recall tests)
+        "simsearch_ivf_centroids": _simsearch_ivf_served,
         "pack_sequences": A.pack_sequences,
         "lang_id": A.lang_id,
         "text_quality": A.text_quality,
@@ -1755,6 +1776,44 @@ def oracle_sql() -> dict[str, str]:
                      SELECT query_id, vec_id,
                             round(list_dot_product(qv, v), 5) AS cosine
                      FROM cand),
+                 r AS (SELECT query_id, vec_id, cosine,
+                              CAST(row_number() OVER (
+                                  PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+                       FROM sims)
+            SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 3
+        """,
+        # recomputes the served-IVF search from the persisted codebook
+        # parquet the query materializes at call time: squared-distance
+        # argmin cell assignment (tie-break cid, matching the struct
+        # ordering of array_min), 2-probe nearest cells per query,
+        # cell-equality candidate join, cosine top-3. The distance sum
+        # is a left fold in both engines (Spark F.aggregate; DuckDB
+        # list_sum over the transformed zip), so assignment is
+        # FP-identical.
+        "simsearch_ivf_centroids": f"""
+            WITH cb AS (SELECT cid, CAST(centroid AS DOUBLE[]) AS c
+                        FROM read_parquet('{_per_turn_path("/root/testdata/sf0.01")}_cb/*.parquet')),
+                 e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u FROM embeddings),
+                 e AS (SELECT vec_id,
+                              list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS v
+                       FROM e0 WHERE list_dot_product(u, u) > 0),
+                 d AS (SELECT e.vec_id, e.v, cb.cid,
+                              list_sum(list_transform(list_zip(e.v, cb.c),
+                                  x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+                       FROM e, cb),
+                 dr AS (SELECT *, row_number() OVER (
+                            PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                        FROM d),
+                 assign AS (SELECT vec_id, v, cid AS cell FROM dr WHERE rn = 1),
+                 qc AS (SELECT vec_id AS query_id, v AS qv, cid AS cell
+                        FROM dr WHERE vec_id < 20 AND rn <= 2),
+                 cand AS (SELECT qc.query_id, a.vec_id, qc.qv, a.v
+                          FROM assign a JOIN qc ON a.cell = qc.cell
+                          WHERE a.vec_id != qc.query_id),
+                 sims AS (SELECT query_id, vec_id,
+                                 round(list_dot_product(qv, v), 5) AS cosine
+                          FROM cand),
                  r AS (SELECT query_id, vec_id, cosine,
                               CAST(row_number() OVER (
                                   PARTITION BY query_id

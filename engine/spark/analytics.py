@@ -1192,9 +1192,12 @@ def simsearch_ivf_centroids(
     never the cross product) and the cosine top-k runs per query.
 
     Deterministic end-to-end (fixed sample order, init, iterations),
-    so results are reproducible; no SQL oracle (the codebook is data-
-    dependent) — recall vs brute force is asserted in tests instead
-    (≥ 0.9 on the clustered fixture). n_centroids=None derives the
+    so results are reproducible. The driver entry runs the served form
+    (train → persist codebook → search from the loaded table), which
+    makes the data-dependent codebook shared input and the whole search
+    fully DuckDB-oracled; training quality is covered by recall-vs-
+    brute-force tests (≥ 0.9 on the clustered fixture) and persisted-
+    codebook == in-line-training parity. n_centroids=None derives the
     cell count from the corpus size (adaptive_n_centroids). Pass
     ``codebook`` (train_ivf_codebook → persist → load_ivf_codebook) to
     skip training — the serving-job path."""

@@ -32,6 +32,10 @@ SF_PINNED = {
     "extract_conversation_rollup",
     "extract_quality_drift",
     "extract_spans_consistency",
+    # reads the persisted-codebook parquet the driver's sf0.01 run
+    # materializes (the codebook is retrained per SF, so the sf0.01
+    # twin can't check an sf0.1 search)
+    "simsearch_ivf_centroids",
 }
 
 
