@@ -116,6 +116,43 @@ def _spans_parquet(
     return path
 
 
+def _inv_fields_parquet(spark: SparkSession) -> str:
+    """Materialize the kernel-extracted invoice fields (doc_type +
+    fields_json per invoice turn, over the deterministic synthetic
+    transcripts) so DuckDB can recompute the P4 validation predicates
+    from exactly the rows the native expressions consume. SF-independent
+    (the input is synthesized, not read from the sf tables), so one
+    pid-keyed path serves every scale's comparison."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from engine.spark.pipeline import run_extraction
+    from engine.spark.transcripts import synthesize_transcripts
+
+    path = _inv_synth_path()
+    if path not in _TMP_PATHS:
+        _TMP_PATHS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    t = synthesize_transcripts(spark, 120, 4)
+    run_extraction(t, num_partitions=32).filter(
+        F.col("doc_type") == "invoice"
+    ).select("conv_id", "turn_idx", "doc_type", "fields_json").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _inv_synth_path() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"entry_inv_synth_{os.getpid()}")
+
+
 def _simsearch_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-IVF in its serving shape: train the k-means codebook
     once (deterministic), persist it as a parquet table, and search
@@ -204,22 +241,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return validate_invoice_fields_table(spark, sf_dir)
 
     def validate_invoice_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # P4 natively over extraction output (kernel parity in
-        # tests/test_validators.py); rows-only vs oracle (fields_json is
-        # kernel-derived). Runs over the synthetic transcripts (the
-        # documents corpus has no invoices, which would make this check
-        # vacuous). Scalarized issue columns keep it driver-sortable.
-        from engine.spark.pipeline import run_extraction
-        from engine.spark.transcripts import synthesize_transcripts
+        # P4 natively over extraction output. Runs over the synthetic
+        # transcripts (the documents corpus has no invoices, which
+        # would make this check vacuous); the kernel-extracted
+        # fields_json rows are materialized to parquet first, so the
+        # DuckDB twin recomputes the same predicates (from_json
+        # projection, try_to_date, datediff, allowlist, issue
+        # scalarization) from identical input — the kernel half stays
+        # covered by tests/test_validators.py parity.
         from engine.spark.validation import (
             scalarize_issue_columns,
             validate_invoice_extractions,
         )
 
-        t = synthesize_transcripts(spark, 120, 4)
-        return scalarize_issue_columns(
-            validate_invoice_extractions(run_extraction(t, num_partitions=32))
-        )
+        src = spark.read.parquet(_inv_fields_parquet(spark))
+        return scalarize_issue_columns(validate_invoice_extractions(src))
 
     def extract_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus-level quality/emptiness drift per event-time window,
@@ -1089,6 +1125,74 @@ def _invoice_fields_oracle() -> str:
     """.replace("__CURRENCIES__", cur_list)
 
 
+def _invoice_extracted_oracle() -> str:
+    """DuckDB twin of validate_invoice_extracted: recomputes the P4
+    predicates from the materialized kernel-extracted fields_json
+    parquet. JSON projection parity with from_json's explicit schema:
+    json_extract_string for the string fields, TRY_CAST of the raw
+    JSON value to DOUBLE for total_amount (the kernel emits amounts as
+    JSON numbers), json_valid guard mirroring from_json's
+    null-struct-on-malformed."""
+    from engine.kernel.validators import VALID_CURRENCIES
+
+    cur_list = ", ".join(f"'{c}'" for c in sorted(VALID_CURRENCIES))
+    return r"""
+        WITH s AS (
+            SELECT conv_id, turn_idx,
+                   json_extract_string(fields_json, '$.invoice_number') AS num,
+                   json_extract_string(fields_json, '$.invoice_date') AS date_str,
+                   TRY_CAST(json_extract(fields_json, '$.total_amount') AS DOUBLE) AS amt,
+                   upper(json_extract_string(fields_json, '$.currency')) AS cur
+            FROM read_parquet('__INV_PATH__/*.parquet')
+            WHERE doc_type = 'invoice'
+              AND fields_json IS NOT NULL AND json_valid(fields_json)
+            UNION ALL
+            SELECT conv_id, turn_idx, NULL, NULL, NULL, NULL
+            FROM read_parquet('__INV_PATH__/*.parquet')
+            WHERE doc_type = 'invoice'
+              AND (fields_json IS NULL OR NOT json_valid(fields_json))),
+        p AS (SELECT *, CAST(try_strptime(date_str, '%Y-%m-%d') AS DATE) AS dt FROM s),
+        i AS (
+            SELECT conv_id, turn_idx,
+                list_filter([
+                    CASE WHEN num IS NULL OR num = '' THEN 'missing' END,
+                    CASE WHEN num IS NOT NULL
+                         AND NOT regexp_matches(num, '^[A-Za-z0-9\-_/]+$')
+                         THEN 'bad_format' END,
+                    CASE WHEN num IS NOT NULL
+                         AND NOT (length(num) BETWEEN 2 AND 50)
+                         THEN 'bad_length' END
+                ], x -> x IS NOT NULL) AS num_i,
+                list_filter([
+                    CASE WHEN date_str IS NULL THEN 'missing' END,
+                    CASE WHEN date_str IS NOT NULL AND dt IS NULL THEN 'unparseable' END,
+                    CASE WHEN dt > DATE '2026-01-01' THEN 'future_date' END,
+                    CASE WHEN date_diff('day', dt, DATE '2026-01-01') > 1825
+                         THEN 'too_old' END
+                ], x -> x IS NOT NULL) AS date_i,
+                list_filter([
+                    CASE WHEN amt IS NULL THEN 'missing' END,
+                    CASE WHEN amt < 0 THEN 'negative' END,
+                    CASE WHEN amt = 0 THEN 'zero' END,
+                    CASE WHEN amt > 10000000 THEN 'implausibly_large' END
+                ], x -> x IS NOT NULL) AS amt_i,
+                list_filter([
+                    CASE WHEN cur IS NULL THEN 'missing' END,
+                    CASE WHEN cur IS NOT NULL AND cur NOT IN (__CURRENCIES__)
+                         THEN 'unknown_code' END
+                ], x -> x IS NOT NULL) AS cur_i
+            FROM p)
+        SELECT conv_id, turn_idx,
+               coalesce(array_to_string(list_sort(num_i), ';'), '') AS invoice_number_issues,
+               coalesce(array_to_string(list_sort(date_i), ';'), '') AS invoice_date_issues,
+               coalesce(array_to_string(list_sort(amt_i), ';'), '') AS total_amount_issues,
+               coalesce(array_to_string(list_sort(cur_i), ';'), '') AS currency_issues
+        FROM i
+    """.replace("__CURRENCIES__", cur_list).replace(
+        "__INV_PATH__", _inv_synth_path()
+    )
+
+
 def _ats_oracles() -> dict[str, str]:
     """DuckDB twins of the three ATS queries, generated from the same
     constants engine/spark/ats.py uses (vocabularies, degree pool,
@@ -1652,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "candidate_fit_parse": _FIT_PARSE_SQL,
         "skill_match_tiers": _skill_match_oracle(),
         "validate_invoice_fields": _invoice_fields_oracle(),
+        "validate_invoice_extracted": _invoice_extracted_oracle(),
         **_ats_oracles(),
         "multimodal_features": """
             WITH s AS (SELECT unnest(generate_series(0, 255)) AS i)
@@ -1921,8 +2026,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(bytes_in) AS BIGINT) AS bytes_in
             FROM t GROUP BY ws, quality_bucket
         """,
-        # extract_turns_scalar / extract_spans / validate_invoice_extracted:
-        # intentionally no oracle — kernel-backed whole-document Python
-        # semantics (rows-only check); their correctness gate is the
-        # per-turn oracle-equality pytest.
+        # extract_turns_scalar / extract_spans: intentionally no oracle
+        # — kernel-backed whole-document Python semantics (rows-only
+        # check); their correctness gate is the per-turn oracle-equality
+        # pytest, and their corpus-level distributions are cross-checked
+        # by extract_spans_consistency / extract_conversation_rollup.
     }
