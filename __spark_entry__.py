@@ -348,6 +348,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_k": A.vocab_top_k,
         # single-row corpus card: one scan, one reduce
         "corpus_stats": A.corpus_stats,
+        # C4-style line/document cleaning (terminal-punct + min-words
+        # line rule, brace/lorem flags); driver form synthesizes line
+        # structure deterministically in both engines
+        "c4_clean": A.c4_clean,
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
         # sign arithmetic; the functions' production default is adaptive
         # (corpus-sized keyspace, engine/spark/analytics.py)
@@ -1678,6 +1682,30 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 6) AS pct_en,
                    round(1 - count(DISTINCT h) / count(*), 6) AS exact_dup_rate
             FROM pre
+        """,
+        "c4_clean": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(text,
+                           ' (table|window|join) ', ' \1.' || chr(10), 'g'),
+                           ' (data|value|scan) ', ' \1' || chr(10), 'g') AS t
+                FROM documents),
+            l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM s),
+            k AS (SELECT doc_id, t, lines,
+                         list_filter(lines, x ->
+                             regexp_matches(trim(x), '[.!?"]$')
+                             AND len(string_split(trim(x), ' ')) >= 3) AS kept
+                  FROM l)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   (contains(t, '{') OR contains(t, '}')) AS has_brace,
+                   contains(lower(t), 'lorem ipsum') AS has_lorem,
+                   coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+                   (len(kept) >= 3
+                    AND NOT (contains(t, '{') OR contains(t, '}'))
+                    AND NOT contains(lower(t), 'lorem ipsum')) AS keep_doc
+            FROM k
         """,
         "stratified_sample": f"""
             WITH langs AS (

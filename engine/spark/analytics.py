@@ -1625,6 +1625,103 @@ def repetition_metrics(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
+# ------------------------------------------------- C4-style line filter
+
+# Line/document heuristics from the C4 cleaning recipe [Raffel et al.
+# 2020, "Exploring the Limits of Transfer Learning", §2.2]: keep lines
+# that end in terminal punctuation and carry enough words; drop whole
+# documents that are too short after filtering or contain code/
+# boilerplate markers. Thresholds shared with the DuckDB oracle.
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_clean_batch(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+) -> "DataFrame":
+    """C4-style cleaning pass over any (id, text) table: per document,
+    keep only lines that end in terminal punctuation ([.!?"]) and have
+    at least ``min_line_words`` whitespace words; flag documents
+    containing curly braces (code) or 'lorem ipsum' (boilerplate); a
+    document survives (``keep_doc``) iff it keeps at least
+    ``min_kept_lines`` lines and carries neither flag.
+
+    Map-only, ZERO shuffles: the line filter is one higher-order
+    F.filter over the split array — nothing corpus-sized is exchanged,
+    and the scan reads only (id, text). Staged projection so the split
+    array and kept array are each computed once (the flags and counts
+    all reference them; same CollapseProject rationale as
+    repetition_metrics)."""
+    t = F.col(text_col)
+    s1 = df.select(
+        id_col,
+        F.split(t, "\n").alias("_lines"),
+        (t.contains("{") | t.contains("}")).alias("has_brace"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem"),
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x: F.trim(x).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(x), " ")) >= F.lit(min_line_words)),
+    )
+    s2 = s1.select(
+        id_col,
+        F.size("_lines").cast("long").alias("n_lines"),
+        kept.alias("_kept"),
+        "has_brace",
+        "has_lorem",
+    )
+    return s2.select(
+        id_col,
+        "n_lines",
+        F.size("_kept").cast("long").alias("n_kept"),
+        "has_brace",
+        "has_lorem",
+        F.array_join("_kept", "\n").alias("cleaned_text"),
+        (
+            (F.size("_kept") >= F.lit(min_kept_lines))
+            & ~F.col("has_brace")
+            & ~F.col("has_lorem")
+        ).alias("keep_doc"),
+    )
+
+
+# the break-word tables the driver form uses to synthesize line
+# structure (the synthetic documents are single-line word soup with no
+# punctuation, which would make every C4 rule vacuous). Both engines
+# apply the same two sequential regex rewrites, so the structured text
+# is byte-identical and the oracle checks the FILTER, not the fixture.
+C4_SYN_DOT_WORDS = "table|window|join"
+C4_SYN_BARE_WORDS = "data|value|scan"
+
+
+def c4_clean(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Driver-query form of c4_clean_batch: synthesize deterministic
+    line structure from the documents word soup (break after common
+    words — '.\\n' after table/window/join so those lines end in
+    terminal punctuation, bare '\\n' after data/value/scan so those
+    don't), then run the real cleaning pass. Non-vacuous at sf0.01:
+    kept-line fraction averages ~0.33 and keep_doc splits ~300/500;
+    adjacent break words also produce sub-minimum-word lines, so the
+    min-words rule fires too. The brace/lorem flags are exercised by
+    the planted-fixture pytest (this corpus carries neither)."""
+    docs = _docs(spark, sf_dir)
+    t1 = F.regexp_replace(
+        F.col("text"), f" ({C4_SYN_DOT_WORDS}) ", " $1.\n"
+    )
+    structured = docs.select(
+        "doc_id",
+        F.regexp_replace(t1, f" ({C4_SYN_BARE_WORDS}) ", " $1\n").alias(
+            "text"
+        ),
+    )
+    return c4_clean_batch(structured)
+
+
 DEFAULT_SAMPLE_RATES = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.5, "und": 0.25}
 
 

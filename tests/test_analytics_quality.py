@@ -740,3 +740,47 @@ def test_decontaminate_batch_planted(spark):
     n_corpus = docs.filter(F.col("doc_id") % 5 != 0).count()
     n_kept = decontaminate(spark, sf).count()
     assert 0 < n_kept < n_corpus
+
+
+def test_c4_clean_batch_planted(spark):
+    """Every C4 rule fires on planted fixtures: terminal-punct line
+    rule, min-words line rule, brace and lorem document flags, the
+    min-kept-lines document rule, and the empty-doc degenerate. The
+    driver form's non-vacuity at sf0.01 is asserted separately."""
+    from engine.spark.analytics import c4_clean_batch
+
+    good = "one two three words here.\nanother good long line!"
+    docs = [
+        # 3 kept lines -> keep_doc
+        (1, good + '\nthird fine line here?\nshort no.\nno punct line here'),
+        # only 2 kept lines -> dropped by min_kept_lines
+        (2, good),
+        # brace flag kills an otherwise-keepable doc
+        (3, good + "\nthird fine line here?\nif (x) { return }"),
+        # lorem flag, case-insensitive
+        (4, good + "\nthird fine line here?\nLorem Ipsum dolor sit amet."),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = {x.doc_id: x for x in c4_clean_batch(df).collect()}
+    assert r[1].keep_doc and r[1].n_kept == 3 and r[1].n_lines == 5
+    assert r[1].cleaned_text.count("\n") == 2  # kept lines only
+    assert not r[2].keep_doc and r[2].n_kept == 2
+    assert not r[3].keep_doc and r[3].has_brace and r[3].n_kept == 3
+    assert not r[4].keep_doc and r[4].has_lorem and r[4].n_kept == 4
+    assert not r[5].keep_doc and r[5].n_kept == 0 and r[5].cleaned_text == ""
+
+
+def test_c4_clean_driver_form_non_vacuous(spark):
+    """The synthesized line structure must exercise both branches of
+    every rule at sf0.01 — keep_doc splits, kept-line fraction strictly
+    inside (0, 1), and at least one line dropped by min-words alone
+    (ends in punct but too short)."""
+    from engine.spark.analytics import c4_clean
+
+    rows = c4_clean(spark, "/root/testdata/sf0.01").collect()
+    keeps = sum(1 for r in rows if r.keep_doc)
+    assert 0 < keeps < len(rows)
+    tot_lines = sum(r.n_lines for r in rows)
+    tot_kept = sum(r.n_kept for r in rows)
+    assert 0 < tot_kept < tot_lines
