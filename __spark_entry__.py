@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # line rule, brace/lorem flags); driver form synthesizes line
         # structure deterministically in both engines
         "c4_clean": A.c4_clean,
+        # CCNet-style unigram-LM quality filter: corpus-trained vocab,
+        # interpolated smoothing (SF-stable bits), fixed keep threshold
+        "lm_unigram_score": A.lm_unigram_score,
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
         # sign arithmetic; the functions' production default is adaptive
         # (corpus-sized keyspace, engine/spark/analytics.py)
@@ -1682,6 +1685,33 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 6) AS pct_en,
                    round(1 - count(DISTINCT h) / count(*), 6) AS exact_dup_rate
             FROM pre
+        """,
+        "lm_unigram_score": r"""
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(
+                    regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS word
+                FROM documents),
+            v AS (SELECT word, count(*) AS n FROM w
+                  GROUP BY word ORDER BY n DESC, word LIMIT 16),
+            t AS (SELECT count(*) AS t_words FROM w),
+            s AS (SELECT w.doc_id,
+                         CASE WHEN v.n IS NULL THEN 1 ELSE 0 END AS is_oov,
+                         -- ::DOUBLE literals, deliberately: bare 0.9
+                         -- is DECIMAL in DuckDB, whose product/divide
+                         -- rounding differs from the double arithmetic
+                         -- Spark runs; (1.0 - 0.9) mirrors the Python
+                         -- (1.0 - lam) binary value exactly
+                         log2(0.9::DOUBLE * coalesce(v.n, 0) / t.t_words
+                              + (1.0::DOUBLE - 0.9::DOUBLE) / 17) AS logp
+                  FROM w LEFT JOIN v USING (word) CROSS JOIN t),
+            a AS (SELECT doc_id,
+                         CAST(count(*) AS BIGINT) AS n_words,
+                         CAST(sum(is_oov) AS BIGINT) AS n_oov,
+                         round(-avg(logp), 6) AS bits_per_word
+                  FROM s GROUP BY doc_id)
+            SELECT doc_id, n_words, n_oov, bits_per_word,
+                   bits_per_word <= 6.0 AS keep_doc
+            FROM a
         """,
         "c4_clean": r"""
             WITH s AS (

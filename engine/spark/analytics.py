@@ -1625,6 +1625,80 @@ def repetition_metrics(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
+# --------------------------------------------- unigram-LM quality filter
+
+# CCNet-style LM quality filter [Wenzek et al. 2020, "CCNet: Extracting
+# High Quality Monolingual Datasets", §3.3 — they filter by KenLM
+# perplexity; the unigram analogue keeps the same keep/drop shape fully
+# relational]. Interpolated (Jelinek–Mercer) smoothing, NOT add-one:
+# p(w) = λ·c_w/T + (1−λ)/(k+1) keeps OOV mass constant, so bits/word is
+# scale-invariant (add-one's OOV prob shrinks with corpus size, which
+# would make any fixed threshold SF-dependent). Threshold splits the
+# synthetic corpus ~50/50 at every SF; shared with the DuckDB oracle.
+LM_VOCAB_K = 16
+LM_LAMBDA = 0.9
+LM_BITS_KEEP_T = 6.0
+
+
+def lm_unigram_score(
+    spark: "SparkSession",
+    sf_dir: str,
+    vocab_k: int = LM_VOCAB_K,
+    lam: float = LM_LAMBDA,
+    keep_bits: float = LM_BITS_KEEP_T,
+) -> "DataFrame":
+    """Unigram-LM quality scoring: train a unigram LM on the corpus
+    itself (top-``vocab_k`` word frequencies), score each document by
+    mean bits/word under interpolated smoothing, and gate on a fixed
+    bits threshold — the relational skeleton of CCNet's perplexity
+    filter.
+
+    100 TB path: the vocab aggregate shuffles one row per DISTINCT
+    word per partition (map-side partial counts), the totals aggregate
+    is a single map-side reduce, and both join back as broadcasts —
+    the corpus-sized side never shuffles for scoring; the per-doc
+    aggregate shuffles ~1 row per doc (explode keeps a doc's words
+    co-partitioned, so partial aggregation collapses them before the
+    exchange). A production pipeline trains the LM once and persists
+    it (the IVF-codebook pattern); deriving it in-query here keeps the
+    whole operator one oracle-checkable plan. Deterministic top-k under
+    count ties via (n DESC, word ASC)."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+    words = docs.select("doc_id", F.explode(w).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(vocab_k)
+    )
+    totals = words.agg(F.count("*").alias("t_words"))
+    p = F.lit(lam) * F.coalesce(F.col("n"), F.lit(0)) / F.col(
+        "t_words"
+    ) + F.lit((1.0 - lam) / (vocab_k + 1))
+    scored = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.col("n").isNull().cast("int").alias("is_oov"),
+            F.log2(p).alias("logp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("is_oov").cast("long").alias("n_oov"),
+        F.round(-F.avg("logp"), 6).alias("bits_per_word"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_oov",
+        "bits_per_word",
+        (F.col("bits_per_word") <= F.lit(keep_bits)).alias("keep_doc"),
+    )
+
+
 # ------------------------------------------------- C4-style line filter
 
 # Line/document heuristics from the C4 cleaning recipe [Raffel et al.

@@ -784,3 +784,45 @@ def test_c4_clean_driver_form_non_vacuous(spark):
     tot_lines = sum(r.n_lines for r in rows)
     tot_kept = sum(r.n_kept for r in rows)
     assert 0 < tot_kept < tot_lines
+
+
+def test_lm_unigram_score_planted(spark, tmp_path):
+    """Hand-computed bits on a tiny corpus: vocab_k=1 makes 'aa' the
+    only in-vocab word (count tie broken alphabetically), everything
+    else OOV at constant probability — both the smoothing math and the
+    keep gate are checked against exact expected values."""
+    import math
+
+    from engine.spark.analytics import lm_unigram_score
+
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "cc dd")],
+        "doc_id long, text string",
+    ).write.parquet(str(d / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in lm_unigram_score(
+            spark, str(d), vocab_k=1, lam=0.9, keep_bits=4.0
+        ).collect()
+    }
+    # T=5 total words; p(aa) = 0.9*2/5 + 0.1/2, p(oov) = 0.1/2
+    p_aa = 0.9 * 2 / 5 + (1.0 - 0.9) / 2
+    p_oov = (1.0 - 0.9) / 2
+    b1 = round(-(2 * math.log2(p_aa) + math.log2(p_oov)) / 3, 6)
+    b2 = round(-math.log2(p_oov), 6)
+    assert (out[1].n_words, out[1].n_oov) == (3, 1)
+    assert out[1].bits_per_word == b1 and out[1].keep_doc == (b1 <= 4.0)
+    assert (out[2].n_words, out[2].n_oov) == (2, 2)
+    assert out[2].bits_per_word == b2 and not out[2].keep_doc
+
+
+def test_lm_unigram_driver_form_non_vacuous(spark):
+    """keep_doc must split and OOV must fire at sf0.01 — the corpus
+    has 31 distinct words, so vocab_k=16 leaves real OOV mass."""
+    from engine.spark.analytics import lm_unigram_score
+
+    rows = lm_unigram_score(spark, "/root/testdata/sf0.01").collect()
+    keeps = sum(1 for r in rows if r.keep_doc)
+    assert 0 < keeps < len(rows)
+    assert sum(r.n_oov for r in rows) > 0
