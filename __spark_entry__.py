@@ -116,6 +116,22 @@ def _spans_parquet(
     return path
 
 
+def _conv_text_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (conv_id, turn_idx, cleaned_text) from the
+    deterministic extraction so DuckDB can recompute the conversation
+    fingerprints (per-turn md5 → block hash → conv hash) from exactly
+    the rows the Spark side consumed."""
+    path = _per_turn_path(sf_dir) + "_dc"
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    _ex(spark, sf_dir).select("conv_id", "turn_idx", "cleaned_text").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
 def _inv_fields_parquet(spark: SparkSession) -> str:
     """Materialize the kernel-extracted invoice fields (doc_type +
     fields_json per invoice turn, over the deterministic synthetic
@@ -257,6 +273,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         src = spark.read.parquet(_inv_fields_parquet(spark))
         return scalarize_issue_columns(validate_invoice_extractions(src))
 
+    def dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # conversation-level exact dedup over extraction output,
+        # oracled via the materialized per-turn cleaned-text parquet:
+        # DuckDB recomputes md5 → block hash → conv fingerprint →
+        # keeper from the same rows. The corpus has no naturally
+        # duplicated documents, so both engines plant duplicates
+        # identically: conversations whose md5(conv_id) starts with
+        # '0' (~1/16) are re-added under a '~dup' suffix ('~' sorts
+        # after alphanumerics, so the original stays the keeper) —
+        # non-vacuity is pytest-asserted.
+        from pyspark.sql import functions as F
+
+        from engine.spark.pipeline import dedup_conversations as _dc
+
+        src = spark.read.parquet(_conv_text_parquet(spark, sf_dir))
+        dups = src.filter(
+            F.substring(F.md5("conv_id"), 1, 1) == "0"
+        ).withColumn("conv_id", F.concat("conv_id", F.lit("~dup")))
+        return _dc(src.unionByName(dups))
+
     def extract_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus-level quality/emptiness drift per event-time window,
         # oracled from the materialized per-turn parquet; window bounds
@@ -387,6 +423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans_consistency": extract_spans_consistency,
         "extract_conversation_rollup": extract_conversation_rollup,
         "extract_quality_drift": extract_quality_drift,
+        # conversation-level exact dedup (transcript-native): per-turn
+        # md5 -> SKEW_BLOCK block hash -> ordered conv fingerprint ->
+        # min-conv_id keeper; nothing text-sized ever shuffles
+        "dedup_conversations": dedup_conversations,
         "validate_invoice_fields": validate_invoice_fields,
         "validate_invoice_extracted": validate_invoice_extracted,
         "doc_token_estimate": doc_token_estimate,
@@ -2050,6 +2090,38 @@ def oracle_sql() -> dict[str, str]:
                    max(quality_score) AS max_quality_score
             FROM read_parquet('{_per_turn_path("/root/testdata/sf0.01")}/*.parquet')
             GROUP BY conv_id
+        """,
+        # conversation dedup: DuckDB independently recomputes per-turn
+        # md5 -> ordered block hash (SKEW_BLOCK=10000) -> conv
+        # fingerprint -> min-keeper from the materialized cleaned text
+        "dedup_conversations": f"""
+            WITH src AS (
+                SELECT conv_id, turn_idx, cleaned_text
+                FROM read_parquet('{_per_turn_path("/root/testdata/sf0.01")}_dc/*.parquet')),
+            planted AS (
+                SELECT conv_id, turn_idx, cleaned_text FROM src
+                UNION ALL
+                SELECT conv_id || '~dup', turn_idx, cleaned_text FROM src
+                WHERE substr(md5(conv_id), 1, 1) = '0'),
+            per AS (
+                SELECT conv_id, turn_idx,
+                       md5(turn_idx::VARCHAR || ':'
+                           || coalesce(cleaned_text, '')) AS h,
+                       CAST(floor(turn_idx / 10000) AS BIGINT) AS blk
+                FROM planted),
+            blocks AS (
+                SELECT conv_id, blk, count(*) AS n,
+                       md5(string_agg(h, chr(1) ORDER BY turn_idx)) AS bh
+                FROM per GROUP BY conv_id, blk),
+            conv AS (
+                SELECT conv_id, CAST(sum(n) AS BIGINT) AS n_turns,
+                       md5(string_agg(bh, chr(1) ORDER BY blk)) AS conv_fp
+                FROM blocks GROUP BY conv_id)
+            SELECT conv_id, conv_fp, n_turns,
+                   min(conv_id) OVER (PARTITION BY conv_fp) AS keep_conv_id,
+                   conv_id = min(conv_id) OVER (PARTITION BY conv_fp)
+                       AS is_keeper
+            FROM conv
         """,
         "extract_spans_consistency": f"""
             WITH t AS (

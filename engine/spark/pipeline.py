@@ -205,3 +205,67 @@ def conversation_rollup(results: "DataFrame") -> "DataFrame":
         F.sum("tokens").alias("tokens"),
         F.max("max_q").alias("max_quality_score"),
     )
+
+
+def dedup_conversations(per_turn: "DataFrame") -> "DataFrame":
+    """Conversation-level exact dedup over extraction output: two
+    conversations are duplicates iff their per-turn cleaned texts match
+    in turn order. Emits one row per conversation with its fingerprint
+    and the keep/drop decision (keeper = min conv_id per fingerprint).
+
+    10^12-turn path: turns are reduced to 32-byte md5s immediately, so
+    nothing text-sized ever shuffles, and the fingerprint is built with
+    the same two-phase SKEW_BLOCK scheme as conversation_rollup —
+    phase 1 hashes each ≤SKEW_BLOCK-turn block (collect_list state is
+    block-bounded), phase 2 combines the ordered block hashes, so a
+    mega-thread never concentrates on one reducer and no unbounded
+    array is ever collected. Final keeper pick is a window over the
+    (tiny) one-row-per-conversation table keyed by fingerprint.
+
+    Input needs (conv_id, turn_idx, cleaned_text); turn_idx is the
+    stable order (unique per conversation by the transcript contract).
+    The per-turn hash covers (turn_idx, text), so equality means the
+    whole turn-index→text mapping matches — this also makes the block
+    decomposition provably invisible (blocks are a pure function of
+    turn_idx, which is itself under the hash), even for sparse or
+    gapped indices."""
+    h = F.md5(
+        F.concat(
+            F.col("turn_idx").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")),
+        )
+    ).alias("h")
+    blk = (F.col("turn_idx") / F.lit(SKEW_BLOCK)).cast("long").alias("blk")
+    per = per_turn.select("conv_id", "turn_idx", blk, h)
+
+    def _ordered_md5(pairs_col: "Column", key: str, val: str) -> "Column":
+        return F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(pairs_col), lambda s: s[val]
+                ),
+                "\x01",
+            )
+        )
+
+    blocks = per.groupBy("conv_id", "blk").agg(
+        F.count("*").alias("n"),
+        _ordered_md5(
+            F.collect_list(F.struct("turn_idx", "h")), "turn_idx", "h"
+        ).alias("bh"),
+    )
+    conv = blocks.groupBy("conv_id").agg(
+        F.sum("n").cast("long").alias("n_turns"),
+        _ordered_md5(
+            F.collect_list(F.struct("blk", "bh")), "blk", "bh"
+        ).alias("conv_fp"),
+    )
+    w = Window.partitionBy("conv_fp")
+    return conv.select(
+        "conv_id",
+        "conv_fp",
+        "n_turns",
+        F.min("conv_id").over(w).alias("keep_conv_id"),
+        (F.col("conv_id") == F.min("conv_id").over(w)).alias("is_keeper"),
+    )

@@ -826,3 +826,54 @@ def test_lm_unigram_driver_form_non_vacuous(spark):
     keeps = sum(1 for r in rows if r.keep_doc)
     assert 0 < keeps < len(rows)
     assert sum(r.n_oov for r in rows) > 0
+
+
+def test_dedup_conversations_planted(spark):
+    """Conversation fingerprints: identical (turn_idx -> text) maps
+    collide (keeper = min conv_id), same texts in a DIFFERENT order
+    don't, a one-turn difference doesn't, identical maps spanning
+    multiple SKEW_BLOCK blocks still collide (block decomposition is
+    invisible), and gapped indices are a different conversation from
+    dense ones even with identical ordered texts."""
+    from engine.spark.pipeline import dedup_conversations
+
+    rows = [
+        ("a", 0, "hello"), ("a", 1, "world"),
+        ("b", 0, "hello"), ("b", 1, "world"),      # dup of a
+        ("c", 0, "world"), ("c", 1, "hello"),      # same set, other order
+        ("d", 0, "hello"), ("d", 1, "world!"),     # one turn differs
+        # e and f: identical maps with turns in blocks 0 and 1
+        ("e", 0, "x"), ("e", 15000, "y"),
+        ("f", 0, "x"), ("f", 15000, "y"),
+        # g: same ordered texts but dense indices — a different
+        # (turn_idx -> text) map, so NOT a duplicate of e
+        ("g", 0, "x"), ("g", 1, "y"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, cleaned_text string")
+    out = {r.conv_id: r for r in dedup_conversations(df).collect()}
+    assert out["a"].conv_fp == out["b"].conv_fp
+    assert out["a"].is_keeper and not out["b"].is_keeper
+    assert out["b"].keep_conv_id == "a"
+    assert out["c"].conv_fp != out["a"].conv_fp and out["c"].is_keeper
+    assert out["d"].conv_fp != out["a"].conv_fp
+    assert out["e"].conv_fp == out["f"].conv_fp
+    assert out["e"].is_keeper and not out["f"].is_keeper
+    assert out["g"].conv_fp != out["e"].conv_fp and out["g"].is_keeper
+    assert all(r.n_turns == 2 for r in out.values())
+
+
+def test_dedup_conversations_non_vacuous_at_sf001(spark):
+    """The driver entry plants duplicate conversations (md5-selected
+    ~1/16 re-added under a '~dup' suffix, same rule in both engines),
+    so it must find real drops — otherwise its oracle match proves
+    nothing — and every planted dup must resolve to its original as
+    the keeper."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["dedup_conversations"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    drops = [r for r in rows if not r.is_keeper]
+    assert rows and drops, (len(rows), len(drops))
+    assert all(r.conv_id.endswith("~dup") for r in drops)
+    assert all(r.conv_id == r.keep_conv_id + "~dup" for r in drops)
