@@ -391,6 +391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-style unigram-LM quality filter: corpus-trained vocab,
         # interpolated smoothing (SF-stable bits), fixed keep threshold
         "lm_unigram_score": A.lm_unigram_score,
+        # temperature mixing: data-derived per-language keep rates
+        # (∝ p^(α−1), rarest keeps all) -> post-sample counts ∝ p^α
+        "mix_corpus": A.mix_corpus,
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
         # sign arithmetic; the functions' production default is adaptive
         # (corpus-sized keyspace, engine/spark/analytics.py)
@@ -1752,6 +1755,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, n_oov, bits_per_word,
                    bits_per_word <= 6.0 AS keep_doc
             FROM a
+        """,
+        "mix_corpus": f"""
+            WITH langs AS (
+                SELECT doc_id, {lang_pred_case} AS lang_pred
+                FROM (SELECT doc_id, {_lang_scores()} FROM documents)
+            ),
+            shares AS (SELECT lang_pred, count(*) AS n FROM langs
+                       GROUP BY lang_pred),
+            -- (0.3::DOUBLE - 1.0::DOUBLE): IEEE-subtract the same
+            -- doubles Python's (alpha - 1.0) does, so pow inputs are
+            -- bit-identical on both engines
+            r AS (SELECT lang_pred,
+                         pow(n::DOUBLE, 0.3::DOUBLE - 1.0::DOUBLE)
+                         / (SELECT max(pow(n::DOUBLE,
+                                           0.3::DOUBLE - 1.0::DOUBLE))
+                            FROM shares) AS rate
+                  FROM shares),
+            uu AS (
+                SELECT doc_id, lang_pred,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':mix-v1'), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+                FROM langs)
+            SELECT uu.doc_id, uu.lang_pred,
+                   round(r.rate, 6) AS rate, round(uu.u, 6) AS u
+            FROM uu JOIN r USING (lang_pred)
+            WHERE uu.u < r.rate
         """,
         "c4_clean": r"""
             WITH s AS (

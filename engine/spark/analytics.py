@@ -1831,6 +1831,52 @@ def stratified_sample(
     )
 
 
+def mix_corpus(
+    spark: "SparkSession",
+    sf_dir: str,
+    alpha: float = 0.3,
+    salt: str = "mix-v1",
+) -> "DataFrame":
+    """Temperature-based corpus mixing [mT5 / XLM-R style: sample
+    languages ∝ p^α to flatten the language distribution]: derive each
+    language's keep rate FROM THE CORPUS ITSELF — subsampling language
+    l with rate ∝ p_l^(α−1) (normalized so the rarest language keeps
+    everything) yields post-sample counts ∝ p_l^α — then keep a doc
+    iff its deterministic hash-uniform falls under its language's
+    rate. Unlike stratified_sample (operator-supplied fixed rates),
+    the rates here are data-derived, which is what a real mixing job
+    computes from its corpus stats.
+
+    Scale shape: the share aggregate shuffles ≤ one row per distinct
+    language per partition; rates and the max-normalizer are one-row /
+    few-row broadcasts back onto the corpus, so the corpus side stays
+    map-only; the keep decision is the same reproducible,
+    partition-invariant phash60 as stratified_sample. Exponent is
+    computed as (α − 1.0) in IEEE double on BOTH engines so the pow
+    inputs are bit-identical."""
+    langs = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    shares = langs.groupBy("lang_pred").agg(F.count("*").alias("n"))
+    pw = F.pow(F.col("n").cast("double"), F.lit(alpha - 1.0))
+    mx = shares.agg(F.max(pw).alias("mx"))
+    rates = (
+        shares.crossJoin(F.broadcast(mx))
+        .select("lang_pred", (pw / F.col("mx")).alias("rate"))
+    )
+    u = _phash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+    ) / F.lit(float(1 << 60))
+    return (
+        langs.join(F.broadcast(rates), "lang_pred")
+        .filter(u < F.col("rate"))
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.round("rate", 6).alias("rate"),
+            F.round(u, 6).alias("u"),
+        )
+    )
+
+
 # ------------------------------------------------- full corpus pipeline
 
 def quality_filter_docs(

@@ -877,3 +877,33 @@ def test_dedup_conversations_non_vacuous_at_sf001(spark):
     assert rows and drops, (len(rows), len(drops))
     assert all(r.conv_id.endswith("~dup") for r in drops)
     assert all(r.conv_id == r.keep_conv_id + "~dup" for r in drops)
+
+
+def test_mix_corpus_rates_and_flattening(spark, tmp_path):
+    """Temperature-mixing math on a controlled 2-language corpus
+    (90 en / 10 es): the rarest language keeps everything (rate 1.0),
+    the common one keeps (n_es/n_en)^(1-α), every kept doc satisfies
+    u < rate, and the op is deterministic across calls."""
+    from engine.spark.analytics import mix_corpus
+
+    d = tmp_path / "docs"
+    rows = [(i, "the and of is to") for i in range(90)] + [
+        (100 + i, "el la que de los") for i in range(10)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = mix_corpus(spark, str(d), alpha=0.3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang_pred, []).append(r)
+    # rarest language: rate 1.0, all 10 kept
+    assert len(by_lang["es"]) == 10
+    assert all(r.rate == 1.0 for r in by_lang["es"])
+    # common language: rate = (90/10)^(alpha-1) = 9^-0.7 ~ 0.2146
+    exp = round((90.0 ** (0.3 - 1.0)) / (10.0 ** (0.3 - 1.0)), 6)
+    assert all(r.rate == exp for r in by_lang["en"])
+    assert 0 < len(by_lang["en"]) < 90
+    assert all(r.u < r.rate for r in out)
+    again = mix_corpus(spark, str(d), alpha=0.3).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
