@@ -293,6 +293,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("conv_id", F.concat("conv_id", F.lit("~dup")))
         return _dc(src.unionByName(dups))
 
+    def transcript_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the transcript-native end-to-end pipeline: conversation dedup
+        # (same planted '~dup' copies as dedup_conversations, so the
+        # stage is non-vacuous) -> quality gate (token floor splits the
+        # corpus) -> shard-windowed packing. DuckDB recomputes the full
+        # chain from the same materialized cleaned-text parquet.
+        from pyspark.sql import functions as F
+
+        from engine.spark.pipeline import transcript_prepare as _tp
+
+        src = spark.read.parquet(_conv_text_parquet(spark, sf_dir))
+        dups = src.filter(
+            F.substring(F.md5("conv_id"), 1, 1) == "0"
+        ).withColumn("conv_id", F.concat("conv_id", F.lit("~dup")))
+        return _tp(src.unionByName(dups))
+
     def extract_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus-level quality/emptiness drift per event-time window,
         # oracled from the materialized per-turn parquet; window bounds
@@ -430,6 +446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5 -> SKEW_BLOCK block hash -> ordered conv fingerprint ->
         # min-conv_id keeper; nothing text-sized ever shuffles
         "dedup_conversations": dedup_conversations,
+        # the transcript-native corpus_prepare: dedup -> quality gate
+        # -> shard-windowed concat packing, one call, fully oracled
+        "transcript_prepare": transcript_prepare,
         "validate_invoice_fields": validate_invoice_fields,
         "validate_invoice_extracted": validate_invoice_extracted,
         "doc_token_estimate": doc_token_estimate,
@@ -2151,6 +2170,65 @@ def oracle_sql() -> dict[str, str]:
                    conv_id = min(conv_id) OVER (PARTITION BY conv_fp)
                        AS is_keeper
             FROM conv
+        """,
+        # the transcript pipeline: DuckDB re-runs the full chain —
+        # planted dups -> fingerprint dedup -> token/empty gate ->
+        # per-shard running-offset packing — from the same parquet
+        "transcript_prepare": f"""
+            WITH src AS (
+                SELECT conv_id, turn_idx, cleaned_text
+                FROM read_parquet('{_per_turn_path("/root/testdata/sf0.01")}_dc/*.parquet')),
+            planted AS (
+                SELECT conv_id, turn_idx, cleaned_text FROM src
+                UNION ALL
+                SELECT conv_id || '~dup', turn_idx, cleaned_text FROM src
+                WHERE substr(md5(conv_id), 1, 1) = '0'),
+            per AS (
+                SELECT conv_id, turn_idx,
+                       md5(turn_idx::VARCHAR || ':'
+                           || coalesce(cleaned_text, '')) AS h,
+                       CAST(floor(turn_idx / 10000) AS BIGINT) AS blk,
+                       greatest(1, CAST(floor(
+                           length(coalesce(cleaned_text, '')) / 4) AS BIGINT))
+                           AS et,
+                       CASE WHEN coalesce(cleaned_text, '') = ''
+                            THEN 1 ELSE 0 END AS emp
+                FROM planted),
+            blocks AS (
+                SELECT conv_id, blk, count(*) AS n, sum(et) AS et,
+                       sum(emp) AS emp,
+                       md5(string_agg(h, chr(1) ORDER BY turn_idx)) AS bh
+                FROM per GROUP BY conv_id, blk),
+            conv AS (
+                SELECT conv_id, sum(n) AS n_turns,
+                       CAST(sum(et) AS BIGINT) AS est_tokens,
+                       sum(emp) AS n_empty,
+                       md5(string_agg(bh, chr(1) ORDER BY blk)) AS conv_fp
+                FROM blocks GROUP BY conv_id),
+            keepers AS (
+                SELECT conv_id, est_tokens FROM (
+                    SELECT conv_id, est_tokens, n_turns, n_empty,
+                           conv_id = min(conv_id) OVER (PARTITION BY conv_fp)
+                               AS is_keeper
+                    FROM conv)
+                WHERE is_keeper AND est_tokens >= 64
+                      AND n_empty / n_turns <= 0.5),
+            sharded AS (
+                SELECT conv_id,
+                       CAST(('0x' || substr(md5(conv_id), 1, 15))::BIGINT % 16
+                            AS INTEGER) AS shard,
+                       est_tokens
+                FROM keepers),
+            packed AS (
+                SELECT conv_id, shard, est_tokens,
+                       sum(est_tokens) OVER (
+                           PARTITION BY shard ORDER BY conv_id
+                           ROWS UNBOUNDED PRECEDING) - est_tokens
+                           AS start_tok
+                FROM sharded)
+            SELECT conv_id, shard, est_tokens, start_tok,
+                   CAST(floor(start_tok / 4096) AS BIGINT) AS bin
+            FROM packed
         """,
         "extract_spans_consistency": f"""
             WITH t AS (

@@ -269,3 +269,74 @@ def dedup_conversations(per_turn: "DataFrame") -> "DataFrame":
         F.min("conv_id").over(w).alias("keep_conv_id"),
         (F.col("conv_id") == F.min("conv_id").over(w)).alias("is_keeper"),
     )
+
+
+def transcript_prepare(
+    per_turn: "DataFrame",
+    min_conv_tokens: int = 64,
+    max_empty_frac: float = 0.5,
+    seq_len: int = 4096,
+    n_shards: int = 16,
+) -> "DataFrame":
+    """THE end-to-end transcript training-data pipeline as one call:
+    conversation-level exact dedup → per-conversation quality gate
+    (token floor + empty-turn-fraction cap) → deterministic
+    concat-packing of the surviving conversations into fixed-token
+    bins. Per-turn extraction rows in, loader-ready
+    (conv_id, shard, est_tokens, start_tok, bin) out — the transcript
+    analogue of corpus_prepare.
+
+    Scale shape, stage by stage: dedup is the block-bounded fingerprint
+    scheme of dedup_conversations (nothing text-sized shuffles); the
+    quality rollup uses the same two-phase (conv_id, block) partial
+    aggregation, so both per-conv tables arrive via bounded-state
+    shuffles of ~1 row per conversation; their join is conv-keyed; the
+    packing window partitions by shard (the scale-out axis — more
+    shards, more parallel running-offset chains, never a global sort).
+    Token counts are the T7 estimator (chars/4, floor 1) over the
+    cleaned text, so the whole pipeline needs only
+    (conv_id, turn_idx, cleaned_text)."""
+    from engine.spark.analytics import _phash60
+
+    dedup = dedup_conversations(per_turn)
+    keepers = dedup.filter(F.col("is_keeper")).select("conv_id")
+
+    text = F.coalesce(F.col("cleaned_text"), F.lit(""))
+    blk = (F.col("turn_idx") / F.lit(SKEW_BLOCK)).cast("long").alias("blk")
+    per = per_turn.select(
+        "conv_id",
+        blk,
+        F.greatest(F.lit(1), F.floor(F.length(text) / 4))
+        .cast("long")
+        .alias("et"),
+        (text == "").cast("long").alias("emp"),
+    )
+    blocks = per.groupBy("conv_id", "blk").agg(
+        F.count("*").alias("n"), F.sum("et").alias("et"), F.sum("emp").alias("emp")
+    )
+    stats = blocks.groupBy("conv_id").agg(
+        F.sum("n").alias("n_turns"),
+        F.sum("et").cast("long").alias("est_tokens"),
+        F.sum("emp").alias("n_empty"),
+    )
+    gated = stats.filter(
+        (F.col("est_tokens") >= F.lit(min_conv_tokens))
+        & (F.col("n_empty") / F.col("n_turns") <= F.lit(max_empty_frac))
+    )
+    kept = gated.join(keepers, "conv_id")
+
+    shard = F.pmod(_phash60(F.col("conv_id")), F.lit(n_shards)).cast("int")
+    sharded = kept.select("conv_id", shard.alias("shard"), "est_tokens")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("est_tokens").over(w)
+    return sharded.select(
+        "conv_id",
+        "shard",
+        "est_tokens",
+        (cum - F.col("est_tokens")).alias("start_tok"),
+        F.floor((cum - F.col("est_tokens")) / seq_len).cast("long").alias("bin"),
+    )

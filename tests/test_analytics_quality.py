@@ -907,3 +907,60 @@ def test_mix_corpus_rates_and_flattening(spark, tmp_path):
     assert all(r.u < r.rate for r in out)
     again = mix_corpus(spark, str(d), alpha=0.3).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+
+
+def test_transcript_prepare_pipeline_semantics(spark):
+    """End-to-end transcript pipeline on a hand-built fixture: the
+    duplicate conversation is dropped by dedup (not packed), the
+    too-short conversation is dropped by the token floor, the
+    mostly-empty conversation by the empty-fraction cap, and the
+    survivors pack contiguously per shard with no overlap."""
+    from engine.spark.pipeline import transcript_prepare
+
+    long_text = "w " * 200  # ~100 est tokens per turn
+    rows = [
+        ("a", 0, long_text), ("a", 1, long_text),
+        ("b", 0, long_text), ("b", 1, long_text + "x"),  # distinct
+        ("dup", 0, long_text), ("dup", 1, long_text),    # exact dup of a
+        ("tiny", 0, "short"),                            # < 64 tokens
+        ("empty2", 0, long_text), ("empty2", 1, ""),
+        ("empty2", 2, ""), ("empty2", 3, ""),            # 3/4 empty
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, cleaned_text string"
+    )
+    out = {r.conv_id: r for r in transcript_prepare(df).collect()}
+    assert set(out) == {"a", "b"}
+    # packing invariants: per shard, offsets are contiguous in conv_id
+    # order starting at 0
+    by_shard = {}
+    for r in out.values():
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.conv_id)
+        off = 0
+        for r in rs:
+            assert r.start_tok == off
+            assert r.bin == off // 4096
+            off += r.est_tokens
+
+
+def test_transcript_prepare_driver_non_vacuous(spark):
+    """Every stage must fire on the real corpus: planted dups are
+    dropped (never packed), the token floor drops some conversations,
+    and at least one conversation survives to be packed."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["transcript_prepare"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    packed_ids = {r.conv_id for r in rows}
+    assert not any(c.endswith("~dup") for c in packed_ids)
+    # the union input had ~1/16 planted dups + all originals; dedup
+    # dropped the dups and the token floor dropped the short convs
+    ded = em.queries()["dedup_conversations"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    keepers = {r.conv_id for r in ded if r.is_keeper}
+    assert packed_ids < keepers  # strictly smaller -> quality gate fired

@@ -37,6 +37,7 @@ SF_PINNED = {
     # twin can't check an sf0.1 search)
     "simsearch_ivf_centroids",
     "dedup_conversations",
+    "transcript_prepare",
 }
 
 
