@@ -132,6 +132,36 @@ def _conv_text_parquet(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _sft_turns_parquet(spark: SparkSession) -> str:
+    """Materialize (conv_id, turn_idx, role, cleaned_text) from the
+    synthetic multi-turn transcripts (the document-derived conversations
+    are single-turn all-user, which would leave sft_examples with zero
+    targets) so DuckDB can recompute the context-window math from the
+    same rows. SF-independent; pid-keyed like the other materializers."""
+    import atexit
+    import shutil
+
+    from engine.spark.pipeline import run_extraction
+    from engine.spark.transcripts import synthesize_transcripts
+
+    path = _sft_synth_path()
+    if path not in _TMP_PATHS:
+        _TMP_PATHS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    t = synthesize_transcripts(spark, 120, 4)
+    run_extraction(t, num_partitions=32).select(
+        "conv_id", "turn_idx", "role", "cleaned_text"
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _sft_synth_path() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"entry_sft_synth_{os.getpid()}")
+
+
 def _inv_fields_parquet(spark: SparkSession) -> str:
     """Materialize the kernel-extracted invoice fields (doc_type +
     fields_json per invoice turn, over the deterministic synthetic
@@ -309,6 +339,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("conv_id", F.concat("conv_id", F.lit("~dup")))
         return _tp(src.unionByName(dups))
 
+    def sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # training-example construction: per assistant turn, the
+        # contiguous preceding-context window that fits the token
+        # budget, as pointers. Runs over the synthetic multi-turn
+        # transcripts; DuckDB recomputes the window math (bounded
+        # self-join + reverse running sum) from the same parquet.
+        from engine.spark.pipeline import sft_examples as _sft
+
+        return _sft(spark.read.parquet(_sft_turns_parquet(spark)))
+
     def extract_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus-level quality/emptiness drift per event-time window,
         # oracled from the materialized per-turn parquet; window bounds
@@ -449,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the transcript-native corpus_prepare: dedup -> quality gate
         # -> shard-windowed concat packing, one call, fully oracled
         "transcript_prepare": transcript_prepare,
+        # SFT context-window construction: pointers, not copied text
+        "sft_examples": sft_examples,
         "validate_invoice_fields": validate_invoice_fields,
         "validate_invoice_extracted": validate_invoice_extracted,
         "doc_token_estimate": doc_token_estimate,
@@ -2170,6 +2212,44 @@ def oracle_sql() -> dict[str, str]:
                    conv_id = min(conv_id) OVER (PARTITION BY conv_fp)
                        AS is_keeper
             FROM conv
+        """,
+        # SFT windows: the contiguous-suffix fold is equivalent to
+        # "count of reverse-cumulative sums within budget" because
+        # tokens >= 1 makes the reverse cumsum strictly increasing —
+        # DuckDB computes it that way (bounded self-join + window)
+        "sft_examples": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role,
+                       greatest(1, CAST(floor(
+                           length(coalesce(cleaned_text, '')) / 4) AS BIGINT))
+                           AS tokens
+                FROM read_parquet('{_sft_synth_path()}/*.parquet')),
+            tgt AS (SELECT * FROM t WHERE role = 'assistant'),
+            pairs AS (
+                SELECT g.conv_id, g.turn_idx AS target_idx,
+                       c.turn_idx AS ctx_idx, c.tokens
+                FROM tgt g JOIN t c ON c.conv_id = g.conv_id
+                 AND c.turn_idx BETWEEN g.turn_idx - 16 AND g.turn_idx - 1),
+            rc AS (
+                SELECT *, sum(tokens) OVER (
+                    PARTITION BY conv_id, target_idx ORDER BY ctx_idx DESC
+                    ROWS UNBOUNDED PRECEDING) AS rcum
+                FROM pairs),
+            agg AS (
+                SELECT conv_id, target_idx,
+                       CAST(count(*) FILTER (WHERE rcum <= 256) AS INTEGER)
+                           AS n_context_turns,
+                       CAST(coalesce(max(rcum) FILTER (WHERE rcum <= 256), 0)
+                            AS BIGINT) AS context_tokens
+                FROM rc GROUP BY conv_id, target_idx)
+            SELECT g.conv_id, g.turn_idx AS target_idx,
+                   g.tokens AS target_tokens,
+                   coalesce(a.n_context_turns, 0) AS n_context_turns,
+                   coalesce(a.context_tokens, 0) AS context_tokens,
+                   CAST(g.turn_idx - coalesce(a.n_context_turns, 0) AS INTEGER)
+                       AS context_from_idx
+            FROM tgt g LEFT JOIN agg a
+              ON a.conv_id = g.conv_id AND a.target_idx = g.turn_idx
         """,
         # the transcript pipeline: DuckDB re-runs the full chain —
         # planted dups -> fingerprint dedup -> token/empty gate ->

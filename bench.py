@@ -238,6 +238,9 @@ BENCH_QUERY_NAMES = [
         "pii_scrub",
         "vocab_top_k",
         "corpus_stats",
+        "c4_clean",
+        "lm_unigram_score",
+        "mix_corpus",
         "corpus_prepare",
         "career_progression",
         "simsearch_bruteforce",

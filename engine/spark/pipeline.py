@@ -271,6 +271,78 @@ def dedup_conversations(per_turn: "DataFrame") -> "DataFrame":
     )
 
 
+def sft_examples(
+    per_turn: "DataFrame",
+    max_context_tokens: int = 256,
+    max_context_turns: int = 16,
+) -> "DataFrame":
+    """Training-example construction from transcripts: for every
+    assistant turn (the target), determine how much preceding context
+    fits a token budget — walking backwards from the nearest turn,
+    stopping at the first turn that would overflow (contiguous-suffix
+    semantics, the way SFT context windows are actually cut). Emits
+    POINTERS (context_from_idx, n_context_turns, context_tokens), not
+    concatenated text: at 10^12 turns, materializing each window would
+    duplicate the corpus ~k×; the loader slices by pointer instead.
+
+    Scale shape: one window per conversation with a BOUNDED frame
+    (rangeBetween(-max_context_turns, -1), ≤16 rows of (idx, tokens)
+    state — never whole-conversation arrays), then a per-row
+    higher-order fold over that bounded array. The window sort
+    concentrates a conversation on one task (same caveat as
+    with_stable_order, which the flagship already carries); frame
+    state stays O(max_context_turns) regardless of thread length.
+    Token counts are the T7 estimator; turn_idx must be dense per
+    conversation (the transcript contract), making range- and
+    row-frames equivalent and context_from_idx = target − n."""
+    text = F.coalesce(F.col("cleaned_text"), F.lit(""))
+    toks = F.greatest(F.lit(1), F.floor(F.length(text) / 4)).cast("long")
+    t = per_turn.select(
+        "conv_id", "turn_idx", "role", toks.alias("tokens")
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rangeBetween(-max_context_turns, -1)
+    )
+    ctx = F.collect_list(F.struct("turn_idx", "tokens")).over(w)
+    base = t.select("conv_id", "turn_idx", "role", "tokens", ctx.alias("_ctx"))
+    targets = base.filter(F.col("role") == "assistant")
+
+    # nearest-first: sort by turn_idx, reverse, then fold with a stop
+    # flag — the first context turn that would overflow the budget ends
+    # the window (contiguity matters: a far-away small turn must NOT
+    # sneak in after a near big one overflowed)
+    arr = F.reverse(F.array_sort("_ctx"))
+    init = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).alias("n"),
+        F.lit(False).alias("stop"),
+    )
+
+    def step(acc, x):
+        fits = (~acc["stop"]) & (
+            (acc["s"] + x["tokens"]) <= F.lit(max_context_tokens)
+        )
+        return F.struct(
+            F.when(fits, acc["s"] + x["tokens"]).otherwise(acc["s"]).alias("s"),
+            F.when(fits, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+            (~fits).alias("stop"),
+        )
+
+    staged = targets.select(
+        "conv_id", "turn_idx", "tokens", F.aggregate(arr, init, step).alias("_f")
+    )
+    return staged.select(
+        "conv_id",
+        F.col("turn_idx").alias("target_idx"),
+        F.col("tokens").alias("target_tokens"),
+        F.col("_f.n").alias("n_context_turns"),
+        F.col("_f.s").alias("context_tokens"),
+        (F.col("turn_idx") - F.col("_f.n")).cast("int").alias("context_from_idx"),
+    )
+
+
 def transcript_prepare(
     per_turn: "DataFrame",
     min_conv_tokens: int = 64,

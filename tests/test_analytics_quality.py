@@ -964,3 +964,57 @@ def test_transcript_prepare_driver_non_vacuous(spark):
     ).collect()
     keepers = {r.conv_id for r in ded if r.is_keeper}
     assert packed_ids < keepers  # strictly smaller -> quality gate fired
+
+
+def test_sft_examples_contiguous_suffix_semantics(spark):
+    """Context windows cut exactly as SFT loaders cut them: walk back
+    from the nearest turn, stop at the first overflow — a small far
+    turn must NOT sneak in after a near big one overflowed; budget-
+    exact fits count; turn-0 targets get an empty window; non-assistant
+    turns produce no example."""
+    from engine.spark.pipeline import sft_examples
+
+    def turn(conv, idx, role, n_tokens):
+        # text of length 4*n tokens (T7: floor(len/4), floor 1)
+        return (conv, idx, role, "x" * (4 * n_tokens))
+
+    rows = [
+        # conv A: tokens [10, 100, 10, target]; budget 30 →
+        # walking back: 10 fits (sum 10), 100 overflows → STOP;
+        # the far 10 must not be counted even though 10+10 <= 30
+        turn("A", 0, "user", 10),
+        turn("A", 1, "tool", 100),
+        turn("A", 2, "user", 10),
+        turn("A", 3, "assistant", 5),
+        # conv B: exact-fit boundary: 15 + 15 == 30 → both fit
+        turn("B", 0, "user", 15),
+        turn("B", 1, "user", 15),
+        turn("B", 2, "assistant", 7),
+        # conv C: assistant at turn 0 → empty window
+        turn("C", 0, "assistant", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, cleaned_text string"
+    )
+    out = {r.conv_id: r for r in sft_examples(df, max_context_tokens=30).collect()}
+    assert set(out) == {"A", "B", "C"}
+    a = out["A"]
+    assert (a.target_idx, a.target_tokens) == (3, 5)
+    assert (a.n_context_turns, a.context_tokens, a.context_from_idx) == (1, 10, 2)
+    b = out["B"]
+    assert (b.n_context_turns, b.context_tokens, b.context_from_idx) == (2, 30, 0)
+    c = out["C"]
+    assert (c.n_context_turns, c.context_tokens, c.context_from_idx) == (0, 0, 0)
+
+
+def test_sft_examples_driver_non_vacuous(spark):
+    """The synthetic transcripts must produce real examples with a
+    spread of window sizes — some truncated by the budget, some not —
+    or the oracle match proves nothing."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["sft_examples"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert any(r.n_context_turns > 0 for r in rows)
+    sizes = {r.n_context_turns for r in rows}
+    assert len(sizes) > 1, sizes
