@@ -125,7 +125,9 @@ def _conv_text_parquet(spark: SparkSession, sf_dir: str) -> str:
     import atexit
     import shutil
 
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    if path not in _TMP_PATHS:
+        _TMP_PATHS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     _ex(spark, sf_dir).select("conv_id", "turn_idx", "cleaned_text").write.mode(
         "overwrite"
     ).parquet(path)
@@ -450,6 +452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature mixing: data-derived per-language keep rates
         # (∝ p^(α−1), rarest keeps all) -> post-sample counts ∝ p^α
         "mix_corpus": A.mix_corpus,
+        # RefinedWeb-style cross-document line dedup: corpus-global
+        # line frequency -> boilerplate strike-out -> exact rebuild
+        "line_dedup": A.line_dedup,
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
         # sign arithmetic; the functions' production default is adaptive
         # (corpus-sized keyspace, engine/spark/analytics.py)
@@ -1842,6 +1847,32 @@ def oracle_sql() -> dict[str, str]:
                    round(r.rate, 6) AS rate, round(uu.u, 6) AS u
             FROM uu JOIN r USING (lang_pred)
             WHERE uu.u < r.rate
+        """,
+        "line_dedup": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(text,
+                           ' (table|window|join) ', ' \1.' || chr(10), 'g'),
+                           ' (data|value|scan) ', ' \1' || chr(10), 'g') AS t
+                FROM documents),
+            l AS (
+                SELECT doc_id,
+                       generate_subscripts(ls, 1) - 1 AS pos,
+                       unnest(ls) AS line
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM s)),
+            lh AS (SELECT *, md5(trim(lower(line))) AS h FROM l),
+            freq AS (SELECT h, count(*) AS n FROM lh GROUP BY h),
+            j AS (SELECT lh.*, freq.n >= 5 AS is_b
+                  FROM lh JOIN freq USING (h))
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_boiler,
+                   round(sum(CASE WHEN is_b THEN 1 ELSE 0 END)
+                         / count(*), 6) AS boiler_frac,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE NOT is_b), '') AS cleaned_text
+            FROM j GROUP BY doc_id
         """,
         "c4_clean": r"""
             WITH s AS (

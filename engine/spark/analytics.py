@@ -1773,6 +1773,17 @@ C4_SYN_DOT_WORDS = "table|window|join"
 C4_SYN_BARE_WORDS = "data|value|scan"
 
 
+def _c4_synthesize_lines(docs: "DataFrame") -> "DataFrame":
+    """The shared deterministic line-structure synthesis (documented on
+    c4_clean): '.\\n' after table/window/join, bare '\\n' after
+    data/value/scan — byte-identical in DuckDB."""
+    t1 = F.regexp_replace(F.col("text"), f" ({C4_SYN_DOT_WORDS}) ", " $1.\n")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(t1, f" ({C4_SYN_BARE_WORDS}) ", " $1\n").alias("text"),
+    )
+
+
 def c4_clean(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Driver-query form of c4_clean_batch: synthesize deterministic
     line structure from the documents word soup (break after common
@@ -1783,17 +1794,74 @@ def c4_clean(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     adjacent break words also produce sub-minimum-word lines, so the
     min-words rule fires too. The brace/lorem flags are exercised by
     the planted-fixture pytest (this corpus carries neither)."""
-    docs = _docs(spark, sf_dir)
-    t1 = F.regexp_replace(
-        F.col("text"), f" ({C4_SYN_DOT_WORDS}) ", " $1.\n"
+    return c4_clean_batch(_c4_synthesize_lines(_docs(spark, sf_dir)))
+
+
+# ----------------------------------------- cross-document line dedup
+
+# RefinedWeb/CCNet-style line-wise dedup [Penedo et al. 2023 §3.3,
+# "line-wise corrections"]: a line occurring verbatim in >= min_count
+# documents' worth of lines is boilerplate (nav menus, cookie banners,
+# signatures) and is struck from every document. Threshold shared with
+# the DuckDB oracle; splits the synthesized corpus ~20/80 at sf0.01.
+LINE_DEDUP_MIN_COUNT = 5
+
+
+def line_dedup_batch(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = LINE_DEDUP_MIN_COUNT,
+) -> "DataFrame":
+    """Cross-document line deduplication over any (id, text) table:
+    normalize each line (trim+lower) and hash it, count occurrences
+    CORPUS-WIDE, mark lines reaching ``min_count`` as boilerplate, and
+    rebuild each document without them. Unlike c4_clean (per-document
+    rules), the signal here is global — exactly how web-pipeline
+    boilerplate (navigation, banners) is caught.
+
+    Scale shape: the frequency aggregate is map-side partial (shuffle
+    ∝ distinct lines per partition, not occurrences); the mark join is
+    line-hash-keyed (AQE broadcasts the boilerplate side when small —
+    it usually is: boilerplate is by definition few distinct lines);
+    the rebuild groupBy is the one text-sized shuffle, inherent to
+    emitting reconstructed text — a pointer-only consumer can stop at
+    the mark join. Line order is restored by position, so
+    reconstruction is exact."""
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).withColumn("h", F.md5(F.trim(F.lower(F.col("line")))))
+    freq = lines.groupBy("h").agg(F.count("*").alias("n"))
+    boiler = freq.filter(F.col("n") >= min_count).select(
+        "h", F.lit(True).alias("is_b")
     )
-    structured = docs.select(
-        "doc_id",
-        F.regexp_replace(t1, f" ({C4_SYN_BARE_WORDS}) ", " $1\n").alias(
-            "text"
-        ),
+    j = lines.join(boiler, "h", "left")
+    per = j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.coalesce(F.col("is_b").cast("int"), F.lit(0)))
+        .cast("long")
+        .alias("n_boiler"),
+        F.collect_list(F.struct("pos", "is_b", "line")).alias("_c"),
     )
-    return c4_clean_batch(structured)
+    kept = F.transform(
+        F.filter(F.array_sort("_c"), lambda x: x["is_b"].isNull()),
+        lambda x: x["line"],
+    )
+    return per.select(
+        id_col,
+        "n_lines",
+        "n_boiler",
+        F.round(F.col("n_boiler") / F.col("n_lines"), 6).alias("boiler_frac"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+    )
+
+
+def line_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Driver-query form over the same synthesized line structure as
+    c4_clean (the word-soup corpus repeats short break-word lines
+    verbatim across documents, so the global threshold fires on ~20%
+    of lines at sf0.01 — non-vacuity is pytest-asserted)."""
+    return line_dedup_batch(_c4_synthesize_lines(_docs(spark, sf_dir)))
 
 
 DEFAULT_SAMPLE_RATES = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.5, "und": 0.25}

@@ -1018,3 +1018,42 @@ def test_sft_examples_driver_non_vacuous(spark):
     assert any(r.n_context_turns > 0 for r in rows)
     sizes = {r.n_context_turns for r in rows}
     assert len(sizes) > 1, sizes
+
+
+def test_line_dedup_batch_planted(spark):
+    """Corpus-global boilerplate strike-out: a line repeated across
+    min_count documents is struck from every one of them (normalized
+    match: trim+lower), unique lines survive, reconstruction preserves
+    order, and an all-boilerplate doc rebuilds to ''."""
+    from engine.spark.analytics import line_dedup_batch
+
+    banner = "Subscribe To Our Newsletter"
+    docs = [
+        (1, f"unique alpha line\n{banner}\nunique beta line"),
+        (2, f"{banner.lower()}\nanother unique line"),
+        (3, f"  {banner}  \nthird unique line"),
+        (4, banner),
+        (5, "no boilerplate here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup_batch(df, min_count=4).collect()}
+    assert out[1].cleaned_text == "unique alpha line\nunique beta line"
+    assert (out[1].n_lines, out[1].n_boiler) == (3, 1)
+    assert out[2].cleaned_text == "another unique line"
+    assert out[3].cleaned_text == "third unique line"
+    assert out[4].cleaned_text == "" and out[4].boiler_frac == 1.0
+    assert out[5].n_boiler == 0 and out[5].cleaned_text == docs[4][1]
+
+
+def test_line_dedup_driver_non_vacuous(spark):
+    """The global threshold must fire on a real fraction of lines at
+    sf0.01 (some docs cleaned, some untouched) or the oracle match
+    proves nothing."""
+    from engine.spark.analytics import line_dedup
+
+    rows = line_dedup(spark, "/root/testdata/sf0.01").collect()
+    tot = sum(r.n_lines for r in rows)
+    boiler = sum(r.n_boiler for r in rows)
+    assert 0 < boiler < tot
+    assert any(r.n_boiler == 0 for r in rows)
+    assert any(r.n_boiler > 0 for r in rows)
