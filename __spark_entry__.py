@@ -455,6 +455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RefinedWeb-style cross-document line dedup: corpus-global
         # line frequency -> boilerplate strike-out -> exact rebuild
         "line_dedup": A.line_dedup,
+        # ExactSubstr-style repeated-span signal: fraction of a doc's
+        # n-grams also present in other docs (hashed before shuffle)
+        "internal_ngram_overlap": A.internal_ngram_overlap,
         # sign_dims pinned to 6: the DuckDB twins hard-code the 6-bit
         # sign arithmetic; the functions' production default is adaptive
         # (corpus-sized keyspace, engine/spark/analytics.py)
@@ -1847,6 +1850,30 @@ def oracle_sql() -> dict[str, str]:
                    round(r.rate, 6) AS rate, round(uu.u, 6) AS u
             FROM uu JOIN r USING (lang_pred)
             WHERE uu.u < r.rate
+        """,
+        "internal_ngram_overlap": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5({" || ' ' || ".join(f"w[i+{j}]" for j in range(4))}), 1, 15))::BIGINT AS gh
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 3)) AS i
+                      FROM words WHERE len(w) >= 4)
+            ), freq AS (SELECT gh, count(*) AS nd FROM g GROUP BY gh),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+            sh AS (SELECT g.doc_id, count(*) AS ns
+                   FROM g JOIN freq USING (gh) WHERE freq.nd >= 2
+                   GROUP BY g.doc_id)
+            SELECT t.doc_id,
+                   CAST(t.n_grams AS BIGINT) AS n_grams,
+                   CAST(coalesce(s.ns, 0) AS BIGINT) AS n_shared,
+                   round(coalesce(s.ns, 0) / t.n_grams, 6) AS shared_frac,
+                   round(coalesce(s.ns, 0) / t.n_grams, 6) >= 0.2
+                       AS has_repeated_spans
+            FROM tot t LEFT JOIN sh s USING (doc_id)
         """,
         "line_dedup": r"""
             WITH s AS (

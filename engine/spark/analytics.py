@@ -1899,6 +1899,64 @@ def stratified_sample(
     )
 
 
+# Corpus-internal repeated-span detection [Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — their
+# suffix-array ExactSubstr signal, approximated with fixed-width word
+# n-grams]: a document whose n-grams largely also occur in OTHER
+# documents contains copied spans even when whole-document similarity
+# is low. Thresholds shared with the DuckDB oracle; n=4/T=0.2 flags
+# ~10% of the synthetic corpus (the planted near-dup docs included).
+INTERNAL_NGRAM_N = 4
+INTERNAL_SHARED_T = 0.2
+
+
+def internal_ngram_overlap(
+    spark: "SparkSession",
+    sf_dir: str,
+    n: int = INTERNAL_NGRAM_N,
+    threshold: float = INTERNAL_SHARED_T,
+) -> "DataFrame":
+    """Per document: the fraction of its distinct word ``n``-grams
+    that also occur in at least one OTHER document, plus the
+    repeated-span flag (fraction ≥ ``threshold``) — the cross-document
+    partial-copy signal doc-level Jaccard misses at low overall
+    similarity.
+
+    Scale shape: grams are reduced to portable 60-bit hashes BEFORE
+    any shuffle (8 bytes instead of n words — the same trick MinHash
+    uses), the (doc, gram) distinct and the gram-frequency aggregate
+    both run map-side partial, and the share join is gram-hash-keyed.
+    Self-repeats inside one document do NOT count as shared (the
+    per-doc distinct runs first), so a repetitive-but-original doc is
+    repetition_metrics' business, not this op's."""
+    docs = _docs(spark, sf_dir)
+    per = (
+        _ngrams(docs, n)
+        .select("doc_id", _phash60(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    freq = per.groupBy("g").agg(F.count("*").alias("nd"))
+    tot = per.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    sh = (
+        per.join(freq.filter(F.col("nd") >= 2).select("g"), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("ns"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("ns"), F.lit(0)) / F.col("n_grams"), 6
+    )
+    return (
+        tot.join(sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("ns"), F.lit(0)).cast("long").alias("n_shared"),
+            frac.alias("shared_frac"),
+            (frac >= F.lit(threshold)).alias("has_repeated_spans"),
+        )
+    )
+
+
 def mix_corpus(
     spark: "SparkSession",
     sf_dir: str,

@@ -1057,3 +1057,40 @@ def test_line_dedup_driver_non_vacuous(spark):
     assert 0 < boiler < tot
     assert any(r.n_boiler == 0 for r in rows)
     assert any(r.n_boiler > 0 for r in rows)
+
+
+def test_internal_ngram_overlap_planted(spark, tmp_path):
+    """Repeated-span semantics: a doc embedding a verbatim span from
+    another doc is flagged even though whole-doc similarity is low; a
+    doc repeating ITS OWN phrase is not (self-repeats don't count);
+    fully distinct docs score zero; and the sharing is symmetric (the
+    source doc's copied span counts as shared too)."""
+    from engine.spark.analytics import internal_ngram_overlap
+
+    span = "copied span alpha beta gamma delta"
+    a = "srcw0 srcw1 srcw2 srcw3 " + span + " srcw4 srcw5 srcw6 srcw7 srcw8 srcw9"
+    b = "unrel0 unrel1 unrel2 " + span + " unrel3 unrel4 unrel5"
+    self_rep = ("own phrase one two " * 4).strip()
+    clean = " ".join(f"solo{i}" for i in range(20))
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        [(1, a), (2, b), (3, self_rep), (4, clean)],
+        "doc_id long, text string",
+    ).write.parquet(str(d / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in internal_ngram_overlap(spark, str(d), n=4, threshold=0.15).collect()
+    }
+    # span has 6 words -> 3 shared 4-grams in each carrier
+    assert out[1].n_shared == 3 and out[2].n_shared == 3
+    assert out[1].has_repeated_spans and out[2].has_repeated_spans
+    assert out[3].n_shared == 0 and not out[3].has_repeated_spans
+    assert out[4].n_shared == 0 and out[4].shared_frac == 0.0
+
+
+def test_internal_ngram_overlap_driver_non_vacuous(spark):
+    from engine.spark.analytics import internal_ngram_overlap
+
+    rows = internal_ngram_overlap(spark, "/root/testdata/sf0.01").collect()
+    flagged = sum(1 for r in rows if r.has_repeated_spans)
+    assert 0 < flagged < len(rows)
