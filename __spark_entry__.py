@@ -164,6 +164,36 @@ def _sft_synth_path() -> str:
     return os.path.join(tempfile.gettempdir(), f"entry_sft_synth_{os.getpid()}")
 
 
+def _agent_turns_parquet(spark: SparkSession) -> str:
+    """Materialize the raw synthetic transcript turns (conv_id,
+    turn_idx, role, text, tool, ts) so DuckDB can recompute the
+    agent-trajectory analytics (tool stats / transitions / timing /
+    well-formedness) from exactly the rows the Spark side consumes.
+    SF-independent (pure synthesis); pid-keyed like the others."""
+    import atexit
+    import shutil
+
+    from engine.spark.transcripts import synthesize_transcripts
+
+    path = _agent_synth_path()
+    if path not in _TMP_PATHS:
+        _TMP_PATHS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        synthesize_transcripts(spark, 120, 4).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _agent_synth_path() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"entry_agent_synth_{os.getpid()}"
+    )
+
+
 def _inv_fields_parquet(spark: SparkSession) -> str:
     """Materialize the kernel-extracted invoice fields (doc_type +
     fields_json per invoice turn, over the deterministic synthetic
@@ -376,6 +406,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length("text").cast("long").alias("n_chars_calc"),
         )
 
+    def agent_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-tool usage over the synthetic agent transcripts; DuckDB
+        # recomputes from the materialized raw turns. Two-level agg so
+        # the low-cardinality tool key never receives raw turns.
+        from engine.spark.agent import tool_usage_stats
+
+        return tool_usage_stats(spark.read.parquet(_agent_turns_parquet(spark)))
+
+    def agent_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Markov bigrams of consecutive tool calls under stable order
+        from engine.spark.agent import tool_transitions
+
+        return tool_transitions(spark.read.parquet(_agent_turns_parquet(spark)))
+
+    def conversation_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-conversation cadence (duration + inter-turn gaps)
+        from engine.spark.agent import conversation_timing as _ct
+
+        return _ct(spark.read.parquet(_agent_turns_parquet(spark)))
+
+    def conversation_wellformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # structural SFT gate. The generator's role cycle never repeats
+        # a role and always starts with 'user', so both engines plant
+        # malformed copies identically (md5-prefix-'0' conversations
+        # re-added under '~bad' with every role forced to 'assistant'
+        # → starts_with_user false + adjacent repeats) — the
+        # tool-role-missing-name violation occurs naturally.
+        from engine.spark.agent import conversation_wellformed as _cw
+
+        src = spark.read.parquet(_agent_turns_parquet(spark))
+        bad = src.filter(
+            F.substring(F.md5("conv_id"), 1, 1) == "0"
+        ).select(
+            F.concat("conv_id", F.lit("~bad")).alias("conv_id"),
+            "turn_idx",
+            F.lit("assistant").alias("role"),
+            "text",
+            "tool",
+            "ts",
+        )
+        return _cw(src.unionByName(bad))
+
     return {
         # relational / reference-semantics operators (SURVEY.md §2.4-2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -515,6 +587,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ats_suggestions": _ats.ats_suggestions,
         "hiring_recommendation": _ats.hiring_recommendation,
         "candidate_fit_fallback": _ats.candidate_fit_fallback,
+        # agent-trajectory analytics over the transcript table
+        # (engine/spark/agent.py): which tools fire, in what order,
+        # with what cadence, and is the conversation structurally
+        # trainable — all pure Catalyst, conv-keyed or map-side-reduced
+        "agent_tool_stats": agent_tool_stats,
+        "agent_tool_transitions": agent_tool_transitions,
+        "conversation_timing": conversation_timing,
+        "conversation_wellformed": conversation_wellformed,
     }
 
 
@@ -2400,6 +2480,94 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(overall_confidence), 4) AS avg_confidence,
                    CAST(sum(bytes_in) AS BIGINT) AS bytes_in
             FROM t GROUP BY ws, quality_bucket
+        """,
+        # agent-trajectory analytics: DuckDB recomputes each from the
+        # materialized raw synthetic turns (same rows Spark consumes)
+        "agent_tool_stats": f"""
+            WITH t AS (
+                SELECT * FROM read_parquet('{_agent_synth_path()}/*.parquet')),
+            calls AS (
+                SELECT tool, conv_id,
+                       length(coalesce(text, '')) AS tl
+                FROM t WHERE tool IS NOT NULL),
+            per AS (
+                SELECT tool,
+                       CAST(count(*) AS BIGINT) AS n_calls,
+                       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                       CAST(sum(tl) AS BIGINT) AS text_len
+                FROM calls GROUP BY tool)
+            SELECT tool, n_calls, n_convs,
+                   round(CAST(text_len AS DOUBLE) / n_calls, 4)
+                       AS avg_text_len,
+                   round(CAST(n_calls AS DOUBLE)
+                         / CAST(sum(n_calls) OVER () AS DOUBLE), 6)
+                       AS call_share
+            FROM per
+        """,
+        "agent_tool_transitions": f"""
+            WITH calls AS (
+                SELECT conv_id, turn_idx, ts, tool
+                FROM read_parquet('{_agent_synth_path()}/*.parquet')
+                WHERE tool IS NOT NULL),
+            seq AS (
+                SELECT coalesce(
+                           lag(tool) OVER (
+                               PARTITION BY conv_id ORDER BY turn_idx, ts),
+                           '<START>') AS prev_tool,
+                       tool
+                FROM calls)
+            SELECT prev_tool, tool,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(count(*) AS DOUBLE)
+                         / CAST(sum(count(*)) OVER (
+                               PARTITION BY prev_tool) AS DOUBLE), 6) AS p
+            FROM seq GROUP BY prev_tool, tool
+        """,
+        "conversation_timing": f"""
+            WITH g AS (
+                SELECT conv_id,
+                       epoch_us(ts) AS us,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx, ts)
+                           AS gap_us
+                FROM read_parquet('{_agent_synth_path()}/*.parquet'))
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   round(CAST(max(us) - min(us) AS DOUBLE) / 1e6, 6)
+                       AS duration_s,
+                   round(CAST(sum(gap_us) AS DOUBLE)
+                         / count(gap_us) / 1e6, 6) AS avg_gap_s,
+                   round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s
+            FROM g GROUP BY conv_id
+        """,
+        "conversation_wellformed": f"""
+            WITH src AS (
+                SELECT conv_id, turn_idx, role, tool
+                FROM read_parquet('{_agent_synth_path()}/*.parquet')),
+            planted AS (
+                SELECT conv_id, turn_idx, role, tool FROM src
+                UNION ALL
+                SELECT conv_id || '~bad', turn_idx, 'assistant', tool
+                FROM src WHERE substr(md5(conv_id), 1, 1) = '0'),
+            flagged AS (
+                SELECT conv_id, turn_idx, role,
+                       (lag(role) OVER (
+                            PARTITION BY conv_id ORDER BY turn_idx)
+                        = role) AS same_role,
+                       (role = 'tool' AND tool IS NULL) AS tool_missing
+                FROM planted)
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN same_role THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_role_repeats,
+                   CAST(sum(CASE WHEN tool_missing THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool_missing,
+                   arg_min(role, turn_idx) = 'user' AS starts_with_user,
+                   (arg_min(role, turn_idx) = 'user'
+                    AND sum(CASE WHEN same_role THEN 1 ELSE 0 END) = 0
+                    AND sum(CASE WHEN tool_missing THEN 1 ELSE 0 END) = 0)
+                       AS is_wellformed
+            FROM flagged GROUP BY conv_id
         """,
         # extract_turns_scalar / extract_spans: intentionally no oracle
         # — kernel-backed whole-document Python semantics (rows-only

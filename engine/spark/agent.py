@@ -1,0 +1,168 @@
+"""Agent-trajectory analytics over the transcript table.
+
+The input everywhere is the canonical (conv_id, turn_idx, role, text,
+tool, ts) transcript table (BASELINE.json input_hint). The reference
+extracts per-document structure; an *agent-transcript* corpus also
+needs trajectory-level signals before training — which tools fire, in
+what order, with what cadence, and whether the conversation is
+structurally well-formed enough to train on. All four operators are
+pure Catalyst (windows + aggregates, zero Python), and every shuffle
+is keyed on high-cardinality conv_id or pre-reduced map-side:
+
+- ``tool_usage_stats``: two-level aggregate — (tool, conv_id) first,
+  so the low-cardinality ``tool`` key never receives raw turns (at
+  10^12 turns a direct groupBy(tool) would funnel the corpus through
+  ~5 reducers); the tool-level pass then aggregates conv-level rows.
+- ``tool_transitions``: Markov bigrams of consecutive tool calls under
+  the stable order (turn_idx, ts). The conv_id window is
+  high-cardinality; the bigram groupBy is map-side combined, so the
+  shuffle carries one partial row per (task, pair), not per call.
+- ``conversation_timing``: per-conversation latency profile from
+  lag(ts) gaps. Averages are computed as exact integer sums divided
+  once (not a streaming float mean) so the DuckDB twin is
+  bit-identical.
+- ``conversation_wellformed``: SFT-gate structural validation —
+  first-turn role, adjacent same-role repeats, tool-role turns missing
+  a tool name. One window + one aggregate per conversation.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+def _w_conv() -> "Window":
+    """Stable turn order (pipeline.with_stable_order): duplicate
+    timestamps are broken by turn_idx, deterministic per FIXTURES §1.
+    Built lazily — WindowSpec construction needs an active session."""
+    return Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+
+
+def tool_usage_stats(turns: "DataFrame") -> "DataFrame":
+    """Per-tool usage: call volume, conversation reach, mean payload
+    size, and corpus call share.
+
+    Scale shape: the first aggregate keys on (tool, conv_id) — high
+    cardinality, map-side partials — so the handful-of-tools key only
+    ever sees one row per conversation it appeared in. The final
+    window over the per-tool table runs on ~|tools| rows.
+    """
+    calls = turns.filter(F.col("tool").isNotNull()).select(
+        "tool",
+        "conv_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("text_len"),
+    )
+    per_conv = calls.groupBy("tool", "conv_id").agg(
+        F.count("*").alias("conv_calls"),
+        F.sum("text_len").alias("conv_text_len"),
+    )
+    per_tool = per_conv.groupBy("tool").agg(
+        F.sum("conv_calls").alias("n_calls"),
+        F.count("*").alias("n_convs"),
+        F.sum("conv_text_len").alias("text_len"),
+    )
+    total = Window.partitionBy()
+    return per_tool.select(
+        "tool",
+        "n_calls",
+        "n_convs",
+        F.round(F.col("text_len") / F.col("n_calls"), 4).alias("avg_text_len"),
+        F.round(F.col("n_calls") / F.sum("n_calls").over(total), 6).alias(
+            "call_share"
+        ),
+    )
+
+
+def tool_transitions(turns: "DataFrame") -> "DataFrame":
+    """Markov transition counts between consecutive tool calls within a
+    conversation (stable order), with a <START> pseudo-state for each
+    conversation's first call and per-source transition probabilities.
+
+    The window partitions on conv_id (high cardinality); the bigram
+    aggregate is map-side combined so the final shuffle is ~|tools|^2
+    partial rows per task regardless of corpus size.
+    """
+    calls = turns.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "ts", "tool"
+    )
+    seq = calls.select(
+        F.coalesce(F.lag("tool").over(_w_conv()), F.lit("<START>")).alias(
+            "prev_tool"
+        ),
+        "tool",
+    )
+    trans = seq.groupBy("prev_tool", "tool").agg(F.count("*").alias("n"))
+    per_src = Window.partitionBy("prev_tool")
+    return trans.select(
+        "prev_tool",
+        "tool",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(per_src), 6).alias("p"),
+    )
+
+
+def conversation_timing(turns: "DataFrame") -> "DataFrame":
+    """Per-conversation cadence: turn count, wall duration, and the
+    mean/max inter-turn gap in seconds under the stable order.
+
+    Gaps are integer microsecond differences; the mean is one exact
+    integer sum divided once (sum/count/1e6) so repeated runs — and
+    the DuckDB twin — produce bit-identical doubles. Single-turn
+    conversations report null gaps (nothing to measure), not zero.
+    """
+    g = turns.select(
+        "conv_id",
+        F.unix_micros("ts").alias("us"),
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(_w_conv())
+        ).alias("gap_us"),
+    )
+    return g.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.round((F.max("us") - F.min("us")) / F.lit(1e6), 6).alias(
+            "duration_s"
+        ),
+        F.round(
+            F.sum("gap_us") / F.count("gap_us") / F.lit(1e6), 6
+        ).alias("avg_gap_s"),
+        F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
+    )
+
+
+def conversation_wellformed(turns: "DataFrame") -> "DataFrame":
+    """Structural SFT-gate per conversation: does it start with a user
+    turn, are there adjacent same-role repeats, and does every
+    tool-role turn actually name its tool?
+
+    Output: (conv_id, n_turns, n_role_repeats, n_tool_missing,
+    starts_with_user, is_wellformed). One conv-keyed window + one
+    conv-keyed aggregate; nothing text-sized moves.
+    """
+    flagged = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        (F.lag("role").over(_w_conv()) == F.col("role")).alias("same_role"),
+        ((F.col("role") == "tool") & F.col("tool").isNull()).alias(
+            "tool_missing"
+        ),
+    )
+    agg = flagged.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.col("same_role").cast("long")).alias("n_role_repeats"),
+        F.sum(F.col("tool_missing").cast("long")).alias("n_tool_missing"),
+        (
+            F.min(F.struct("turn_idx", "role")).getField("role") == "user"
+        ).alias("starts_with_user"),
+    )
+    return agg.withColumn(
+        "is_wellformed",
+        F.col("starts_with_user")
+        & (F.col("n_role_repeats") == 0)
+        & (F.col("n_tool_missing") == 0),
+    )

@@ -1,0 +1,139 @@
+"""Agent-trajectory analytics (engine/spark/agent.py): hand-built
+conversations with known tool sequences, gaps, and structural defects.
+The DuckDB twins are covered by test_entry_oracle.py; these tests pin
+the semantics themselves."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.spark.agent import (
+    conversation_timing,
+    conversation_wellformed,
+    tool_transitions,
+    tool_usage_stats,
+)
+
+UTC = dt.timezone.utc
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2025, 1, 1, tzinfo=UTC) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    rows = [
+        # conv a: user -> assistant(search) -> tool(search) ->
+        #         assistant(sql) -> tool(sql)
+        ("a", 0, "user", "hi", None, _ts(0)),
+        ("a", 1, "assistant", "looking", "search", _ts(10)),
+        ("a", 2, "tool", "result one", "search", _ts(10)),  # dup ts
+        ("a", 3, "assistant", "query", "sql", _ts(40)),
+        ("a", 4, "tool", "rows", "sql", _ts(100)),
+        # conv b: starts with assistant (not wellformed), repeat role,
+        # tool-role turn with NULL tool name
+        ("b", 0, "assistant", "hello", None, _ts(0)),
+        ("b", 1, "assistant", "again", "search", _ts(5)),
+        ("b", 2, "tool", "anon output", None, _ts(11)),
+        # conv c: single tool call -> <START> transition only
+        ("c", 0, "user", "x", None, _ts(0)),
+        ("c", 1, "assistant", "y", "web_fetch", _ts(3)),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+
+def test_tool_usage_stats(turns):
+    got = {r["tool"]: r for r in tool_usage_stats(turns).collect()}
+    assert set(got) == {"search", "sql", "web_fetch"}
+    assert got["search"]["n_calls"] == 3
+    assert got["search"]["n_convs"] == 2  # a and b
+    assert got["sql"]["n_calls"] == 2
+    assert got["sql"]["n_convs"] == 1
+    assert got["web_fetch"]["n_calls"] == 1
+    # shares sum to 1 over the 6 calls
+    assert got["search"]["call_share"] == pytest.approx(3 / 6)
+    assert got["sql"]["call_share"] == pytest.approx(2 / 6)
+    # avg_text_len: search outputs 'looking','result one','again'
+    assert got["search"]["avg_text_len"] == pytest.approx(
+        (len("looking") + len("result one") + len("again")) / 3, abs=1e-4
+    )
+
+
+def test_tool_transitions(turns):
+    got = {
+        (r["prev_tool"], r["tool"]): r
+        for r in tool_transitions(turns).collect()
+    }
+    # conv a: START->search, search->search (turns 1->2), search->sql,
+    # sql->sql; conv b: START->search; conv c: START->web_fetch
+    assert got[("<START>", "search")]["n"] == 2
+    assert got[("<START>", "web_fetch")]["n"] == 1
+    assert got[("search", "search")]["n"] == 1
+    assert got[("search", "sql")]["n"] == 1
+    assert got[("sql", "sql")]["n"] == 1
+    # per-source probabilities: search -> {search: .5, sql: .5}
+    assert got[("search", "sql")]["p"] == pytest.approx(0.5)
+    assert got[("<START>", "search")]["p"] == pytest.approx(2 / 3)
+
+
+def test_conversation_timing(turns):
+    got = {r["conv_id"]: r for r in conversation_timing(turns).collect()}
+    a = got["a"]
+    assert a["n_turns"] == 5
+    assert a["duration_s"] == pytest.approx(100.0)
+    # gaps: 10, 0 (duplicate ts), 30, 60
+    assert a["avg_gap_s"] == pytest.approx(25.0)
+    assert a["max_gap_s"] == pytest.approx(60.0)
+    assert got["c"]["avg_gap_s"] == pytest.approx(3.0)
+
+
+def test_conversation_wellformed(turns):
+    got = {
+        r["conv_id"]: r for r in conversation_wellformed(turns).collect()
+    }
+    assert got["a"]["is_wellformed"]
+    assert got["a"]["n_role_repeats"] == 0
+    assert got["a"]["n_tool_missing"] == 0
+    b = got["b"]
+    assert not b["starts_with_user"]
+    assert b["n_role_repeats"] == 1  # assistant, assistant
+    assert b["n_tool_missing"] == 1  # tool-role turn with NULL name
+    assert not b["is_wellformed"]
+    assert got["c"]["is_wellformed"]
+
+
+def test_entry_planting_not_vacuous(spark):
+    """The contract entry must exercise every violation type: the
+    planted '~bad' copies supply non-user starts + role repeats, and
+    the generator's tool-role-without-name supplies the third."""
+    import __spark_entry__ as em
+
+    df = em.queries()["conversation_wellformed"](
+        spark, "/root/testdata/sf0.01"
+    )
+    agg = df.agg(
+        F.sum(F.col("n_role_repeats")).alias("rr"),
+        F.sum(F.col("n_tool_missing")).alias("tm"),
+        F.sum((~F.col("starts_with_user")).cast("long")).alias("ns"),
+        F.sum(F.col("is_wellformed").cast("long")).alias("ok"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg["rr"] > 0 and agg["tm"] > 0 and agg["ns"] > 0
+    assert 0 < agg["ok"] < agg["n"]  # gate splits the corpus
+
+
+def test_transitions_order_is_stable_under_shuffle(spark):
+    """Scattering input rows must not change the transition table —
+    the window orders on (turn_idx, ts), never on arrival order."""
+    from engine.spark.transcripts import synthesize_transcripts
+
+    base = synthesize_transcripts(spark, 40, 4)
+    scattered = synthesize_transcripts(spark, 40, 4, shuffle_rows=True)
+    a = sorted(map(tuple, tool_transitions(base).collect()))
+    b = sorted(map(tuple, tool_transitions(scattered).collect()))
+    assert a == b
