@@ -194,6 +194,55 @@ def _agent_synth_path() -> str:
     )
 
 
+def _bpe_oracle(n_merges: int, vocab_cap: int) -> str:
+    """Unrolled DuckDB twin of the distributed BPE trainer
+    (engine/spark/bpe.py): one generated CTE block per merge iteration
+    — pair counts from the zipped symbol lists, deterministic argmax,
+    then the same padded-string replace() the Spark side applies. The
+    loop is finite and known (n_merges), so unrolling IS the oracle
+    for this iterative algorithm."""
+    ctes = [
+        f"""w0 AS (
+            SELECT cnt,
+                   '|' || array_to_string(string_split(word, ''), '||')
+                       || '||</w>|' AS s
+            FROM (
+                SELECT word, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                    '[a-z]+')) AS word FROM documents)
+                GROUP BY word ORDER BY cnt DESC, word
+                LIMIT {vocab_cap}))"""
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""p{i} AS (
+            SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+            FROM (SELECT cnt, unnest(list_zip(syms, syms[2:])) AS z
+                  FROM (SELECT cnt,
+                               list_transform(string_split(s, '||'),
+                                   x -> replace(x, '|', '')) AS syms
+                        FROM w{i}))
+            WHERE z[2] IS NOT NULL GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+            SELECT {i} AS rnk, l, r, l || r AS merged, c
+            FROM p{i} ORDER BY c DESC, l, r LIMIT 1)"""
+        )
+        ctes.append(
+            f"""w{i + 1} AS (
+            SELECT cnt, replace(s, '|' || b.l || '||' || b.r || '|',
+                                '|' || b.l || b.r || '|') AS s
+            FROM w{i}, b{i} b)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(rnk AS INTEGER) AS rank, l AS left_sym, "
+        f"r AS right_sym, merged, c AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def _inv_fields_parquet(spark: SparkSession) -> str:
     """Materialize the kernel-extracted invoice fields (doc_type +
     fields_json per invoice turn, over the deterministic synthetic
@@ -406,6 +455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length("text").cast("long").alias("n_chars_calc"),
         )
 
+    def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # 8 merges over the top-2000 [a-z]+ vocab of the documents
+        # corpus; parameters must match _bpe_oracle(8, 2000)
+        from engine.spark.bpe import bpe_train
+
+        return bpe_train(spark, sf_dir, n_merges=8, vocab_cap=2000)
+
     def agent_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-tool usage over the synthetic agent transcripts; DuckDB
         # recomputes from the materialized raw turns. Two-level agg so
@@ -595,6 +651,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_tool_transitions": agent_tool_transitions,
         "conversation_timing": conversation_timing,
         "conversation_wellformed": conversation_wellformed,
+        # distributed BPE merge training (engine/spark/bpe.py): corpus
+        # touched once for word counts; the merge loop runs over the
+        # vocab-sized table; the driver holds one argmax row per
+        # iteration. Oracled by unrolling the loop as generated CTEs.
+        "bpe_train": _bpe_train,
     }
 
 
@@ -2569,6 +2630,10 @@ def oracle_sql() -> dict[str, str]:
                        AS is_wellformed
             FROM flagged GROUP BY conv_id
         """,
+        # distributed BPE trainer: the finite merge loop unrolls into
+        # generated CTEs (one pair-count + argmax + replace block per
+        # merge), so even this iterative algorithm gets a full oracle
+        "bpe_train": _bpe_oracle(8, 2000),
         # extract_turns_scalar / extract_spans: intentionally no oracle
         # — kernel-backed whole-document Python semantics (rows-only
         # check); their correctness gate is the per-turn oracle-equality

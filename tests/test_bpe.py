@@ -1,0 +1,82 @@
+"""Distributed BPE trainer (engine/spark/bpe.py) vs the single-node
+reference (engine/kernel/bpe.py), plus the merge-semantics edge cases
+the padded-string replace() must honor. The generated DuckDB oracle is
+covered by test_entry_oracle.py."""
+
+import pytest
+
+from engine.kernel.bpe import _apply_merge, bpe_merges, split_word
+
+
+def test_kernel_greedy_left_nonoverlapping():
+    # 'aaaa' with merge (a,a): greedy left-to-right -> [aa, aa]
+    assert _apply_merge(split_word("aaaa"), "a", "a") == (
+        "aa", "aa", "</w>",
+    )
+    # 'aaa' -> [aa, a] (the third 'a' cannot re-merge)
+    assert _apply_merge(split_word("aaa"), "a", "a") == ("aa", "a", "</w>")
+
+
+def test_kernel_overlapping_pair_counts():
+    # canonical get_stats counts overlapping adjacencies: 'aaa' has
+    # (a,a) twice -> first merge must be (a,a) with count 2
+    merges = bpe_merges({"aaa": 1}, 1)
+    assert merges[0] == (0, "a", "a", "aa", 2)
+
+
+def test_kernel_tie_break_is_lexicographic():
+    # 'ab' and 'ac' each give one pair with count 1; (a,b) < (a,c)
+    merges = bpe_merges({"ab": 1, "ac": 1}, 1)
+    assert merges[0][:3] == (0, "a", "b")
+
+
+def test_kernel_early_stop():
+    # single-char word: one pair (x, </w>) then nothing left
+    merges = bpe_merges({"x": 5}, 10)
+    # (x,</w>) collapses the word to one symbol; no pairs remain
+    assert merges == [(0, "x", "</w>", "x</w>", 5)]
+
+
+def test_spark_matches_kernel(spark):
+    """The distributed trainer must reproduce the classic algorithm
+    merge-for-merge on the same word counts (sf0.001 corpus)."""
+    from engine.spark.bpe import bpe_train, word_counts
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    wc = {
+        r["word"]: r["cnt"]
+        for r in word_counts(docs, vocab_cap=500).collect()
+    }
+    expected = bpe_merges(wc, 6)
+    got = [tuple(r) for r in bpe_train(spark, sf, 6, 500).collect()]
+    assert got == expected
+    # non-vacuity: some later merge must consume an earlier merge's
+    # output as its left or right symbol (multi-char, not the marker)
+    assert any(
+        (len(m[1]) > 1 and m[1] != "</w>")
+        or (len(m[2]) > 1 and m[2] != "</w>")
+        for m in got
+    ), got
+
+
+def test_spark_early_stop_returns_short_table(spark):
+    """A degenerate corpus (all words single-char) runs out of pairs:
+    the trainer must stop, not loop or crash."""
+    import os
+
+    import pandas as pd
+
+    from engine.spark import bpe as bpe_mod
+
+    tmp = "/tmp/bpe_degenerate_docs"
+    os.makedirs(tmp, exist_ok=True)
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b"]}).to_parquet(
+        f"{tmp}/documents.parquet"
+    )
+    out = bpe_mod.bpe_train(spark, tmp, n_merges=10, vocab_cap=10)
+    rows = [tuple(r) for r in out.collect()]
+    # each single-char word yields one (c, </w>) merge; after the three
+    # distinct merges no adjacent pairs remain anywhere
+    assert len(rows) == 3
+    assert {r[1] for r in rows} == {"a", "b", "c"}
