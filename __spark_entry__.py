@@ -201,6 +201,59 @@ def _bpe_oracle(n_merges: int, vocab_cap: int) -> str:
     then the same padded-string replace() the Spark side applies. The
     loop is finite and known (n_merges), so unrolling IS the oracle
     for this iterative algorithm."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(rnk AS INTEGER) AS rank, l AS left_sym, "
+        f"r AS right_sym, merged, c AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges, vocab_cap)) + "\n" + union
+
+
+def _bpe_tokenize_oracle(
+    n_merges: int, vocab_cap: int, preview_tokens: int
+) -> str:
+    """DuckDB twin of the map-only tokenizer: recompute the merges via
+    the same unrolled CTEs, collapse them into one single-row pattern
+    table (lambdas can't hold subqueries, but they CAN capture columns
+    of a cross-joined row), then apply the identical replace chain
+    inside list_transform over each document's words."""
+    pats = ", ".join(
+        f"(SELECT '|' || l || '||' || r || '|' FROM b{i}) AS f{i}, "
+        f"(SELECT '|' || merged || '|' FROM b{i}) AS t{i}"
+        for i in range(n_merges)
+    )
+    chain = "'|' || array_to_string(string_split(w, ''), '||') || '||</w>|'"
+    for i in range(n_merges):
+        chain = f"replace({chain}, p.f{i}, p.t{i})"
+    ctes = _bpe_ctes(n_merges, vocab_cap)
+    ctes.append(f"pats AS (SELECT {pats})")
+    ctes.append(
+        f"""tok AS (
+            SELECT doc_id,
+                   list_transform(
+                       regexp_extract_all(coalesce(lower(text), ''),
+                                          '[a-z]+'),
+                       w -> string_split({chain}, '||')) AS toks
+            FROM documents, pats p)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT doc_id,
+               CAST(length(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(list_aggregate(
+                   list_transform(toks, t -> length(t)), 'sum'), 0)
+                   AS BIGINT) AS n_tokens,
+               array_to_string(
+                   list_transform(flatten(toks)[1:{preview_tokens}],
+                                  x -> replace(x, '|', '')), ' ')
+                   AS preview
+        FROM tok"""
+    )
+
+
+def _bpe_ctes(n_merges: int, vocab_cap: int) -> list:
     ctes = [
         f"""w0 AS (
             SELECT cnt,
@@ -235,12 +288,7 @@ def _bpe_oracle(n_merges: int, vocab_cap: int) -> str:
                                 '|' || b.l || b.r || '|') AS s
             FROM w{i}, b{i} b)"""
         )
-    union = "\nUNION ALL\n".join(
-        f"SELECT CAST(rnk AS INTEGER) AS rank, l AS left_sym, "
-        f"r AS right_sym, merged, c AS pair_count FROM b{i}"
-        for i in range(n_merges)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return ctes
 
 
 def _inv_fields_parquet(spark: SparkSession) -> str:
@@ -462,6 +510,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe_train(spark, sf_dir, n_merges=8, vocab_cap=2000)
 
+    def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # map-only corpus tokenization with the 8 trained merges baked
+        # in as literal replaces; must match _bpe_tokenize_oracle(8,
+        # 2000, 8)
+        from engine.spark.bpe import bpe_tokenize
+
+        return bpe_tokenize(
+            spark, sf_dir, n_merges=8, vocab_cap=2000, preview_tokens=8
+        )
+
     def agent_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-tool usage over the synthetic agent transcripts; DuckDB
         # recomputes from the materialized raw turns. Two-level agg so
@@ -656,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocab-sized table; the driver holds one argmax row per
         # iteration. Oracled by unrolling the loop as generated CTEs.
         "bpe_train": _bpe_train,
+        "bpe_tokenize": _bpe_tokenize,
     }
 
 
@@ -2634,6 +2693,9 @@ def oracle_sql() -> dict[str, str]:
         # generated CTEs (one pair-count + argmax + replace block per
         # merge), so even this iterative algorithm gets a full oracle
         "bpe_train": _bpe_oracle(8, 2000),
+        # map-only tokenizer twin: merges recomputed via the same CTEs,
+        # applied through a cross-joined single-row pattern table
+        "bpe_tokenize": _bpe_tokenize_oracle(8, 2000, 8),
         # extract_turns_scalar / extract_spans: intentionally no oracle
         # — kernel-backed whole-document Python semantics (rows-only
         # check); their correctness gate is the per-turn oracle-equality

@@ -37,6 +37,18 @@ def _apply_merge(
     return tuple(out)
 
 
+def tokenize_word(
+    word: str, merges: list[tuple[int, str, str, str, int]]
+) -> tuple[str, ...]:
+    """Apply trained merges to one word in rank order — the serving
+    half. Must agree with the distributed map-only tokenizer
+    (engine/spark/bpe.bpe_tokenize)."""
+    syms = split_word(word)
+    for _, left, right, _, _ in merges:
+        syms = _apply_merge(syms, left, right)
+    return syms
+
+
 def bpe_merges(
     word_counts: dict[str, int], n_merges: int
 ) -> list[tuple[int, str, str, str, int]]:

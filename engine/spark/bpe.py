@@ -120,3 +120,60 @@ def bpe_train(
         ).localCheckpoint()
 
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_tokenize(
+    spark: "SparkSession",
+    sf_dir: str,
+    n_merges: int = 8,
+    vocab_cap: int = 2000,
+    preview_tokens: int = 8,
+) -> "DataFrame":
+    """Tokenize the documents corpus with the trained merges — the
+    map-only serving half of BPE.
+
+    The k merge rows are collected once (they are the model, k rows)
+    and baked into the plan as a chain of literal ``replace()`` calls
+    inside a higher-order ``transform`` over each document's words:
+    zero shuffles, zero Python, whole-stage-codegen expressions only.
+    At 100 TB this is a pure scan stage — tokenization cost rides the
+    same wave as the read. Output per document: word count, exact BPE
+    token count, and a preview of the first tokens (bounded columns;
+    the full token stream would be emitted by the same expressions
+    feeding a writer, never collected)."""
+    trained = bpe_train(spark, sf_dir, n_merges, vocab_cap).collect()
+
+    def tokenized(word_col):
+        s = _padded(word_col)
+        for m in trained:
+            s = F.replace(
+                s,
+                F.lit(f"|{m['left_sym']}||{m['right_sym']}|"),
+                F.lit(f"|{m['merged']}|"),
+            )
+        return F.split(s, r"\|\|")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.expr(
+        f"regexp_extract_all(coalesce(lower(text), ''), '{WORD_RE}', 0)"
+    )
+    staged = docs.select(
+        "doc_id",
+        F.transform(words, tokenized).alias("toks"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.size(t),
+        ).alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.slice(F.flatten("toks"), 1, preview_tokens),
+                lambda x: F.translate(x, "|", ""),
+            ),
+            " ",
+        ).alias("preview"),
+    )

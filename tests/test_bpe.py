@@ -60,6 +60,62 @@ def test_spark_matches_kernel(spark):
     ), got
 
 
+def test_tokenize_matches_kernel_per_word(spark):
+    """The map-only tokenizer's token counts must equal the kernel's
+    rank-ordered merge application, word for word (sf0.001, re-derived
+    from the raw text in Python)."""
+    import re
+
+    from engine.kernel.bpe import tokenize_word
+    from engine.spark.bpe import bpe_tokenize, bpe_train, word_counts
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    wc = {
+        r["word"]: r["cnt"]
+        for r in word_counts(docs, vocab_cap=500).collect()
+    }
+    merges = bpe_merges(wc, 6)
+    got = {
+        r["doc_id"]: r
+        for r in bpe_tokenize(spark, sf, 6, 500, preview_tokens=8).collect()
+    }
+    # Spark trains its own merges inside bpe_tokenize — they must be
+    # the same ones (guarded by test_spark_matches_kernel); recompute
+    # expectations per document in pure Python
+    sample = docs.select("doc_id", "text").limit(20).collect()
+    for row in sample:
+        words = re.findall("[a-z]+", (row["text"] or "").lower())
+        toks = [tokenize_word(w, merges) for w in words]
+        exp_tokens = sum(len(t) for t in toks)
+        flat = [s for t in toks for s in t][:8]
+        g = got[row["doc_id"]]
+        assert g["n_words"] == len(words)
+        assert g["n_tokens"] == exp_tokens
+        assert g["preview"] == " ".join(flat)
+
+
+def test_tokenize_merges_reduce_token_count(spark):
+    """More merges can only shrink (or keep) the corpus token count —
+    and with real merges it must strictly shrink."""
+    from pyspark.sql import functions as F
+
+    from engine.spark.bpe import bpe_tokenize
+
+    sf = "/root/testdata/sf0.001"
+    n0 = (
+        bpe_tokenize(spark, sf, n_merges=0, vocab_cap=500)
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    n6 = (
+        bpe_tokenize(spark, sf, n_merges=6, vocab_cap=500)
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    assert n6 < n0
+
+
 def test_spark_early_stop_returns_short_table(spark):
     """A degenerate corpus (all words single-char) runs out of pairs:
     the trainer must stop, not loop or crash."""
