@@ -715,6 +715,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iteration. Oracled by unrolling the loop as generated CTEs.
         "bpe_train": _bpe_train,
         "bpe_tokenize": _bpe_tokenize,
+        # sequential-window funnel: strict temporal ordering, three
+        # stacked min-over-user windows sharing one exchange
+        "event_funnel": R.event_funnel,
+        # weekly cohort retention matrix (integer-µs week bucketing)
+        "retention_cohorts": R.retention_cohorts,
+        # map-only symmetric int8 vector quantization (order-proof
+        # max-abs reconstruction error)
+        "embedding_quantize": A.embedding_quantize,
     }
 
 
@@ -2696,6 +2704,92 @@ def oracle_sql() -> dict[str, str]:
         # map-only tokenizer twin: merges recomputed via the same CTEs,
         # applied through a cross-joined single-row pattern table
         "bpe_tokenize": _bpe_tokenize_oracle(8, 2000, 8),
+        "event_funnel": """
+            WITH s0 AS (
+                SELECT user_id, event_type, ts,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                           OVER (PARTITION BY user_id) AS t0
+                FROM events),
+            s1 AS (
+                SELECT *, min(CASE WHEN event_type = 'click'
+                                    AND ts > t0 THEN ts END)
+                              OVER (PARTITION BY user_id) AS t1
+                FROM s0),
+            s2 AS (
+                SELECT *, min(CASE WHEN event_type = 'purchase'
+                                    AND ts > t1 THEN ts END)
+                              OVER (PARTITION BY user_id) AS t2
+                FROM s1),
+            pu AS (SELECT DISTINCT user_id, t0, t1, t2 FROM s2),
+            c AS (SELECT CAST(count(t0) AS BIGINT) AS c0,
+                         CAST(count(t1) AS BIGINT) AS c1,
+                         CAST(count(t2) AS BIGINT) AS c2 FROM pu)
+            SELECT 0 AS step_idx, 'view' AS step, c0 AS users,
+                   round(CAST(c0 AS DOUBLE) / c0, 6) AS conv_from_prev,
+                   round(CAST(c0 AS DOUBLE) / c0, 6) AS conv_from_first
+            FROM c
+            UNION ALL
+            SELECT 1, 'click', c1,
+                   round(CAST(c1 AS DOUBLE) / c0, 6),
+                   round(CAST(c1 AS DOUBLE) / c0, 6) FROM c
+            UNION ALL
+            SELECT 2, 'purchase', c2,
+                   round(CAST(c2 AS DOUBLE) / c1, 6),
+                   round(CAST(c2 AS DOUBLE) / c0, 6) FROM c
+        """,
+        "retention_cohorts": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS us FROM events),
+            fw AS (
+                SELECT user_id,
+                       CAST(floor(min(us) / 604800000000) AS BIGINT)
+                           AS cohort_week
+                FROM ev GROUP BY user_id),
+            active AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(us / 604800000000) AS BIGINT) AS week
+                FROM ev),
+            cohort AS (
+                SELECT cohort_week, week - cohort_week AS week_offset,
+                       CAST(count(*) AS BIGINT) AS users
+                FROM active JOIN fw USING (user_id)
+                GROUP BY 1, 2)
+            SELECT cohort_week, week_offset, users,
+                   round(CAST(users AS DOUBLE)
+                         / CAST(max(CASE WHEN week_offset = 0
+                                    THEN users END) OVER (
+                                    PARTITION BY cohort_week)
+                                AS DOUBLE), 6) AS retention
+            FROM cohort
+        """,
+        "embedding_quantize": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS vec
+                FROM embeddings),
+            s AS (
+                SELECT vec_id, vec,
+                       list_max(list_transform(vec, x -> abs(x)))
+                           AS scale
+                FROM e),
+            c AS (
+                SELECT vec_id, vec, scale,
+                       list_transform(vec, x -> CAST(
+                           CASE WHEN scale > 0
+                                THEN round(x * 127 / scale, 0)
+                                ELSE 0.0 END AS INTEGER)) AS codes
+                FROM s)
+            SELECT vec_id,
+                   round(scale, 6) AS scale,
+                   array_to_string(list_transform(codes[1:4],
+                       x -> CAST(x AS VARCHAR)), ',') AS codes_preview,
+                   round(list_max(list_transform(list_zip(vec, codes),
+                       z -> abs(z[1] - CASE WHEN scale > 0
+                                 THEN CAST(z[2] AS DOUBLE) * scale / 127
+                                 ELSE 0.0 END))), 6) AS max_abs_err
+            FROM c
+        """,
         # extract_turns_scalar / extract_spans: intentionally no oracle
         # — kernel-backed whole-document Python semantics (rows-only
         # check); their correctness gate is the per-turn oracle-equality

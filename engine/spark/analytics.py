@@ -2057,3 +2057,65 @@ def corpus_prepare(
     survivors = _apply_drops_docs(filtered, pairs)
     kept = filtered.join(survivors.select("doc_id"), "doc_id")
     return _pack_docs(kept, seq_len, n_shards)
+
+
+def embedding_quantize(
+    spark: "SparkSession", sf_dir: str, bits_scale: int = 127
+) -> "DataFrame":
+    """Symmetric int8 quantization of the embedding column — the
+    compression step a 100 TB vector corpus applies before indexing
+    (4x smaller, dot products in integer SIMD). Map-only, zero
+    shuffles: per-vector scale = max |x| (order-independent), codes =
+    round(x * 127 / scale) via higher-order transform, and the
+    reported reconstruction error is the per-vector MAX absolute
+    error — a max, not a float sum, so it is accumulation-order-proof
+    and bit-identical in the DuckDB twin. All arithmetic is forced to
+    double (the column is float32; engines promote float*int
+    differently). Zero vectors quantize to all-zero codes with scale
+    0 (guarded division)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    staged = emb.select("vec_id", as_double.alias("vec"))
+    staged = staged.withColumn(
+        "scale", F.array_max(F.transform("vec", lambda x: F.abs(x)))
+    )
+    codes = F.transform(
+        "vec",
+        lambda x: F.when(
+            F.col("scale") > 0,
+            F.round(x * F.lit(bits_scale) / F.col("scale"), 0),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    recon_err = F.array_max(
+        F.zip_with(
+            "vec",
+            "codes",
+            lambda x, q: F.abs(
+                x
+                - F.when(
+                    F.col("scale") > 0,
+                    q.cast("double") * F.col("scale") / F.lit(bits_scale),
+                ).otherwise(F.lit(0.0))
+            ),
+        )
+    )
+    # err staged BEFORE the rounded-scale alias: a select list that
+    # both aliases round(scale) AS scale and references scale inside
+    # another expression resolves the latter to the ROUNDED lateral
+    # alias (Spark lateral column alias precedence), silently changing
+    # the error math
+    out = staged.withColumn("codes", codes).withColumn("err", recon_err)
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(
+            F.transform(F.slice("codes", 1, 4), lambda c: c.cast("string")),
+            ",",
+        ).alias("codes_preview"),
+        # 6 dp, not 9: DuckDB rounds doubles via a *1e6 float
+        # multiply whose half-ulp error can flip the 9th digit at
+        # a .5 boundary; 6 dp keeps both engines on the same side
+        F.round("err", 6).alias("max_abs_err"),
+    )

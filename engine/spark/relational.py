@@ -507,3 +507,128 @@ def skill_match_tiers(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
     jd = spark.createDataFrame([(s,) for s in JD_SKILLS], "skill string")
     return skill_match_join(spark, resume_skills, jd)
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def event_funnel(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Ordered multi-step funnel (view → click → purchase) with strict
+    temporal sequencing: a user converts a step only with an event of
+    that type strictly after their earliest completion of the previous
+    step. Three sequential min-over-user windows share one exchange on
+    the high-cardinality user key (Spark plans a single shuffle + sort,
+    then stacked window frames), the per-user table is one distinct
+    projection, and the final step table is |steps| rows."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "t0",
+        F.min(
+            F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))
+        ).over(w),
+    )
+    staged = staged.withColumn(
+        "t1",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[1])
+                & (F.col("ts") > F.col("t0")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    staged = staged.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[2])
+                & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.select("user_id", "t0", "t1", "t2").distinct()
+    counts = per_user.agg(
+        F.count(F.col("t0")).alias("c0"),
+        F.count(F.col("t1")).alias("c1"),
+        F.count(F.col("t2")).alias("c2"),
+    )
+    steps = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("step_idx"),
+                    F.lit(FUNNEL_STEPS[0]).alias("step"),
+                    F.col("c0").alias("users"),
+                    F.col("c0").alias("prev"),
+                    F.col("c0").alias("first"),
+                ),
+                F.struct(
+                    F.lit(1).alias("step_idx"),
+                    F.lit(FUNNEL_STEPS[1]).alias("step"),
+                    F.col("c1").alias("users"),
+                    F.col("c0").alias("prev"),
+                    F.col("c0").alias("first"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step_idx"),
+                    F.lit(FUNNEL_STEPS[2]).alias("step"),
+                    F.col("c2").alias("users"),
+                    F.col("c1").alias("prev"),
+                    F.col("c0").alias("first"),
+                ),
+            )
+        ).alias("s")
+    )
+    return steps.select(
+        F.col("s.step_idx").alias("step_idx"),
+        F.col("s.step").alias("step"),
+        F.col("s.users").cast("long").alias("users"),
+        F.round(F.col("s.users") / F.col("s.prev"), 6).alias("conv_from_prev"),
+        F.round(F.col("s.users") / F.col("s.first"), 6).alias(
+            "conv_from_first"
+        ),
+    )
+
+
+WEEK_US = 604_800_000_000
+
+
+def retention_cohorts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Classic cohort retention matrix: users grouped by first-seen
+    week, counted in each subsequent activity week, with retention as
+    a share of the cohort. Two user-keyed aggregations (first-seen and
+    distinct active weeks) that co-partition on user_id, one cohort
+    join, then a cohort-sized groupBy — nothing event-sized shuffles
+    twice. Week bucketing is integer microseconds so both engines
+    compute identical buckets."""
+    ev = _t(spark, sf_dir, "events").select(
+        # events.ts is TIMESTAMP_NTZ; the session tz is pinned UTC so
+        # the cast is a no-op reinterpretation, matching epoch_us(ts)
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    first = ev.groupBy("user_id").agg(
+        F.floor(F.min("us") / WEEK_US).alias("cohort_week")
+    )
+    active = (
+        ev.select("user_id", F.floor(F.col("us") / WEEK_US).alias("week"))
+        .distinct()
+    )
+    j = active.join(first, "user_id")
+    cohort = j.groupBy(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    ).agg(F.count("*").cast("long").alias("users"))
+    base = Window.partitionBy("cohort_week")
+    return cohort.select(
+        "cohort_week",
+        "week_offset",
+        "users",
+        F.round(
+            F.col("users")
+            / F.max(F.when(F.col("week_offset") == 0, F.col("users"))).over(
+                base
+            ),
+            6,
+        ).alias("retention"),
+    )

@@ -1,0 +1,116 @@
+"""Semantics tests for event_funnel / retention_cohorts /
+embedding_quantize on hand-built fixtures (DuckDB twins are covered by
+test_entry_oracle.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+UTC = dt.timezone.utc
+
+
+def _ts(d: int, s: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1 + d, tzinfo=UTC) + dt.timedelta(seconds=s)
+
+
+def test_event_funnel_strict_ordering(spark, tmp_path):
+    """A click BEFORE the first view must not convert; equal timestamps
+    must not convert (strictly after); repeat events don't double
+    count."""
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", _ts(0)), (1, "click", _ts(1)), (1, "purchase", _ts(2)),
+        # u2: click before view -> stops at view
+        (2, "click", _ts(0)), (2, "view", _ts(1)),
+        # u3: click at the SAME instant as view -> not strictly after
+        (3, "view", _ts(0)), (3, "click", _ts(0)),
+        # u4: purchase before click -> converts view+click only
+        (4, "view", _ts(0)), (4, "purchase", _ts(1)), (4, "click", _ts(2)),
+        # u5: never views
+        (5, "purchase", _ts(0)),
+    ]
+    df = spark.createDataFrame(
+        [(u, 100 + i, t, ty) for i, (u, ty, t) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+
+    from engine.spark.relational import event_funnel
+
+    got = {
+        r["step"]: r for r in event_funnel(spark, str(tmp_path)).collect()
+    }
+    assert got["view"]["users"] == 4  # u1 u2 u3 u4
+    assert got["click"]["users"] == 2  # u1, u4
+    assert got["purchase"]["users"] == 1  # u1 only
+    assert got["click"]["conv_from_prev"] == pytest.approx(0.5)
+    assert got["purchase"]["conv_from_prev"] == pytest.approx(0.5)
+    assert got["purchase"]["conv_from_first"] == pytest.approx(0.25)
+
+
+def test_retention_cohorts_matrix(spark, tmp_path):
+    """Two cohorts a week apart; retention is the share of the cohort's
+    week-0 size, and week offsets are exact integer buckets."""
+    rows = [
+        # cohort week W: users 1,2 first seen day 0; user 1 returns
+        # in week W+1
+        (1, _ts(0)), (2, _ts(0)), (1, _ts(8)),
+        # cohort W+1: user 3
+        (3, _ts(8)),
+    ]
+    df = spark.createDataFrame(
+        [(u, 100 + i, t, "view") for i, (u, t) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    from engine.spark.relational import retention_cohorts
+
+    got = {
+        (r["cohort_week"], r["week_offset"]): r
+        for r in retention_cohorts(spark, str(tmp_path)).collect()
+    }
+    weeks = sorted({k[0] for k in got})
+    w0, w1 = weeks[0], weeks[-1]
+    assert w1 == w0 + 1
+    assert got[(w0, 0)]["users"] == 2
+    assert got[(w0, 1)]["users"] == 1
+    assert got[(w0, 1)]["retention"] == pytest.approx(0.5)
+    assert got[(w1, 0)]["users"] == 1
+    assert got[(w1, 0)]["retention"] == pytest.approx(1.0)
+
+
+def test_embedding_quantize_error_bound(spark):
+    """int8 symmetric quantization: max reconstruction error is bounded
+    by half a code step (scale/127/2 per element, with rounding), codes
+    lie in [-127, 127], and zero vectors are handled."""
+    from engine.spark.analytics import embedding_quantize
+
+    out = embedding_quantize(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        if r["scale"] == 0:
+            assert r["max_abs_err"] == 0
+            continue
+        # half-step bound (plus rounding slack on the 6dp outputs)
+        assert r["max_abs_err"] <= r["scale"] / 127 / 2 + 1e-5, r
+        for c in r["codes_preview"].split(","):
+            assert -127 <= int(c) <= 127
+
+
+def test_embedding_quantize_scale_alias_not_shadowed(spark):
+    """Regression: the error math must use the RAW scale, not the
+    rounded output alias (Spark lateral-column-alias precedence bug we
+    hit). With the raw scale the max error respects the half-step
+    bound tightly; the shadowed version drifts past it for vectors
+    whose scale rounds down."""
+    from engine.spark.analytics import embedding_quantize
+
+    out = embedding_quantize(spark, "/root/testdata/sf0.001").collect()
+    viol = [
+        r for r in out
+        if r["scale"] > 0 and r["max_abs_err"] > r["scale"] / 127 / 2 + 1e-5
+    ]
+    assert not viol, viol[:3]
