@@ -250,6 +250,11 @@ BENCH_QUERY_NAMES = [
         "ats_full_score",
         "hiring_recommendation",
         "validate_invoice_fields",
+        "bpe_train",
+        "bpe_tokenize",
+        "event_funnel",
+        "retention_cohorts",
+        "embedding_quantize",
 ]
 
 

@@ -548,7 +548,16 @@ def event_funnel(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             )
         ).over(w),
     )
-    per_user = staged.select("user_id", "t0", "t1", "t2").distinct()
+    # t0/t1/t2 are constant per user, so a groupBy(user_id) collapses
+    # to one row per user WITHOUT a new shuffle (the window already
+    # hash-partitioned on user_id; a distinct over 4 columns would
+    # re-exchange on a wider key — verified in the executed plan:
+    # one Exchange total before the final global agg)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t0").alias("t0"),
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+    )
     counts = per_user.agg(
         F.count(F.col("t0")).alias("c0"),
         F.count(F.col("t1")).alias("c1"),
@@ -598,24 +607,29 @@ WEEK_US = 604_800_000_000
 def retention_cohorts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Classic cohort retention matrix: users grouped by first-seen
     week, counted in each subsequent activity week, with retention as
-    a share of the cohort. Two user-keyed aggregations (first-seen and
-    distinct active weeks) that co-partition on user_id, one cohort
-    join, then a cohort-sized groupBy — nothing event-sized shuffles
-    twice. Week bucketing is integer microseconds so both engines
-    compute identical buckets."""
+    a share of the cohort. One scan, one user-keyed aggregation
+    (first-seen week + distinct active weeks in the same pass), then a
+    cohort-sized groupBy — nothing event-sized shuffles twice. Week
+    bucketing is integer microseconds so both engines compute
+    identical buckets."""
     ev = _t(spark, sf_dir, "events").select(
         # events.ts is TIMESTAMP_NTZ; the session tz is pinned UTC so
         # the cast is a no-op reinterpretation, matching epoch_us(ts)
         "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
     )
-    first = ev.groupBy("user_id").agg(
-        F.floor(F.min("us") / WEEK_US).alias("cohort_week")
+    # ONE scan + ONE user-keyed exchange: first-seen week and the
+    # distinct active-week set come out of the same aggregate
+    # (collect_set state is bounded by corpus duration in weeks),
+    # replacing the two-scan + distinct + join plan whose second
+    # exchange keyed on (user_id, week) could not co-locate with the
+    # first — verified in the executed plan
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(F.min("us") / WEEK_US).alias("cohort_week"),
+        F.collect_set(F.floor(F.col("us") / WEEK_US)).alias("weeks"),
     )
-    active = (
-        ev.select("user_id", F.floor(F.col("us") / WEEK_US).alias("week"))
-        .distinct()
+    j = per_user.select(
+        "cohort_week", F.explode("weeks").alias("week")
     )
-    j = active.join(first, "user_id")
     cohort = j.groupBy(
         "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
     ).agg(F.count("*").cast("long").alias("users"))
