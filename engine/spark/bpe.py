@@ -122,12 +122,28 @@ def bpe_train(
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
+def save_bpe_merges(merges: "DataFrame", path: str) -> None:
+    """Persist a trained merge table — train once, serve many (the
+    same split the IVF codebook uses). The table IS the tokenizer."""
+    merges.write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark: "SparkSession", path: str) -> list:
+    """Load a persisted merge table back into the rank-ordered row
+    list bpe_tokenize bakes into its plan. The sort is driver-side
+    over k rows."""
+    return sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["rank"]
+    )
+
+
 def bpe_tokenize(
     spark: "SparkSession",
     sf_dir: str,
     n_merges: int = 8,
     vocab_cap: int = 2000,
     preview_tokens: int = 8,
+    merges: list | None = None,
 ) -> "DataFrame":
     """Tokenize the documents corpus with the trained merges — the
     map-only serving half of BPE.
@@ -141,7 +157,11 @@ def bpe_tokenize(
     token count, and a preview of the first tokens (bounded columns;
     the full token stream would be emitted by the same expressions
     feeding a writer, never collected)."""
-    trained = bpe_train(spark, sf_dir, n_merges, vocab_cap).collect()
+    trained = (
+        merges
+        if merges is not None
+        else bpe_train(spark, sf_dir, n_merges, vocab_cap).collect()
+    )
 
     def tokenized(word_col):
         s = _padded(word_col)

@@ -116,6 +116,29 @@ def test_tokenize_merges_reduce_token_count(spark):
     assert n6 < n0
 
 
+def test_persisted_merges_serve_identically(spark, tmp_path):
+    """Train-once/persve-many: tokenizing from a persisted merge table
+    must equal in-line training exactly (same split the IVF codebook
+    persistence uses)."""
+    from engine.spark.bpe import (
+        bpe_tokenize,
+        bpe_train,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "merges.parquet")
+    save_bpe_merges(bpe_train(spark, sf, 6, 500), path)
+    served = bpe_tokenize(
+        spark, sf, merges=load_bpe_merges(spark, path)
+    )
+    inline = bpe_tokenize(spark, sf, n_merges=6, vocab_cap=500)
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, inline.collect()))
+    assert a == b
+
+
 def test_spark_early_stop_returns_short_table(spark):
     """A degenerate corpus (all words single-char) runs out of pairs:
     the trainer must stop, not loop or crash."""
