@@ -520,6 +520,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, n_merges=8, vocab_cap=2000, preview_tokens=8
         )
 
+    def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-source mixing scorecard. sf0.01 has zero natural exact
+        # dups, so both engines plant copies identically (docs whose
+        # md5(text) starts with '0', ~1/16) — dup_rate is non-vacuous
+        # at every SF; sf0.1 adds 8 natural dups on top.
+        from engine.spark.analytics import source_scorecard as _sc
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dups = docs.filter(F.substring(F.md5("text"), 1, 1) == "0")
+        return _sc(spark, sf_dir, docs=docs.unionByName(dups))
+
     def agent_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-tool usage over the synthetic agent transcripts; DuckDB
         # recomputes from the materialized raw turns. Two-level agg so
@@ -723,6 +734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # map-only symmetric int8 vector quantization (order-proof
         # max-abs reconstruction error)
         "embedding_quantize": A.embedding_quantize,
+        # per-source corpus scorecard (docs/tokens/dup-rate/share) —
+        # the crawl-mixing decision table; planted dups at every SF
+        "source_scorecard": source_scorecard,
     }
 
 
@@ -2789,6 +2803,37 @@ def oracle_sql() -> dict[str, str]:
                                  THEN CAST(z[2] AS DOUBLE) * scale / 127
                                  ELSE 0.0 END))), 6) AS max_abs_err
             FROM c
+        """,
+        "source_scorecard": """
+            WITH planted AS (
+                SELECT source, text FROM documents
+                UNION ALL
+                SELECT source, text FROM documents
+                WHERE substr(md5(text), 1, 1) = '0'),
+            pt AS (
+                SELECT source, md5(text) AS h,
+                       greatest(1, CAST(floor(length(text) / 4)
+                                        AS BIGINT)) AS tok
+                FROM planted),
+            g1 AS (
+                SELECT source, h, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(tok) AS BIGINT) AS tok
+                FROM pt GROUP BY 1, 2),
+            g2 AS (
+                SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                       CAST(count(*) AS BIGINT) AS n_unique,
+                       CAST(sum(tok) AS BIGINT) AS tokens
+                FROM g1 GROUP BY 1)
+            SELECT source, n_docs, n_unique,
+                   round(1 - CAST(n_unique AS DOUBLE) / n_docs, 6)
+                       AS dup_rate,
+                   tokens,
+                   round(CAST(tokens AS DOUBLE) / n_docs, 4)
+                       AS avg_doc_tokens,
+                   round(CAST(tokens AS DOUBLE)
+                         / CAST(sum(tokens) OVER () AS DOUBLE), 6)
+                       AS token_share
+            FROM g2
         """,
         # extract_turns_scalar / extract_spans: intentionally no oracle
         # — kernel-backed whole-document Python semantics (rows-only

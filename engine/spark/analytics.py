@@ -2119,3 +2119,49 @@ def embedding_quantize(
         # a .5 boundary; 6 dp keeps both engines on the same side
         F.round("err", 6).alias("max_abs_err"),
     )
+
+
+def source_scorecard(
+    spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None
+) -> "DataFrame":
+    """Per-source corpus scorecard — the table a crawl-mixing decision
+    reads: document volume, token volume and share, within-source
+    exact-duplicate rate, and mean document size per source.
+
+    Scale shape: stage 1 aggregates on (source, content-hash) — high
+    cardinality, map-side partials — so the low-cardinality source key
+    only ever receives one row per distinct text (same shielding as
+    agent_tool_stats); stage 2 and the share window run on a
+    sources-sized table."""
+    d = docs if docs is not None else _docs(spark, sf_dir)
+    per_text = d.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.greatest(F.lit(1), F.floor(F.length("text") / 4))
+        .cast("long")
+        .alias("tok"),
+    )
+    g1 = per_text.groupBy("source", "h").agg(
+        F.count("*").alias("n"), F.sum("tok").alias("tok")
+    )
+    g2 = g1.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum("tok").alias("tokens"),
+    )
+    total = Window.partitionBy()
+    return g2.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        F.round(1 - F.col("n_unique") / F.col("n_docs"), 6).alias(
+            "dup_rate"
+        ),
+        "tokens",
+        F.round(F.col("tokens") / F.col("n_docs"), 4).alias(
+            "avg_doc_tokens"
+        ),
+        F.round(F.col("tokens") / F.sum("tokens").over(total), 6).alias(
+            "token_share"
+        ),
+    )

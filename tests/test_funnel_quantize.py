@@ -114,3 +114,31 @@ def test_embedding_quantize_scale_alias_not_shadowed(spark):
         if r["scale"] > 0 and r["max_abs_err"] > r["scale"] / 127 / 2 + 1e-5
     ]
     assert not viol, viol[:3]
+
+
+def test_source_scorecard_semantics(spark, tmp_path):
+    """Known source layout: dup rate, token sums, and shares computed
+    from a hand-built corpus with one exact duplicate."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["aaaa bbbb", "aaaa bbbb", "cccc", "dddd eeee ffff"],
+            "source": ["s1", "s1", "s1", "s2"],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    from engine.spark.analytics import source_scorecard
+
+    got = {
+        r["source"]: r
+        for r in source_scorecard(spark, str(tmp_path)).collect()
+    }
+    s1, s2 = got["s1"], got["s2"]
+    assert s1["n_docs"] == 3 and s1["n_unique"] == 2
+    assert s1["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    # tokens: len/4 floored, min 1 -> 2+2+1 = 5 for s1, 3 for s2
+    assert s1["tokens"] == 5 and s2["tokens"] == 3
+    assert s2["dup_rate"] == 0.0
+    assert s1["token_share"] == pytest.approx(5 / 8, abs=1e-6)
