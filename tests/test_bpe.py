@@ -159,3 +159,41 @@ def test_spark_early_stop_returns_short_table(spark):
     # distinct merges no adjacent pairs remain anywhere
     assert len(rows) == 3
     assert {r[1] for r in rows} == {"a", "b", "c"}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.dictionaries(
+    st.text(alphabet="abcde", min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=50),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_words)
+def test_kernel_bpe_invariants(wc):
+    """For arbitrary word-count tables: ranks are sequential, merged
+    symbols concatenate their pair, counts are positive, and applying
+    the merges to any word reconstructs exactly that word + marker."""
+    from engine.kernel.bpe import bpe_merges, tokenize_word
+
+    merges = bpe_merges(wc, 10)
+    for i, (rank, left, right, merged, count) in enumerate(merges):
+        assert rank == i
+        assert merged == left + right
+        assert count > 0
+    for w in wc:
+        toks = tokenize_word(w, merges)
+        assert "".join(toks) == w + "</w>"
+        # no adjacent pair in the tokenized output equals an EARLIER
+        # merge unless produced by a later merge boundary — weaker,
+        # checkable form: the first merge's pair never survives
+        # adjacent in any tokenized word
+        if merges:
+            _, l0, r0, _, _ = merges[0]
+            assert not any(
+                a == l0 and b == r0 for a, b in zip(toks, toks[1:])
+            )
