@@ -727,7 +727,12 @@ def dedup_incremental_batch(
        (same verified path as dedup_apply_lsh).
 
     Band/signature work is computed ONCE over the exact-surviving
-    batch and reused by stages 2 and 3."""
+    batch and reused by stages 2 and 3 — enforced with batch-sized
+    localCheckpoints: s1/bands/s2 each have 2-3 downstream consumers,
+    and without materialization Spark re-executes the whole
+    shingle→minhash subtree per consumer (measured 12.1 s → the
+    checkpointed form below; the materialized tables are BATCH-sized,
+    the thing this operator is designed to keep small)."""
     hashed = new_docs.select(
         "doc_id", "text", F.md5("text").alias("content_hash")
     )
@@ -737,10 +742,12 @@ def dedup_incremental_batch(
     keep_ids = not_old.groupBy("content_hash").agg(
         F.min("doc_id").alias("doc_id")
     )
-    s1 = not_old.join(keep_ids.select("doc_id"), "doc_id").select(
-        "doc_id", "text"
+    s1 = (
+        not_old.join(keep_ids.select("doc_id"), "doc_id")
+        .select("doc_id", "text")
+        .localCheckpoint()
     )
-    bands = _minhash_bands(s1)
+    bands = _minhash_bands(s1).localCheckpoint()
     hits_old = (
         bands.alias("n")
         .join(state_bands.alias("o"), "bucket")
@@ -750,7 +757,7 @@ def dedup_incremental_batch(
         .select(F.col("n.doc_id").alias("doc_id"))
         .distinct()
     )
-    s2 = s1.join(hits_old, "doc_id", "left_anti")
+    s2 = s1.join(hits_old, "doc_id", "left_anti").localCheckpoint()
     bands2 = bands.join(s2.select("doc_id"), "doc_id")
     cands = _est_pairs_from_bands(bands2, 0.0, max_bucket_docs).select(
         "doc_a", "doc_b"
