@@ -520,6 +520,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, n_merges=8, vocab_cap=2000, preview_tokens=8
         )
 
+    def dedup_conversations_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # near-dup conversation pairs over the synthetic MULTI-turn
+        # per-turn extraction output (the document-derived convs are
+        # single-turn — they would leave the multi-row path untested).
+        # No natural near-dup conversations exist, so both engines
+        # plant them identically: md5-prefix-'0' conversations re-added
+        # under '~near' with their LAST turn dropped — not exact copies
+        # (dedup_conversations' case) but high-Jaccard ones (non-vacuity
+        # pytest-asserted; 2-turn convs may legitimately fall below the
+        # 0.5 threshold, identically in both engines).
+        from pyspark.sql import Window as W
+
+        from engine.spark.pipeline import dedup_conversations_near as _dcn
+
+        src = spark.read.parquet(_sft_turns_parquet(spark)).select(
+            "conv_id", "turn_idx", "cleaned_text"
+        )
+        mx = W.partitionBy("conv_id")
+        base = src.withColumn("mx", F.max("turn_idx").over(mx))
+        near = base.filter(
+            (F.substring(F.md5("conv_id"), 1, 1) == "0")
+            & (F.col("turn_idx") < F.col("mx"))
+        ).select(
+            F.concat("conv_id", F.lit("~near")).alias("conv_id"),
+            "turn_idx",
+            "cleaned_text",
+        )
+        return _dcn(src.unionByName(near))
+
     def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-source mixing scorecard. sf0.01 has zero natural exact
         # dups, so both engines plant copies identically (docs whose
@@ -691,6 +720,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5 -> SKEW_BLOCK block hash -> ordered conv fingerprint ->
         # min-conv_id keeper; nothing text-sized ever shuffles
         "dedup_conversations": dedup_conversations,
+        # near-dup conversation pairs (truncated/edited re-pastes):
+        # per-turn shingles -> conv-keyed MinHash -> band-collision ->
+        # exact verify; no conversation text is ever concatenated
+        "dedup_conversations_near": dedup_conversations_near,
         # the transcript-native corpus_prepare: dedup -> quality gate
         # -> shard-windowed concat packing, one call, fully oracled
         "transcript_prepare": transcript_prepare,
@@ -1063,6 +1096,29 @@ def _apply_lsh_drop_ctes(src: str = "documents") -> str:
             SELECT doc_id, text FROM {src}
             WHERE doc_id NOT IN (SELECT doc_id FROM near_drop
                                  UNION SELECT doc_id FROM exact_drop))
+    """
+
+
+def _conv_near_oracle() -> str:
+    """Near-dup conversation pairs: the document LSH chain re-pointed
+    at the per-turn cleaned text with doc_id = conv_id (a conversation's
+    shingle set = union of its turns' shingles, so the multi-row source
+    flows through the same sh/sig/band/verify CTEs unchanged)."""
+    return f"""
+        WITH base AS (
+            SELECT conv_id, turn_idx, cleaned_text,
+                   max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+            FROM read_parquet('{_sft_synth_path()}/*.parquet')),
+        conv_src AS (
+            SELECT conv_id AS doc_id,
+                   coalesce(cleaned_text, '') AS text
+            FROM base
+            UNION ALL
+            SELECT conv_id || '~near', coalesce(cleaned_text, '')
+            FROM base
+            WHERE substr(md5(conv_id), 1, 1) = '0' AND turn_idx < mx),
+        {_lsh_verified_ctes(0.5, "conv_src")}
+        SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard FROM vpairs
     """
 
 
@@ -1989,6 +2045,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_lsh_verified": _lsh_verified_oracle(),
+        "dedup_conversations_near": _conv_near_oracle(),
         "dedup_apply_lsh": _dedup_apply_lsh_oracle(),
         "corpus_prepare": _corpus_prepare_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),

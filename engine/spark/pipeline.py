@@ -412,3 +412,48 @@ def transcript_prepare(
         (cum - F.col("est_tokens")).alias("start_tok"),
         F.floor((cum - F.col("est_tokens")) / seq_len).cast("long").alias("bin"),
     )
+
+
+def dedup_conversations_near(
+    per_turn: "DataFrame",
+    min_jaccard: float = 0.5,
+    max_bucket_docs: int | None = None,
+) -> "DataFrame":
+    """Near-duplicate CONVERSATION pairs — the transcript-native
+    complement of exact `dedup_conversations` (re-pastes, re-runs with
+    one turn edited, truncated copies).
+
+    The key scale property: no text concatenation. A conversation's
+    shingle set is the union of its per-turn shingles, so the existing
+    (doc_id, text) LSH machinery consumes the per-turn table directly
+    with doc_id = conv_id — shingling stays map-only per turn, the
+    32-way MinHash min-aggregate merges a conversation's turns in the
+    same map-side partial pass that merges a document's rows, and
+    nothing conversation-sized is ever assembled. Verification is
+    exact shingle-set Jaccard on band-colliding pairs only (hub-star
+    guard for boilerplate buckets), identical to the document path.
+
+    Output: (conv_a, conv_b, jaccard) with conv_a < conv_b.
+    """
+    from engine.spark.analytics import (
+        LSH_MAX_BUCKET_DOCS,
+        _lsh_verified_pairs_docs,
+    )
+
+    docs = per_turn.select(
+        F.col("conv_id").alias("doc_id"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("text"),
+    )
+    pairs = _lsh_verified_pairs_docs(
+        docs,
+        min_jaccard,
+        0.0,
+        max_bucket_docs
+        if max_bucket_docs is not None
+        else LSH_MAX_BUCKET_DOCS,
+    )
+    return pairs.select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        "jaccard",
+    )

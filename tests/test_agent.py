@@ -137,3 +137,49 @@ def test_transitions_order_is_stable_under_shuffle(spark):
     a = sorted(map(tuple, tool_transitions(base).collect()))
     b = sorted(map(tuple, tool_transitions(scattered).collect()))
     assert a == b
+
+
+def test_dedup_conversations_near(spark):
+    """Near-dup conversation pairs: exact copy scores 1.0, a truncated
+    copy scores high-but-below, an unrelated conversation pairs with
+    nothing — and no conversation text is ever concatenated (the
+    operator consumes the per-turn table directly)."""
+    from engine.spark.pipeline import dedup_conversations_near
+
+    base = [
+        "the quick brown fox jumps over the lazy dog today",
+        "distributed systems shuffle data between partitions constantly",
+        "window functions order rows within each partition key",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append(("orig", i, t))
+        rows.append(("copy", i, t))  # exact copy
+        if i < 2:
+            rows.append(("trunc", i, t))  # last turn dropped
+    rows += [("other", 0, "completely unrelated content about cooking pasta sauces at home")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, cleaned_text string"
+    )
+    got = {
+        (r["conv_a"], r["conv_b"]): r["jaccard"]
+        for r in dedup_conversations_near(df, min_jaccard=0.4).collect()
+    }
+    assert got[("copy", "orig")] == 1.0
+    assert 0.4 <= got[("orig", "trunc")] < 1.0
+    assert got[("copy", "trunc")] == got[("orig", "trunc")]
+    assert not any("other" in k for k in got)
+
+
+def test_dedup_conversations_near_entry_planting(spark):
+    """The contract entry's planted '~near' conversations must be
+    found (non-vacuous), as truncated — not exact — copies."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["dedup_conversations_near"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    planted = [r for r in rows if r["conv_b"].endswith("~near")]
+    assert planted, rows
+    assert all(r["jaccard"] < 1.0 for r in planted)
+    assert all(r["conv_b"] == r["conv_a"] + "~near" for r in planted)
