@@ -675,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-style unigram-LM quality filter: corpus-trained vocab,
         # interpolated smoothing (SF-stable bits), fixed keep threshold
         "lm_unigram_score": A.lm_unigram_score,
+        # bigram order: broadcast pruned model (top-64 bigrams +
+        # top-16 unigrams), conditional + backoff + floor interpolation
+        "lm_bigram_score": A.lm_bigram_score,
         # temperature mixing: data-derived per-language keep rates
         # (∝ p^(α−1), rarest keeps all) -> post-sample counts ∝ p^α
         "mix_corpus": A.mix_corpus,
@@ -1119,6 +1122,64 @@ def _conv_near_oracle() -> str:
             WHERE substr(md5(conv_id), 1, 1) = '0' AND turn_idx < mx),
         {_lsh_verified_ctes(0.5, "conv_src")}
         SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard FROM vpairs
+    """
+
+
+def _lm_bigram_oracle() -> str:
+    """DuckDB twin of analytics.lm_bigram_score. The interpolation
+    floor is computed in Python and inlined by repr so both engines
+    add the bit-identical double; 0.6/0.3 are ::DOUBLE literals
+    (bare decimals would be DECIMAL in DuckDB, a different rounding
+    path than Spark's double arithmetic)."""
+    from engine.spark.analytics import (
+        LM2_BIGRAM_K,
+        LM2_BITS_KEEP_T,
+        LM2_LAM1,
+        LM2_LAM2,
+        LM_VOCAB_K,
+    )
+
+    floor = (1.0 - LM2_LAM2 - LM2_LAM1) / (LM_VOCAB_K + 1)
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split(
+                regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents),
+        words AS (SELECT doc_id, unnest(w) AS word FROM w),
+        bi AS (
+            SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - 1)) AS i
+                  FROM w WHERE len(w) >= 2)),
+        uni AS (SELECT word, count(*) AS cu FROM words GROUP BY word
+                ORDER BY cu DESC, word LIMIT {LM_VOCAB_K}),
+        big AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+                ORDER BY c12 DESC, w1, w2 LIMIT {LM2_BIGRAM_K}),
+        t AS (SELECT count(*) AS t_words FROM words),
+        s AS (SELECT bi.doc_id,
+                     CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END
+                         AS is_oov_bigram,
+                     log2(
+                       CASE WHEN u1.cu IS NOT NULL
+                                 AND b.c12 IS NOT NULL
+                            THEN {LM2_LAM2!r}::DOUBLE * b.c12 / u1.cu
+                            ELSE 0.0::DOUBLE END
+                       + {LM2_LAM1!r}::DOUBLE * coalesce(u2.cu, 0)
+                         / t.t_words
+                       + {floor!r}::DOUBLE) AS logp
+              FROM bi
+              LEFT JOIN big b ON b.w1 = bi.w1 AND b.w2 = bi.w2
+              LEFT JOIN uni u1 ON u1.word = bi.w1
+              LEFT JOIN uni u2 ON u2.word = bi.w2
+              CROSS JOIN t),
+        a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(is_oov_bigram) AS BIGINT)
+                         AS n_oov_bigrams,
+                     round(-avg(logp), 6) AS bits_per_bigram
+              FROM s GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, n_oov_bigrams, bits_per_bigram,
+               bits_per_bigram <= {LM2_BITS_KEEP_T!r} AS keep_doc
+        FROM a
     """
 
 
@@ -2046,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "dedup_lsh_verified": _lsh_verified_oracle(),
         "dedup_conversations_near": _conv_near_oracle(),
+        "lm_bigram_score": _lm_bigram_oracle(),
         "dedup_apply_lsh": _dedup_apply_lsh_oracle(),
         "corpus_prepare": _corpus_prepare_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),

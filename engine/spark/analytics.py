@@ -2172,3 +2172,103 @@ def source_scorecard(
             "token_share"
         ),
     )
+
+
+LM2_BIGRAM_K = 64
+LM2_LAM2 = 0.6
+LM2_LAM1 = 0.3
+LM2_BITS_KEEP_T = 6.5
+
+
+def lm_bigram_score(
+    spark: "SparkSession",
+    sf_dir: str,
+    bigram_k: int = LM2_BIGRAM_K,
+    vocab_k: int = LM_VOCAB_K,
+    lam2: float = LM2_LAM2,
+    lam1: float = LM2_LAM1,
+    keep_bits: float = LM2_BITS_KEEP_T,
+) -> "DataFrame":
+    """Bigram-LM quality scoring — one order up from lm_unigram_score,
+    the relational skeleton of CCNet's pruned-KenLM perplexity filter:
+    P(w2|w1) = lam2 * c(w1,w2)/c(w1)          [conditional, if w1 known]
+             + lam1 * c(w2)/T                  [unigram backoff]
+             + (1-lam2-lam1)/(vocab_k+1)       [floor]
+    scored as mean bits per bigram, gated on a fixed threshold.
+
+    100 TB path: the model is BOUNDED (top-``bigram_k`` bigrams +
+    top-``vocab_k`` unigrams, both deterministic under ties) and
+    broadcasts — exactly how production pipelines ship pruned KenLM
+    models — so the corpus side never shuffles for scoring; the only
+    corpus-sized exchange is the per-doc partial-aggregated mean.
+    Documents with fewer than two words have no bigrams and are
+    absent by definition (pytest-documented)."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+    toks = docs.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.struct(
+                    F.element_at("w", i + 1).alias("w1"),
+                    F.element_at("w", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    words = docs.select(F.explode(w).alias("word"))
+    uni = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cu"))
+        .orderBy(F.col("cu").desc(), "word")
+        .limit(vocab_k)
+    )
+    big = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(bigram_k)
+    )
+    totals = words.agg(F.count("*").alias("t_words"))
+    floor = (1.0 - lam2 - lam1) / (vocab_k + 1)
+    p = (
+        F.when(
+            F.col("c1").isNotNull() & F.col("c12").isNotNull(),
+            F.lit(lam2) * F.col("c12") / F.col("c1"),
+        ).otherwise(F.lit(0.0))
+        + F.lit(lam1) * F.coalesce(F.col("c2"), F.lit(0)) / F.col("t_words")
+        + F.lit(floor)
+    )
+    scored = (
+        bi.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("w1"), F.col("cu").alias("c1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("w2"), F.col("cu").alias("c2"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (F.col("c12").isNull().cast("int")).alias("is_oov_bigram"),
+            F.log2(p).alias("logp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("is_oov_bigram").cast("long").alias("n_oov_bigrams"),
+        F.round(-F.avg("logp"), 6).alias("bits_per_bigram"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov_bigrams",
+        "bits_per_bigram",
+        (F.col("bits_per_bigram") <= F.lit(keep_bits)).alias("keep_doc"),
+    )

@@ -1094,3 +1094,52 @@ def test_internal_ngram_overlap_driver_non_vacuous(spark):
     rows = internal_ngram_overlap(spark, "/root/testdata/sf0.01").collect()
     flagged = sum(1 for r in rows if r.has_repeated_spans)
     assert 0 < flagged < len(rows)
+
+
+def test_lm_bigram_score_orders_fluency(spark, tmp_path):
+    """A document made of the corpus' most common bigrams must score
+    fewer bits than one whose words never co-occur; one-word documents
+    have no bigrams and are absent by definition."""
+    import pandas as pd
+
+    from engine.spark.analytics import lm_bigram_score
+
+    common = "the cat sat on the mat " * 30
+    fluent = "the cat sat on the mat the cat sat"
+    salad = "mat the on sat zq cat xv the qq sat"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [common, fluent, salad, "solo"],
+        }
+    )
+    rows.to_parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in lm_bigram_score(spark, str(tmp_path)).collect()
+    }
+    assert 4 not in got  # single word -> no bigrams
+    # fluency ordering: pure common-bigram doc < mostly-fluent < salad
+    # (the fixture has <64 distinct bigrams so nothing is OOV — the
+    # ordering comes entirely from the conditional probabilities)
+    assert (
+        got[1]["bits_per_bigram"]
+        <= got[2]["bits_per_bigram"]
+        < got[3]["bits_per_bigram"]
+    )
+
+
+def test_lm_bigram_gate_splits_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from engine.spark.analytics import lm_bigram_score
+
+    agg = (
+        lm_bigram_score(spark, "/root/testdata/sf0.01")
+        .agg(
+            F.sum(F.col("keep_doc").cast("long")).alias("k"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert 0 < agg["k"] < agg["n"]
