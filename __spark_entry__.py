@@ -699,6 +699,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, sign_dims=6
         ),
         "simsearch_bruteforce": A.simsearch_bruteforce,
+        # quantized serving path: exact integer dot products over int8
+        # codes (no FP in the hot loop), cosine reconstructed per
+        # surviving candidate from the two scales
+        "simsearch_int8": A.simsearch_int8,
         "simsearch_ivf": lambda s, d: A.simsearch_ivf(s, d, sign_dims=6),
         # served-codebook form: train once (deterministic), persist the
         # codebook parquet, serve from the loaded codebook — identical
@@ -2108,6 +2112,51 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": _lsh_verified_oracle(),
         "dedup_conversations_near": _conv_near_oracle(),
         "lm_bigram_score": _lm_bigram_oracle(),
+        "simsearch_int8": """
+            WITH e0 AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u
+                FROM embeddings),
+            e AS (
+                SELECT vec_id,
+                       list_transform(u,
+                           x -> x / sqrt(list_dot_product(u, u))) AS v
+                FROM e0 WHERE list_dot_product(u, u) > 0),
+            base AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS scale
+                FROM e),
+            c AS (
+                SELECT vec_id, scale,
+                       list_transform(v, x -> CAST(
+                           CASE WHEN scale > 0
+                                THEN round(x * 127 / scale, 0)
+                                ELSE 0.0 END AS INTEGER)) AS codes
+                FROM base),
+            q AS (
+                SELECT vec_id AS query_id, scale AS qscale,
+                       codes AS qcodes
+                FROM c WHERE vec_id < 5),
+            s AS (
+                SELECT c.vec_id, q.query_id, c.scale, q.qscale,
+                       CAST(list_aggregate(
+                           list_transform(list_zip(c.codes, q.qcodes),
+                               z -> CAST(z[1] AS BIGINT) * z[2]),
+                           'sum') AS BIGINT) AS dot
+                FROM c, q WHERE c.vec_id <> q.query_id),
+            r AS (
+                SELECT query_id, vec_id, dot,
+                       CAST(dot AS DOUBLE) * scale * qscale / 16129
+                           AS dot_cos,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY CAST(dot AS DOUBLE) * scale * qscale
+                                    / 16129 DESC, vec_id) AS rnk
+                FROM s)
+            SELECT query_id, vec_id, dot,
+                   round(dot_cos, 6) AS approx_cosine,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 10
+        """,
         "dedup_apply_lsh": _dedup_apply_lsh_oracle(),
         "corpus_prepare": _corpus_prepare_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),

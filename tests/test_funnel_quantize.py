@@ -142,3 +142,58 @@ def test_source_scorecard_semantics(spark, tmp_path):
     assert s1["tokens"] == 5 and s2["tokens"] == 3
     assert s2["dup_rate"] == 0.0
     assert s1["token_share"] == pytest.approx(5 / 8, abs=1e-6)
+
+
+def test_simsearch_int8_recall_vs_float(spark):
+    """The quantized serving path must recover most of the float
+    brute-force top-k (127 levels per dim loses little), and its
+    integer dots must be exact (spot-checked in Python)."""
+    from engine.spark.analytics import simsearch_bruteforce, simsearch_int8
+
+    sf = "/root/testdata/sf0.01"
+    exact = simsearch_bruteforce(spark, sf, n_queries=5, k=10).collect()
+    quant = simsearch_int8(spark, sf, n_queries=5, k=10).collect()
+    etop = {}
+    for r in exact:
+        etop.setdefault(r["query_id"], set()).add(r["vec_id"])
+    qtop = {}
+    for r in quant:
+        qtop.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(etop[q] & qtop[q]) / len(etop[q]) for q in etop if q in qtop
+    ]
+    assert recalls and sum(recalls) / len(recalls) >= 0.8, recalls
+
+    # exactness of one integer dot, recomputed in pure Python
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet') WHERE vec_id IN (0, 1)"
+    ).fetchall()
+    vecs = {vid: [float(x) for x in emb] for vid, emb in rows}
+
+    def codes(v):
+        import math
+
+        n = math.sqrt(sum(x * x for x in v))
+        u = [x / n for x in v]
+        s = max(abs(x) for x in u)
+        return [
+            int(math.floor(x * 127 / s + 0.5))
+            if x >= 0
+            else -int(math.floor(-x * 127 / s + 0.5))
+            for x in u
+        ], s
+
+    c0, _ = codes(vecs[0])
+    c1, _ = codes(vecs[1])
+    expected_dot = sum(a * b for a, b in zip(c0, c1))
+    got = {
+        (r["query_id"], r["vec_id"]): r["dot"]
+        for r in quant
+    }
+    if (0, 1) in got:
+        assert got[(0, 1)] == expected_dot
+    if (1, 0) in got:
+        assert got[(1, 0)] == expected_dot
