@@ -255,6 +255,10 @@ BENCH_QUERY_NAMES = [
         "event_funnel",
         "retention_cohorts",
         "embedding_quantize",
+        "lm_bigram_score",
+        "source_scorecard",
+        "dedup_conversations_near",
+        "simsearch_int8",
 ]
 
 
