@@ -549,6 +549,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _dcn(src.unionByName(near))
 
+    def dedup_apply_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the surviving-conversation keep-list, both arms exercised by
+        # planting: md5-prefix-'0' conversations get BOTH an exact
+        # '~dup' copy AND a truncated '~near' copy — one component per
+        # planted conversation, original always the survivor.
+        from pyspark.sql import Window as W
+
+        from engine.spark.pipeline import dedup_apply_conversations as _dac
+
+        src = spark.read.parquet(_sft_turns_parquet(spark)).select(
+            "conv_id", "turn_idx", "cleaned_text"
+        )
+        base = src.withColumn(
+            "mx", F.max("turn_idx").over(W.partitionBy("conv_id"))
+        )
+        sel = F.substring(F.md5("conv_id"), 1, 1) == "0"
+        dup = base.filter(sel).select(
+            F.concat("conv_id", F.lit("~dup")).alias("conv_id"),
+            "turn_idx",
+            "cleaned_text",
+        )
+        near = base.filter(sel & (F.col("turn_idx") < F.col("mx"))).select(
+            F.concat("conv_id", F.lit("~near")).alias("conv_id"),
+            "turn_idx",
+            "cleaned_text",
+        )
+        return _dac(src.unionByName(dup).unionByName(near))
+
     def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-source mixing scorecard. sf0.01 has zero natural exact
         # dups, so both engines plant copies identically (docs whose
@@ -731,6 +759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-turn shingles -> conv-keyed MinHash -> band-collision ->
         # exact verify; no conversation text is ever concatenated
         "dedup_conversations_near": dedup_conversations_near,
+        # both arms composed: exact fingerprint drops + near-dup
+        # component drops -> the surviving-conversation keep-list
+        "dedup_apply_conversations": dedup_apply_conversations,
         # the transcript-native corpus_prepare: dedup -> quality gate
         # -> shard-windowed concat packing, one call, fully oracled
         "transcript_prepare": transcript_prepare,
@@ -1184,6 +1215,66 @@ def _lm_bigram_oracle() -> str:
         SELECT doc_id, n_bigrams, n_oov_bigrams, bits_per_bigram,
                bits_per_bigram <= {LM2_BITS_KEEP_T!r} AS keep_doc
         FROM a
+    """
+
+
+def _conv_apply_oracle() -> str:
+    """Survivors after both conversation-dedup arms: the near chain is
+    the src-parameterized LSH CTEs + recursive closure; the exact chain
+    is the per-turn fingerprint (md5 -> ordered block hash -> conv
+    hash) from the same planted rows."""
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT conv_id, turn_idx, cleaned_text,
+                   max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+            FROM read_parquet('{_sft_synth_path()}/*.parquet')),
+        pt AS (
+            SELECT conv_id, turn_idx, cleaned_text FROM base
+            UNION ALL
+            SELECT conv_id || '~dup', turn_idx, cleaned_text FROM base
+            WHERE substr(md5(conv_id), 1, 1) = '0'
+            UNION ALL
+            SELECT conv_id || '~near', turn_idx, cleaned_text FROM base
+            WHERE substr(md5(conv_id), 1, 1) = '0' AND turn_idx < mx),
+        conv_src AS (
+            SELECT conv_id AS doc_id, coalesce(cleaned_text, '') AS text
+            FROM pt),
+        {_lsh_verified_ctes(0.5, "conv_src")},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs),
+        enodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, r) AS (
+            SELECT node, node FROM enodes
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        near_drop AS (
+            SELECT node AS conv_id FROM reach GROUP BY node
+            HAVING node != min(r)),
+        per AS (
+            SELECT conv_id, turn_idx,
+                   md5(turn_idx::VARCHAR || ':'
+                       || coalesce(cleaned_text, '')) AS h,
+                   CAST(floor(turn_idx / 10000) AS BIGINT) AS blk
+            FROM pt),
+        blocks AS (
+            SELECT conv_id, blk,
+                   md5(string_agg(h, chr(1) ORDER BY turn_idx)) AS bh
+            FROM per GROUP BY conv_id, blk),
+        conv AS (
+            SELECT conv_id,
+                   md5(string_agg(bh, chr(1) ORDER BY blk)) AS conv_fp
+            FROM blocks GROUP BY conv_id),
+        exact_drop AS (
+            SELECT conv_id FROM (
+                SELECT conv_id,
+                       min(conv_id) OVER (PARTITION BY conv_fp) AS keep
+                FROM conv)
+            WHERE conv_id != keep)
+        SELECT DISTINCT conv_id FROM pt
+        WHERE conv_id NOT IN (SELECT conv_id FROM near_drop
+                              UNION SELECT conv_id FROM exact_drop)
     """
 
 
@@ -2112,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": _lsh_verified_oracle(),
         "dedup_conversations_near": _conv_near_oracle(),
         "lm_bigram_score": _lm_bigram_oracle(),
+        "dedup_apply_conversations": _conv_apply_oracle(),
         "simsearch_int8": """
             WITH e0 AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u

@@ -457,3 +457,47 @@ def dedup_conversations_near(
         F.col("doc_b").alias("conv_b"),
         "jaccard",
     )
+
+
+def dedup_apply_conversations(
+    per_turn: "DataFrame",
+    min_jaccard: float = 0.5,
+    max_bucket_docs: int | None = None,
+) -> "DataFrame":
+    """Surviving conv_ids after BOTH conversation-dedup arms — the
+    transcript analogue of dedup_apply_lsh, the keep-list a training
+    pipeline actually consumes:
+
+    - exact: ordered per-turn fingerprint groups drop every
+      conversation but the min-conv_id keeper (`dedup_conversations`);
+    - near: LSH-verified high-Jaccard pairs
+      (`dedup_conversations_near`) → connected components → drop
+      component non-keepers.
+
+    Both drop sets are computed over the full input and unioned
+    (mirroring dedup_apply_lsh / its recursive-CTE oracle shape), so a
+    conversation that is both an exact and a near duplicate is dropped
+    exactly once and the min-id original always survives."""
+    from engine.spark.analytics import dedup_clusters
+
+    exact_drop = (
+        dedup_conversations(per_turn)
+        .filter(~F.col("is_keeper"))
+        .select("conv_id")
+    )
+    pairs = dedup_conversations_near(
+        per_turn, min_jaccard, max_bucket_docs
+    ).select(
+        F.col("conv_a").alias("doc_a"), F.col("conv_b").alias("doc_b")
+    )
+    near_drop = (
+        dedup_clusters(pairs)
+        .filter(~F.col("is_keeper"))
+        .select(F.col("doc_id").alias("conv_id"))
+    )
+    return (
+        per_turn.select("conv_id")
+        .distinct()
+        .join(exact_drop, "conv_id", "left_anti")
+        .join(near_drop, "conv_id", "left_anti")
+    )

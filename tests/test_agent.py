@@ -183,3 +183,49 @@ def test_dedup_conversations_near_entry_planting(spark):
     assert planted, rows
     assert all(r["jaccard"] < 1.0 for r in planted)
     assert all(r["conv_b"] == r["conv_a"] + "~near" for r in planted)
+
+
+def test_dedup_apply_conversations_both_arms(spark):
+    """Hand-built: an exact copy drops via the fingerprint arm, a
+    truncated copy via the near arm, a conversation that is both an
+    exact AND near duplicate drops exactly once, and the min-id
+    original always survives."""
+    from engine.spark.pipeline import dedup_apply_conversations
+
+    turns = [
+        ("a0", 0, "the quick brown fox jumps over the lazy dog"),
+        ("a0", 1, "distributed systems shuffle data between partitions"),
+        ("a1", 0, "the quick brown fox jumps over the lazy dog"),  # exact
+        ("a1", 1, "distributed systems shuffle data between partitions"),
+        ("a2", 0, "the quick brown fox jumps over the lazy dog"),  # near
+        ("b", 0, "completely unrelated cooking content about pasta"),
+    ]
+    df = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, cleaned_text string"
+    )
+    got = {
+        r["conv_id"]
+        for r in dedup_apply_conversations(df, min_jaccard=0.4).collect()
+    }
+    assert got == {"a0", "b"}
+
+
+def test_dedup_apply_conversations_entry(spark):
+    """Entry planting: every '~dup' drops (exact arm); '~near' copies
+    drop when their truncation stays above the threshold (near arm,
+    non-vacuous); originals all survive."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["dedup_apply_conversations"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    ids = {r["conv_id"] for r in rows}
+    assert not any(i.endswith("~dup") for i in ids)
+    n_near_surviving = sum(1 for i in ids if i.endswith("~near"))
+    # at least one planted near-dup must be caught (most are)
+    assert n_near_surviving < 7
+    assert all(
+        i in ids for i in ids if not ("~" in i)
+    )  # originals never dropped
+    originals = [i for i in ids if "~" not in i]
+    assert len(originals) == 120
