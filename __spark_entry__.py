@@ -148,12 +148,16 @@ def _sft_turns_parquet(spark: SparkSession) -> str:
 
     path = _sft_synth_path()
     if path not in _TMP_PATHS:
+        # write-once per pid: the input is deterministic, and three
+        # entries (sft_examples, dedup_conversations_near,
+        # dedup_apply_conversations) share it — re-running extraction
+        # per call would triple the materialization cost per pass
         _TMP_PATHS.add(path)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
-    t = synthesize_transcripts(spark, 120, 4)
-    run_extraction(t, num_partitions=32).select(
-        "conv_id", "turn_idx", "role", "cleaned_text"
-    ).write.mode("overwrite").parquet(path)
+        t = synthesize_transcripts(spark, 120, 4)
+        run_extraction(t, num_partitions=32).select(
+            "conv_id", "turn_idx", "role", "cleaned_text"
+        ).write.mode("overwrite").parquet(path)
     return path
 
 
