@@ -348,6 +348,19 @@ def _simsearch_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.simsearch_ivf_centroids(spark, sf_dir, codebook=codebook)
 
 
+def _embedding_clusters_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-composition report from the persisted codebook — same
+    train-once/persist/serve split as _simsearch_ivf_served, sharing
+    its codebook path so DuckDB recomputes assignment from the same
+    table."""
+    from engine.spark import analytics as A
+
+    path = _per_turn_path(sf_dir) + "_cb"
+    A.train_ivf_codebook(spark, sf_dir).write.mode("overwrite").parquet(path)
+    cb = A.load_ivf_codebook(spark, path)
+    return A.embedding_clusters(spark, sf_dir, cb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyspark.sql import functions as F
 
@@ -744,6 +757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cosine top-k (full oracle; training itself stays covered by
         # determinism + recall tests)
         "simsearch_ivf_centroids": _simsearch_ivf_served,
+        # per-cluster corpus composition (volume/share/mean fit) from
+        # the same persisted codebook — the topical-rebalance table
+        "embedding_clusters": _embedding_clusters_served,
         "pack_sequences": A.pack_sequences,
         "lang_id": A.lang_id,
         "text_quality": A.text_quality,
@@ -2628,6 +2644,34 @@ def oracle_sql() -> dict[str, str]:
         # is a left fold in both engines (Spark F.aggregate; DuckDB
         # list_sum over the transformed zip), so assignment is
         # FP-identical.
+        "embedding_clusters": f"""
+            WITH cb AS (SELECT cid, CAST(centroid AS DOUBLE[]) AS c
+                        FROM read_parquet('{_per_turn_path("/root/testdata/sf0.01")}_cb/*.parquet')),
+                 e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u
+                        FROM embeddings),
+                 e AS (SELECT vec_id,
+                              list_transform(u,
+                                  x -> x / sqrt(list_dot_product(u, u))) AS v
+                       FROM e0 WHERE list_dot_product(u, u) > 0),
+                 d AS (SELECT e.vec_id, cb.cid,
+                              list_sum(list_transform(list_zip(e.v, cb.c),
+                                  x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+                       FROM e, cb),
+                 dr AS (SELECT *, row_number() OVER (
+                            PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                        FROM d),
+                 assign AS (SELECT vec_id, cid AS cluster, dist
+                            FROM dr WHERE rn = 1),
+                 per AS (SELECT cluster,
+                                CAST(count(*) AS BIGINT) AS n_vectors,
+                                round(avg(dist), 6) AS avg_sq_dist
+                         FROM assign GROUP BY cluster)
+            SELECT cluster, n_vectors, avg_sq_dist,
+                   round(CAST(n_vectors AS DOUBLE)
+                         / CAST(sum(n_vectors) OVER () AS DOUBLE), 6)
+                       AS share
+            FROM per
+        """,
         "simsearch_ivf_centroids": f"""
             WITH cb AS (SELECT cid, CAST(centroid AS DOUBLE[]) AS c
                         FROM read_parquet('{_per_turn_path("/root/testdata/sf0.01")}_cb/*.parquet')),

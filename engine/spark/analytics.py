@@ -2348,3 +2348,37 @@ def simsearch_int8(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def embedding_clusters(
+    spark: "SparkSession",
+    sf_dir: str,
+    codebook: list[list[float]],
+) -> "DataFrame":
+    """Corpus-composition report over a trained k-means codebook — the
+    curation table (per-cluster volume, share, mean fit) a pipeline
+    reads to rebalance topical coverage before training. Serving
+    shape: the codebook is persisted plan literals
+    (train_ivf_codebook → load_ivf_codebook), assignment is the same
+    map-only array_min pass the IVF search uses (no shuffle), and the
+    only exchanges are the cluster-sized aggregate + share window."""
+    embs = _vecs(spark, sf_dir)
+    nearest = F.array_min(_centroid_dists(codebook))
+    assigned = embs.select(
+        "vec_id",
+        nearest["cid"].alias("cluster"),
+        nearest["d"].alias("sq_dist"),
+    )
+    per = assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.avg("sq_dist"), 6).alias("avg_sq_dist"),
+    )
+    total = Window.partitionBy()
+    return per.select(
+        "cluster",
+        "n_vectors",
+        "avg_sq_dist",
+        F.round(
+            F.col("n_vectors") / F.sum("n_vectors").over(total), 6
+        ).alias("share"),
+    )

