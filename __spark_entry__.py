@@ -594,6 +594,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _dac(src.unionByName(dup).unionByName(near))
 
+    def conversation_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-conversation language vote over the multi-turn synthetic
+        # transcripts (marker scores per turn, summed per conversation)
+        from engine.spark.agent import conversation_language as _cl
+
+        src = spark.read.parquet(_sft_turns_parquet(spark)).select(
+            "conv_id", "cleaned_text"
+        )
+        return _cl(src)
+
     def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-source mixing scorecard. sf0.01 has zero natural exact
         # dups, so both engines plant copies identically (docs whose
@@ -811,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_tool_transitions": agent_tool_transitions,
         "conversation_timing": conversation_timing,
         "conversation_wellformed": conversation_wellformed,
+        # per-conversation language vote (turn scores summed conv-side)
+        "conversation_language": conversation_language,
         # distributed BPE merge training (engine/spark/bpe.py): corpus
         # touched once for word counts; the merge loop runs over the
         # vocab-sized table; the driver holds one argmax row per
@@ -2989,6 +3001,23 @@ def oracle_sql() -> dict[str, str]:
                          / count(gap_us) / 1e6, 6) AS avg_gap_s,
                    round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s
             FROM g GROUP BY conv_id
+        """,
+        "conversation_language": f"""
+            WITH per_turn AS (
+                SELECT conv_id, coalesce(cleaned_text, '') AS text
+                FROM read_parquet('{_sft_synth_path()}/*.parquet')),
+            scored AS (
+                SELECT conv_id, {_lang_scores()} FROM per_turn),
+            agg AS (
+                SELECT conv_id,
+                       CAST(sum(s_en) AS BIGINT) AS s_en,
+                       CAST(sum(s_es) AS BIGINT) AS s_es,
+                       CAST(sum(s_de) AS BIGINT) AS s_de,
+                       CAST(sum(s_fr) AS BIGINT) AS s_fr
+                FROM scored GROUP BY conv_id)
+            SELECT conv_id, s_en, s_es, s_de, s_fr,
+                   {lang_pred_case} AS lang_pred
+            FROM agg
         """,
         "conversation_wellformed": f"""
             WITH src AS (

@@ -166,3 +166,28 @@ def conversation_wellformed(turns: "DataFrame") -> "DataFrame":
         & (F.col("n_role_repeats") == 0)
         & (F.col("n_tool_missing") == 0),
     )
+
+
+def conversation_language(per_turn: "DataFrame") -> "DataFrame":
+    """Per-conversation language ID: marker scores computed per turn
+    (map-only), summed per conversation (one conv-keyed map-side-
+    combined aggregate — never a concat of conversation text), argmax
+    with the same first-match tie-break as the document lang_id.
+    Output: (conv_id, s_en, s_es, s_de, s_fr, lang_pred)."""
+    from engine.spark.analytics import (
+        _LANG_MARKERS,
+        _lang_pred_from_scores,
+        _lang_score_cols,
+    )
+
+    turns = per_turn.select(
+        "conv_id", F.coalesce(F.col("cleaned_text"), F.lit("")).alias("text")
+    )
+    scored = turns.select("conv_id", *_lang_score_cols())
+    agg = scored.groupBy("conv_id").agg(
+        *[
+            F.sum(f"s_{lang}").cast("long").alias(f"s_{lang}")
+            for lang in _LANG_MARKERS
+        ]
+    )
+    return agg.withColumn("lang_pred", _lang_pred_from_scores())

@@ -229,3 +229,26 @@ def test_dedup_apply_conversations_entry(spark):
     )  # originals never dropped
     originals = [i for i in ids if "~" not in i]
     assert len(originals) == 120
+
+
+def test_conversation_language_votes(spark):
+    """Turn-level marker votes sum per conversation: a conversation
+    that is mostly-Spanish with one English turn must come out 'es',
+    and marker-free text is 'und'."""
+    from engine.spark.agent import conversation_language
+
+    rows = [
+        ("m", 0, "el que de la los el que de la"),
+        ("m", 1, "el que de los la el que"),
+        ("m", 2, "the cat and the dog is to go"),
+        ("u", 0, "zzz qqq xyzzy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, cleaned_text string"
+    )
+    got = {
+        r["conv_id"]: r for r in conversation_language(df).collect()
+    }
+    assert got["m"]["lang_pred"] == "es"
+    assert got["m"]["s_es"] > got["m"]["s_en"] > 0
+    assert got["u"]["lang_pred"] == "und"
