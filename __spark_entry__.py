@@ -604,6 +604,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _cl(src)
 
+    def transcript_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the full curation pipeline with the near arm on; same planted
+        # '~dup'/'~near' copies as dedup_apply_conversations; token
+        # floor 256 so the gate splits the synthetic conversations
+        from pyspark.sql import Window as W
+
+        from engine.spark.pipeline import transcript_curate as _tc
+
+        src = spark.read.parquet(_sft_turns_parquet(spark)).select(
+            "conv_id", "turn_idx", "cleaned_text"
+        )
+        base = src.withColumn(
+            "mx", F.max("turn_idx").over(W.partitionBy("conv_id"))
+        )
+        sel = F.substring(F.md5("conv_id"), 1, 1) == "0"
+        dup = base.filter(sel).select(
+            F.concat("conv_id", F.lit("~dup")).alias("conv_id"),
+            "turn_idx",
+            "cleaned_text",
+        )
+        near = base.filter(sel & (F.col("turn_idx") < F.col("mx"))).select(
+            F.concat("conv_id", F.lit("~near")).alias("conv_id"),
+            "turn_idx",
+            "cleaned_text",
+        )
+        return _tc(
+            src.unionByName(dup).unionByName(near), min_conv_tokens=256
+        )
+
     def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-source mixing scorecard. sf0.01 has zero natural exact
         # dups, so both engines plant copies identically (docs whose
@@ -792,6 +821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both arms composed: exact fingerprint drops + near-dup
         # component drops -> the surviving-conversation keep-list
         "dedup_apply_conversations": dedup_apply_conversations,
+        # curation capstone: (exact ∪ near) dedup -> quality gate ->
+        # shard-windowed packing, one call
+        "transcript_curate": transcript_curate,
         # the transcript-native corpus_prepare: dedup -> quality gate
         # -> shard-windowed concat packing, one call, fully oracled
         "transcript_prepare": transcript_prepare,
@@ -1307,6 +1339,92 @@ def _conv_apply_oracle() -> str:
         SELECT DISTINCT conv_id FROM pt
         WHERE conv_id NOT IN (SELECT conv_id FROM near_drop
                               UNION SELECT conv_id FROM exact_drop)
+    """
+
+
+def _transcript_curate_oracle() -> str:
+    """transcript_prepare's gate+pack SQL with the keep-set widened by
+    the near-dup arm: fingerprint keepers minus the recursive-closure
+    near_drop set, from the same planted multi-turn base as
+    dedup_apply_conversations (token floor 256 so the gate splits the
+    synthetic conversations)."""
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT conv_id, turn_idx, cleaned_text,
+                   max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+            FROM read_parquet('{_sft_synth_path()}/*.parquet')),
+        pt AS (
+            SELECT conv_id, turn_idx, cleaned_text FROM base
+            UNION ALL
+            SELECT conv_id || '~dup', turn_idx, cleaned_text FROM base
+            WHERE substr(md5(conv_id), 1, 1) = '0'
+            UNION ALL
+            SELECT conv_id || '~near', turn_idx, cleaned_text FROM base
+            WHERE substr(md5(conv_id), 1, 1) = '0' AND turn_idx < mx),
+        conv_src AS (
+            SELECT conv_id AS doc_id, coalesce(cleaned_text, '') AS text
+            FROM pt),
+        {_lsh_verified_ctes(0.5, "conv_src")},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs),
+        enodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, r) AS (
+            SELECT node, node FROM enodes
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        near_drop AS (
+            SELECT node AS conv_id FROM reach GROUP BY node
+            HAVING node != min(r)),
+        per AS (
+            SELECT conv_id, turn_idx,
+                   md5(turn_idx::VARCHAR || ':'
+                       || coalesce(cleaned_text, '')) AS h,
+                   CAST(floor(turn_idx / 10000) AS BIGINT) AS blk,
+                   greatest(1, CAST(floor(
+                       length(coalesce(cleaned_text, '')) / 4) AS BIGINT))
+                       AS et,
+                   CASE WHEN coalesce(cleaned_text, '') = ''
+                        THEN 1 ELSE 0 END AS emp
+            FROM pt),
+        blocks AS (
+            SELECT conv_id, blk, count(*) AS n, sum(et) AS et,
+                   sum(emp) AS emp,
+                   md5(string_agg(h, chr(1) ORDER BY turn_idx)) AS bh
+            FROM per GROUP BY conv_id, blk),
+        conv AS (
+            SELECT conv_id, sum(n) AS n_turns,
+                   CAST(sum(et) AS BIGINT) AS est_tokens,
+                   sum(emp) AS n_empty,
+                   md5(string_agg(bh, chr(1) ORDER BY blk)) AS conv_fp
+            FROM blocks GROUP BY conv_id),
+        keepers AS (
+            SELECT conv_id, est_tokens FROM (
+                SELECT conv_id, est_tokens, n_turns, n_empty,
+                       conv_id = min(conv_id) OVER (PARTITION BY conv_fp)
+                           AS is_keeper
+                FROM conv)
+            WHERE is_keeper
+              AND conv_id NOT IN (SELECT conv_id FROM near_drop)
+              AND est_tokens >= 256
+              AND n_empty / n_turns <= 0.5),
+        sharded AS (
+            SELECT conv_id,
+                   CAST(('0x' || substr(md5(conv_id), 1, 15))::BIGINT % 16
+                        AS INTEGER) AS shard,
+                   est_tokens
+            FROM keepers),
+        packed AS (
+            SELECT conv_id, shard, est_tokens,
+                   sum(est_tokens) OVER (
+                       PARTITION BY shard ORDER BY conv_id
+                       ROWS UNBOUNDED PRECEDING) - est_tokens
+                       AS start_tok
+            FROM sharded)
+        SELECT conv_id, shard, est_tokens, start_tok,
+               CAST(floor(start_tok / 4096) AS BIGINT) AS bin
+        FROM packed
     """
 
 
@@ -2236,6 +2354,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_conversations_near": _conv_near_oracle(),
         "lm_bigram_score": _lm_bigram_oracle(),
         "dedup_apply_conversations": _conv_apply_oracle(),
+        "transcript_curate": _transcript_curate_oracle(),
         "simsearch_int8": """
             WITH e0 AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u

@@ -368,10 +368,47 @@ def transcript_prepare(
     Token counts are the T7 estimator (chars/4, floor 1) over the
     cleaned text, so the whole pipeline needs only
     (conv_id, turn_idx, cleaned_text)."""
-    from engine.spark.analytics import _phash60
-
     dedup = dedup_conversations(per_turn)
     keepers = dedup.filter(F.col("is_keeper")).select("conv_id")
+    return _gate_and_pack(
+        per_turn, keepers, min_conv_tokens, max_empty_frac, seq_len, n_shards
+    )
+
+
+def transcript_curate(
+    per_turn: "DataFrame",
+    min_conv_tokens: int = 64,
+    max_empty_frac: float = 0.5,
+    seq_len: int = 4096,
+    n_shards: int = 16,
+    min_jaccard: float = 0.5,
+) -> "DataFrame":
+    """transcript_prepare with the near-duplicate arm switched on: the
+    keep-set comes from dedup_apply_conversations (exact fingerprint
+    drops ∪ LSH-verified near-dup component drops) instead of exact
+    dedup alone, then the same quality gate and shard-windowed packing.
+    The full transcript curation pipeline in one call — what a training
+    job runs when truncated re-pastes matter, at the cost of the LSH
+    chain's extra shuffles over per-turn shingles."""
+    keepers = dedup_apply_conversations(per_turn, min_jaccard)
+    return _gate_and_pack(
+        per_turn, keepers, min_conv_tokens, max_empty_frac, seq_len, n_shards
+    )
+
+
+def _gate_and_pack(
+    per_turn: "DataFrame",
+    keepers: "DataFrame",
+    min_conv_tokens: int,
+    max_empty_frac: float,
+    seq_len: int,
+    n_shards: int,
+) -> "DataFrame":
+    """Shared tail of transcript_prepare / transcript_curate: the
+    two-phase per-conversation quality rollup, keep-set join, and
+    shard-windowed concat packing (see transcript_prepare's docstring
+    for the stage-by-stage scale shape)."""
+    from engine.spark.analytics import _phash60
 
     text = F.coalesce(F.col("cleaned_text"), F.lit(""))
     blk = (F.col("turn_idx") / F.lit(SKEW_BLOCK)).cast("long").alias("blk")

@@ -252,3 +252,52 @@ def test_conversation_language_votes(spark):
     assert got["m"]["lang_pred"] == "es"
     assert got["m"]["s_es"] > got["m"]["s_en"] > 0
     assert got["u"]["lang_pred"] == "und"
+
+
+def test_transcript_curate_near_arm_and_gate(spark):
+    """transcript_curate must drop what transcript_prepare keeps: a
+    truncated near-duplicate passes exact dedup but not the near arm;
+    the token floor gates short conversations; packing invariants hold
+    for the survivors."""
+    from engine.spark.pipeline import transcript_curate, transcript_prepare
+
+    long_text = "spark shuffles data between partitions constantly " * 8
+    turns = [
+        ("a0", 0, long_text),
+        ("a0", 1, long_text + " extra tail words here"),
+        ("a1", 0, long_text),  # truncated near-dup of a0 (first turn)
+        ("tiny", 0, "short"),  # fails the token floor
+    ]
+    df = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, cleaned_text string"
+    )
+    curated = {
+        r["conv_id"]: r
+        for r in transcript_curate(df, min_conv_tokens=64).collect()
+    }
+    prepared = {
+        r["conv_id"]
+        for r in transcript_prepare(df, min_conv_tokens=64).collect()
+    }
+    assert "a1" in prepared  # exact dedup alone keeps the near-dup
+    assert set(curated) == {"a0"}  # near arm + gate drop a1 and tiny
+    assert curated["a0"]["start_tok"] == 0 and curated["a0"]["bin"] == 0
+
+
+def test_transcript_curate_entry_splits(spark):
+    """Entry form: planted '~dup'/'~near' never survive, and the
+    256-token floor actually gates some originals (non-vacuous)."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["transcript_curate"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    ids = {r["conv_id"] for r in rows}
+    assert ids
+    # exact copies can never survive; near copies may legitimately
+    # survive only when their truncation falls below the Jaccard
+    # threshold (identically in both engines) — most must be caught
+    assert not any(i.endswith("~dup") for i in ids)
+    assert sum(1 for i in ids if i.endswith("~near")) <= 2
+    n_originals = sum(1 for i in ids if "~" not in i)
+    assert 0 < n_originals < 120  # the token floor gated some originals
