@@ -633,6 +633,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             src.unionByName(dup).unionByName(near), min_conv_tokens=256
         )
 
+    def transcript_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # single-row transcript dataset card over the raw synthetic
+        # turns (same materialized parquet as the agent analytics)
+        from engine.spark.agent import transcript_stats as _ts
+
+        return _ts(spark.read.parquet(_agent_turns_parquet(spark)))
+
     def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-source mixing scorecard. sf0.01 has zero natural exact
         # dups, so both engines plant copies identically (docs whose
@@ -855,6 +862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_wellformed": conversation_wellformed,
         # per-conversation language vote (turn scores summed conv-side)
         "conversation_language": conversation_language,
+        # single-row transcript dataset card (volume, length
+        # percentiles, role shares, tool-call rate)
+        "transcript_stats": transcript_stats,
         # distributed BPE merge training (engine/spark/bpe.py): corpus
         # touched once for word counts; the merge loop runs over the
         # vocab-sized table; the driver holds one argmax row per
@@ -3120,6 +3130,32 @@ def oracle_sql() -> dict[str, str]:
                          / count(gap_us) / 1e6, 6) AS avg_gap_s,
                    round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s
             FROM g GROUP BY conv_id
+        """,
+        "transcript_stats": f"""
+            WITH per_conv AS (
+                SELECT conv_id,
+                       count(*) AS nt,
+                       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                           AS tc,
+                       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                           AS us,
+                       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                           AS asst
+                FROM read_parquet('{_agent_synth_path()}/*.parquet')
+                GROUP BY conv_id)
+            SELECT CAST(count(*) AS BIGINT) AS n_convs,
+                   CAST(sum(nt) AS BIGINT) AS n_turns,
+                   round(avg(nt), 6) AS avg_turns,
+                   round(quantile_cont(nt, 0.5), 6) AS p50_turns,
+                   round(quantile_cont(nt, 0.9), 6) AS p90_turns,
+                   CAST(max(nt) AS BIGINT) AS max_turns,
+                   round(CAST(sum(tc) AS DOUBLE) / sum(nt), 6)
+                       AS tool_call_rate,
+                   round(CAST(sum(us) AS DOUBLE) / sum(nt), 6)
+                       AS user_share,
+                   round(CAST(sum(asst) AS DOUBLE) / sum(nt), 6)
+                       AS assistant_share
+            FROM per_conv
         """,
         "conversation_language": f"""
             WITH per_turn AS (

@@ -191,3 +191,38 @@ def conversation_language(per_turn: "DataFrame") -> "DataFrame":
         ]
     )
     return agg.withColumn("lang_pred", _lang_pred_from_scores())
+
+
+def transcript_stats(turns: "DataFrame") -> "DataFrame":
+    """One-pass transcript dataset card — the single-row summary a
+    transcript-corpus release ships: conversation/turn volume, length
+    distribution, role shares, and tool-call rate.
+
+    Two bounded aggregates: per-conversation turn counts (conv-keyed,
+    map-side partial, ~1 row per conversation) feed the exact length
+    percentiles (safe: the value domain is per-conv turn counts, a
+    tiny count-map per partition); the flat role/tool shares come from
+    the same scan's global reduce. Nothing text-sized is touched."""
+    flat = turns.select(
+        "conv_id",
+        (F.col("tool").isNotNull()).cast("int").alias("is_tool_call"),
+        (F.col("role") == "user").cast("int").alias("is_user"),
+        (F.col("role") == "assistant").cast("int").alias("is_assistant"),
+    )
+    per_conv = flat.groupBy("conv_id").agg(
+        F.count("*").alias("nt"),
+        F.sum("is_tool_call").alias("tc"),
+        F.sum("is_user").alias("us"),
+        F.sum("is_assistant").alias("asst"),
+    )
+    return per_conv.agg(
+        F.count("*").cast("long").alias("n_convs"),
+        F.sum("nt").cast("long").alias("n_turns"),
+        F.round(F.avg("nt"), 6).alias("avg_turns"),
+        F.round(F.expr("percentile(nt, 0.5)"), 6).alias("p50_turns"),
+        F.round(F.expr("percentile(nt, 0.9)"), 6).alias("p90_turns"),
+        F.max("nt").cast("long").alias("max_turns"),
+        F.round(F.sum("tc") / F.sum("nt"), 6).alias("tool_call_rate"),
+        F.round(F.sum("us") / F.sum("nt"), 6).alias("user_share"),
+        F.round(F.sum("asst") / F.sum("nt"), 6).alias("assistant_share"),
+    )

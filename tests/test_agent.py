@@ -301,3 +301,29 @@ def test_transcript_curate_entry_splits(spark):
     assert sum(1 for i in ids if i.endswith("~near")) <= 2
     n_originals = sum(1 for i in ids if "~" not in i)
     assert 0 < n_originals < 120  # the token floor gated some originals
+
+
+def test_transcript_stats_card(spark):
+    """Known fixture: exact counts, percentiles, shares."""
+    from engine.spark.agent import transcript_stats
+
+    rows = [
+        ("a", 0, "user", "x", None),
+        ("a", 1, "assistant", "y", "search"),
+        ("b", 0, "user", "x", None),
+        ("b", 1, "assistant", "y", None),
+        ("b", 2, "tool", "z", "sql"),
+        ("b", 3, "assistant", "w", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    r = transcript_stats(df).collect()[0]
+    assert r["n_convs"] == 2 and r["n_turns"] == 6
+    assert r["avg_turns"] == pytest.approx(3.0)
+    assert r["p50_turns"] == pytest.approx(3.0)  # interpolated (2+4)/2
+    assert r["max_turns"] == 4
+    assert r["tool_call_rate"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r["user_share"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r["assistant_share"] == pytest.approx(3 / 6, abs=1e-6)
