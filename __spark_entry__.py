@@ -640,6 +640,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _ts(spark.read.parquet(_agent_turns_parquet(spark)))
 
+    def mix_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # conversation-granularity temperature mixing over the per-turn
+        # language vote (alpha 0.7: en majority downsampled, rarest
+        # class keeps all — non-vacuous on the en/und split)
+        from engine.spark.agent import mix_transcripts as _mt
+
+        src = spark.read.parquet(_sft_turns_parquet(spark)).select(
+            "conv_id", "cleaned_text"
+        )
+        return _mt(src, alpha=0.7)
+
     def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-source mixing scorecard. sf0.01 has zero natural exact
         # dups, so both engines plant copies identically (docs whose
@@ -865,6 +876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-row transcript dataset card (volume, length
         # percentiles, role shares, tool-call rate)
         "transcript_stats": transcript_stats,
+        # conversation-granularity temperature mixing (data-derived
+        # per-language keep rates over the turn-vote language)
+        "mix_transcripts": mix_transcripts,
         # distributed BPE merge training (engine/spark/bpe.py): corpus
         # touched once for word counts; the merge loop runs over the
         # vocab-sized table; the driver holds one argmax row per
@@ -3130,6 +3144,41 @@ def oracle_sql() -> dict[str, str]:
                          / count(gap_us) / 1e6, 6) AS avg_gap_s,
                    round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s
             FROM g GROUP BY conv_id
+        """,
+        "mix_transcripts": f"""
+            WITH per_turn AS (
+                SELECT conv_id, coalesce(cleaned_text, '') AS text
+                FROM read_parquet('{_sft_synth_path()}/*.parquet')),
+            scored AS (
+                SELECT conv_id, {_lang_scores()} FROM per_turn),
+            agg AS (
+                SELECT conv_id,
+                       CAST(sum(s_en) AS BIGINT) AS s_en,
+                       CAST(sum(s_es) AS BIGINT) AS s_es,
+                       CAST(sum(s_de) AS BIGINT) AS s_de,
+                       CAST(sum(s_fr) AS BIGINT) AS s_fr
+                FROM scored GROUP BY conv_id),
+            langs AS (
+                SELECT conv_id, {lang_pred_case} AS lang_pred FROM agg),
+            shares AS (SELECT lang_pred, count(*) AS n FROM langs
+                       GROUP BY lang_pred),
+            -- (0.7::DOUBLE - 1.0::DOUBLE): IEEE-subtract the same
+            -- doubles Python's (alpha - 1.0) does
+            r AS (SELECT lang_pred,
+                         pow(n::DOUBLE, 0.7::DOUBLE - 1.0::DOUBLE)
+                         / (SELECT max(pow(n::DOUBLE,
+                                           0.7::DOUBLE - 1.0::DOUBLE))
+                            FROM shares) AS rate
+                  FROM shares),
+            uu AS (
+                SELECT conv_id, lang_pred,
+                       ('0x' || substr(md5(conv_id || ':tmix-v1'), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+                FROM langs)
+            SELECT uu.conv_id, uu.lang_pred,
+                   round(r.rate, 6) AS rate, round(uu.u, 6) AS u
+            FROM uu JOIN r USING (lang_pred)
+            WHERE uu.u < r.rate
         """,
         "transcript_stats": f"""
             WITH per_conv AS (

@@ -226,3 +226,38 @@ def transcript_stats(turns: "DataFrame") -> "DataFrame":
         F.round(F.sum("us") / F.sum("nt"), 6).alias("user_share"),
         F.round(F.sum("asst") / F.sum("nt"), 6).alias("assistant_share"),
     )
+
+
+def mix_transcripts(
+    per_turn: "DataFrame", alpha: float = 0.7, salt: str = "tmix-v1"
+) -> "DataFrame":
+    """Temperature mixing at CONVERSATION granularity: language comes
+    from the per-turn vote (conversation_language), each language's
+    keep rate is data-derived (∝ p^(α−1), rarest keeps all — post-
+    sample counts ∝ p^α), and the keep decision is the reproducible
+    partition-invariant hash-uniform. Same scale shape as mix_corpus:
+    the share aggregate moves ≤ one row per distinct language per
+    partition, rates broadcast back, the corpus side stays map-only
+    after the language vote."""
+    from engine.spark.analytics import _phash60
+
+    langs = conversation_language(per_turn).select("conv_id", "lang_pred")
+    shares = langs.groupBy("lang_pred").agg(F.count("*").alias("n"))
+    pw = F.pow(F.col("n").cast("double"), F.lit(alpha - 1.0))
+    mx = shares.agg(F.max(pw).alias("mx"))
+    rates = shares.crossJoin(F.broadcast(mx)).select(
+        "lang_pred", (pw / F.col("mx")).alias("rate")
+    )
+    u = _phash60(F.concat(F.col("conv_id"), F.lit(":" + salt))) / F.lit(
+        float(1 << 60)
+    )
+    return (
+        langs.join(F.broadcast(rates), "lang_pred")
+        .filter(u < F.col("rate"))
+        .select(
+            "conv_id",
+            "lang_pred",
+            F.round("rate", 6).alias("rate"),
+            F.round(u, 6).alias("u"),
+        )
+    )

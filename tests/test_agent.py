@@ -327,3 +327,26 @@ def test_transcript_stats_card(spark):
     assert r["tool_call_rate"] == pytest.approx(2 / 6, abs=1e-6)
     assert r["user_share"] == pytest.approx(2 / 6, abs=1e-6)
     assert r["assistant_share"] == pytest.approx(3 / 6, abs=1e-6)
+
+
+def test_mix_transcripts_flattens_languages(spark):
+    """The rarest language keeps everything (rate 1.0); the majority
+    language downsamples at (p_min/p_maj)^(1-alpha); the kept set is
+    deterministic (same salt → same rows)."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["mix_transcripts"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang_pred"], []).append(r)
+    assert set(by_lang) >= {"en", "und"}
+    assert all(r["rate"] == pytest.approx(1.0) for r in by_lang["und"])
+    en_rate = by_lang["en"][0]["rate"]
+    assert 0 < en_rate < 1
+    # deterministic: a second call returns the identical kept set
+    again = em.queries()["mix_transcripts"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
