@@ -148,16 +148,17 @@ def _sft_turns_parquet(spark: SparkSession) -> str:
 
     path = _sft_synth_path()
     if path not in _TMP_PATHS:
-        # write-once per pid: the input is deterministic, and three
-        # entries (sft_examples, dedup_conversations_near,
-        # dedup_apply_conversations) share it — re-running extraction
-        # per call would triple the materialization cost per pass
-        _TMP_PATHS.add(path)
+        # write-once per pid: the input is deterministic, and several
+        # entries share it — re-running extraction per call would
+        # multiply the materialization cost per pass. The memo is
+        # recorded only AFTER the write succeeds, so a transient
+        # failure doesn't poison every later call with a missing file.
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         t = synthesize_transcripts(spark, 120, 4)
         run_extraction(t, num_partitions=32).select(
             "conv_id", "turn_idx", "role", "cleaned_text"
         ).write.mode("overwrite").parquet(path)
+        _TMP_PATHS.add(path)
     return path
 
 
@@ -181,11 +182,13 @@ def _agent_turns_parquet(spark: SparkSession) -> str:
 
     path = _agent_synth_path()
     if path not in _TMP_PATHS:
-        _TMP_PATHS.add(path)
+        # memo recorded only AFTER a successful write (see
+        # _sft_turns_parquet for why)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         synthesize_transcripts(spark, 120, 4).write.mode(
             "overwrite"
         ).parquet(path)
+        _TMP_PATHS.add(path)
     return path
 
 
@@ -332,6 +335,26 @@ def _inv_synth_path() -> str:
     return os.path.join(tempfile.gettempdir(), f"entry_inv_synth_{os.getpid()}")
 
 
+def _codebook_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Train + persist the k-means codebook once per (pid, sf_dir) —
+    shared by the IVF search and the cluster-composition entries, which
+    previously each retrained the identical deterministic codebook.
+    Memo recorded only after the write succeeds."""
+    import atexit
+    import shutil
+
+    from engine.spark import analytics as A
+
+    path = _per_turn_path(sf_dir) + "_cb"
+    if path not in _TMP_PATHS:
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        A.train_ivf_codebook(spark, sf_dir).write.mode("overwrite").parquet(
+            path
+        )
+        _TMP_PATHS.add(path)
+    return path
+
+
 def _simsearch_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-IVF in its serving shape: train the k-means codebook
     once (deterministic), persist it as a parquet table, and search
@@ -342,9 +365,7 @@ def _simsearch_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join, cosine top-k) from the same table."""
     from engine.spark import analytics as A
 
-    path = _per_turn_path(sf_dir) + "_cb"
-    A.train_ivf_codebook(spark, sf_dir).write.mode("overwrite").parquet(path)
-    codebook = A.load_ivf_codebook(spark, path)
+    codebook = A.load_ivf_codebook(spark, _codebook_parquet(spark, sf_dir))
     return A.simsearch_ivf_centroids(spark, sf_dir, codebook=codebook)
 
 
@@ -355,10 +376,43 @@ def _embedding_clusters_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     from engine.spark import analytics as A
 
-    path = _per_turn_path(sf_dir) + "_cb"
-    A.train_ivf_codebook(spark, sf_dir).write.mode("overwrite").parquet(path)
-    cb = A.load_ivf_codebook(spark, path)
+    cb = A.load_ivf_codebook(spark, _codebook_parquet(spark, sf_dir))
     return A.embedding_clusters(spark, sf_dir, cb)
+
+
+def _planted_conv_turns(spark: SparkSession, with_dup: bool) -> DataFrame:
+    """Synthetic multi-turn per-turn rows plus the planted duplicate
+    copies the conversation-dedup entries share: md5-prefix-'0'
+    conversations re-added as '~near' truncated copies (last turn
+    dropped) and, when ``with_dup``, also as '~dup' exact copies.
+    Single source of truth — the DuckDB side mirrors it in
+    _conv_apply_drop_ctes / _conv_near_oracle."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(_sft_turns_parquet(spark)).select(
+        "conv_id", "turn_idx", "cleaned_text"
+    )
+    base = src.withColumn(
+        "mx", F.max("turn_idx").over(W.partitionBy("conv_id"))
+    )
+    sel = F.substring(F.md5("conv_id"), 1, 1) == "0"
+    out = src
+    if with_dup:
+        out = out.unionByName(
+            base.filter(sel).select(
+                F.concat("conv_id", F.lit("~dup")).alias("conv_id"),
+                "turn_idx",
+                "cleaned_text",
+            )
+        )
+    return out.unionByName(
+        base.filter(sel & (F.col("turn_idx") < F.col("mx"))).select(
+            F.concat("conv_id", F.lit("~near")).alias("conv_id"),
+            "turn_idx",
+            "cleaned_text",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -542,57 +596,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-turn extraction output (the document-derived convs are
         # single-turn — they would leave the multi-row path untested).
         # No natural near-dup conversations exist, so both engines
-        # plant them identically: md5-prefix-'0' conversations re-added
-        # under '~near' with their LAST turn dropped — not exact copies
-        # (dedup_conversations' case) but high-Jaccard ones (non-vacuity
-        # pytest-asserted; 2-turn convs may legitimately fall below the
-        # 0.5 threshold, identically in both engines).
-        from pyspark.sql import Window as W
-
+        # plant truncated '~near' copies identically
+        # (_planted_conv_turns; 2-turn convs may legitimately fall
+        # below the 0.5 threshold, identically in both engines).
         from engine.spark.pipeline import dedup_conversations_near as _dcn
 
-        src = spark.read.parquet(_sft_turns_parquet(spark)).select(
-            "conv_id", "turn_idx", "cleaned_text"
-        )
-        mx = W.partitionBy("conv_id")
-        base = src.withColumn("mx", F.max("turn_idx").over(mx))
-        near = base.filter(
-            (F.substring(F.md5("conv_id"), 1, 1) == "0")
-            & (F.col("turn_idx") < F.col("mx"))
-        ).select(
-            F.concat("conv_id", F.lit("~near")).alias("conv_id"),
-            "turn_idx",
-            "cleaned_text",
-        )
-        return _dcn(src.unionByName(near))
+        return _dcn(_planted_conv_turns(spark, with_dup=False))
 
     def dedup_apply_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # the surviving-conversation keep-list, both arms exercised by
-        # planting: md5-prefix-'0' conversations get BOTH an exact
-        # '~dup' copy AND a truncated '~near' copy — one component per
-        # planted conversation, original always the survivor.
-        from pyspark.sql import Window as W
-
+        # the surviving-conversation keep-list, both arms exercised:
+        # planted conversations get BOTH an exact '~dup' copy AND a
+        # truncated '~near' copy (_planted_conv_turns) — one component
+        # per planted conversation, original always the survivor.
         from engine.spark.pipeline import dedup_apply_conversations as _dac
 
-        src = spark.read.parquet(_sft_turns_parquet(spark)).select(
-            "conv_id", "turn_idx", "cleaned_text"
-        )
-        base = src.withColumn(
-            "mx", F.max("turn_idx").over(W.partitionBy("conv_id"))
-        )
-        sel = F.substring(F.md5("conv_id"), 1, 1) == "0"
-        dup = base.filter(sel).select(
-            F.concat("conv_id", F.lit("~dup")).alias("conv_id"),
-            "turn_idx",
-            "cleaned_text",
-        )
-        near = base.filter(sel & (F.col("turn_idx") < F.col("mx"))).select(
-            F.concat("conv_id", F.lit("~near")).alias("conv_id"),
-            "turn_idx",
-            "cleaned_text",
-        )
-        return _dac(src.unionByName(dup).unionByName(near))
+        return _dac(_planted_conv_turns(spark, with_dup=True))
 
     def conversation_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-conversation language vote over the multi-turn synthetic
@@ -608,29 +626,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full curation pipeline with the near arm on; same planted
         # '~dup'/'~near' copies as dedup_apply_conversations; token
         # floor 256 so the gate splits the synthetic conversations
-        from pyspark.sql import Window as W
-
         from engine.spark.pipeline import transcript_curate as _tc
 
-        src = spark.read.parquet(_sft_turns_parquet(spark)).select(
-            "conv_id", "turn_idx", "cleaned_text"
-        )
-        base = src.withColumn(
-            "mx", F.max("turn_idx").over(W.partitionBy("conv_id"))
-        )
-        sel = F.substring(F.md5("conv_id"), 1, 1) == "0"
-        dup = base.filter(sel).select(
-            F.concat("conv_id", F.lit("~dup")).alias("conv_id"),
-            "turn_idx",
-            "cleaned_text",
-        )
-        near = base.filter(sel & (F.col("turn_idx") < F.col("mx"))).select(
-            F.concat("conv_id", F.lit("~near")).alias("conv_id"),
-            "turn_idx",
-            "cleaned_text",
-        )
         return _tc(
-            src.unionByName(dup).unionByName(near), min_conv_tokens=256
+            _planted_conv_turns(spark, with_dup=True), min_conv_tokens=256
         )
 
     def transcript_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,13 +1305,14 @@ def _lm_bigram_oracle() -> str:
     """
 
 
-def _conv_apply_oracle() -> str:
-    """Survivors after both conversation-dedup arms: the near chain is
-    the src-parameterized LSH CTEs + recursive closure; the exact chain
-    is the per-turn fingerprint (md5 -> ordered block hash -> conv
-    hash) from the same planted rows."""
-    return f"""
-        WITH RECURSIVE base AS (
+def _conv_apply_drop_ctes() -> str:
+    """Shared CTE chain of _conv_apply_oracle and
+    _transcript_curate_oracle: the planted multi-turn base ('~dup'
+    exact + '~near' truncated copies), the src-parameterized LSH
+    verify chain, and the recursive-closure near_drop set. Factored so
+    a planting-scheme change cannot silently diverge between the two
+    oracles (the document analogue is _apply_lsh_drop_ctes)."""
+    return f"""base AS (
             SELECT conv_id, turn_idx, cleaned_text,
                    max(turn_idx) OVER (PARTITION BY conv_id) AS mx
             FROM read_parquet('{_sft_synth_path()}/*.parquet')),
@@ -1339,7 +1339,16 @@ def _conv_apply_oracle() -> str:
         ),
         near_drop AS (
             SELECT node AS conv_id FROM reach GROUP BY node
-            HAVING node != min(r)),
+            HAVING node != min(r))"""
+
+
+def _conv_apply_oracle() -> str:
+    """Survivors after both conversation-dedup arms: the shared
+    planted+LSH+closure chain (_conv_apply_drop_ctes) plus the exact
+    per-turn fingerprint chain (md5 -> ordered block hash -> conv
+    hash) from the same planted rows."""
+    return f"""
+        WITH RECURSIVE {_conv_apply_drop_ctes()},
         per AS (
             SELECT conv_id, turn_idx,
                    md5(turn_idx::VARCHAR || ':'
@@ -1368,39 +1377,11 @@ def _conv_apply_oracle() -> str:
 
 def _transcript_curate_oracle() -> str:
     """transcript_prepare's gate+pack SQL with the keep-set widened by
-    the near-dup arm: fingerprint keepers minus the recursive-closure
-    near_drop set, from the same planted multi-turn base as
-    dedup_apply_conversations (token floor 256 so the gate splits the
-    synthetic conversations)."""
+    the near-dup arm: fingerprint keepers minus the shared closure's
+    near_drop set (token floor 256 so the gate splits the synthetic
+    conversations)."""
     return f"""
-        WITH RECURSIVE base AS (
-            SELECT conv_id, turn_idx, cleaned_text,
-                   max(turn_idx) OVER (PARTITION BY conv_id) AS mx
-            FROM read_parquet('{_sft_synth_path()}/*.parquet')),
-        pt AS (
-            SELECT conv_id, turn_idx, cleaned_text FROM base
-            UNION ALL
-            SELECT conv_id || '~dup', turn_idx, cleaned_text FROM base
-            WHERE substr(md5(conv_id), 1, 1) = '0'
-            UNION ALL
-            SELECT conv_id || '~near', turn_idx, cleaned_text FROM base
-            WHERE substr(md5(conv_id), 1, 1) = '0' AND turn_idx < mx),
-        conv_src AS (
-            SELECT conv_id AS doc_id, coalesce(cleaned_text, '') AS text
-            FROM pt),
-        {_lsh_verified_ctes(0.5, "conv_src")},
-        edges AS (
-            SELECT doc_a AS a, doc_b AS b FROM vpairs
-            UNION SELECT doc_b, doc_a FROM vpairs),
-        enodes AS (SELECT DISTINCT a AS node FROM edges),
-        reach(node, r) AS (
-            SELECT node, node FROM enodes
-            UNION
-            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
-        ),
-        near_drop AS (
-            SELECT node AS conv_id FROM reach GROUP BY node
-            HAVING node != min(r)),
+        WITH RECURSIVE {_conv_apply_drop_ctes()},
         per AS (
             SELECT conv_id, turn_idx,
                    md5(turn_idx::VARCHAR || ':'

@@ -2289,7 +2289,9 @@ def simsearch_int8(
     Query side broadcasts; the corpus side never shuffles until the
     per-query top-k window."""
     base = _vecs(spark, sf_dir).filter(
-        F.element_at("v", 1).isNotNull()  # zero-norm -> all-null vec
+        # zero-norm -> all-null vec; try_element_at: ANSI mode throws
+        # on an empty embedding array where element_at would crash
+        F.try_element_at("v", F.lit(1)).isNotNull()
     )
     base = base.withColumn(
         "scale", F.array_max(F.transform("v", lambda x: F.abs(x)))
@@ -2362,7 +2364,13 @@ def embedding_clusters(
     (train_ivf_codebook → load_ivf_codebook), assignment is the same
     map-only array_min pass the IVF search uses (no shuffle), and the
     only exchanges are the cluster-sized aggregate + share window."""
-    embs = _vecs(spark, sf_dir)
+    # zero-norm sentinels normalize to all-null v (see _cosine's
+    # contract); without this filter NULL distances sort first and the
+    # row lands in cluster 0, diverging from the DuckDB twin — and
+    # try_element_at, not element_at: ANSI mode throws on empty arrays
+    embs = _vecs(spark, sf_dir).filter(
+        F.try_element_at("v", F.lit(1)).isNotNull()
+    )
     nearest = F.array_min(_centroid_dists(codebook))
     assigned = embs.select(
         "vec_id",

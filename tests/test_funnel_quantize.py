@@ -219,3 +219,26 @@ def test_embedding_clusters_composition(spark):
     assert total == n_valid
     assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
     assert all(r["avg_sq_dist"] >= 0 for r in rows)
+
+
+def test_embedding_clusters_drops_zero_norm(spark, tmp_path):
+    """Regression (review finding): a zero-norm sentinel vector must be
+    excluded from the composition report — NULL distances would
+    otherwise sort first and land it in cluster 0, diverging from the
+    DuckDB twin."""
+    import pandas as pd
+
+    from engine.spark.analytics import embedding_clusters
+
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [[1.0, 0.1], [0.1, 1.0], [0.0, 0.0]],
+            "label": [0, 1, 0],
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"))
+    out = embedding_clusters(
+        spark, str(tmp_path), codebook=[[1.0, 0.0], [0.0, 1.0]]
+    ).collect()
+    assert sum(r["n_vectors"] for r in out) == 2
+    assert sum(r["share"] for r in out) == pytest.approx(1.0, abs=1e-5)
