@@ -718,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ats_keyword_match": R.ats_keyword_match,
         "candidate_pairwise": R.candidate_pairwise,
         "revenue_by_nation": R.revenue_by_nation,
+        # Q7 shape: two-role nation dim join, cross-border volume
+        "nation_trade_volume": R.nation_trade_volume,
         "text_preview": R.text_preview,
         "date_normalize": R.date_normalize,
         "validation_score": R.validation_score,
@@ -2235,6 +2237,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand, type_class
+        """,
+        "nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year,
+                   CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l.l_discount
+                                              AS DECIMAL(18,2)))), 2)
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
         """,
         "revenue_by_nation": """
             SELECT n.n_name,

@@ -646,3 +646,40 @@ def retention_cohorts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             6,
         ).alias("retention"),
     )
+
+
+def nation_trade_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q7 shape: cross-border shipping volume between supplier
+    and customer nations by ship year — the two-role dimension join
+    (nation joined once per side). Dims broadcast; revenue is the
+    exact integer-cents sum; the only corpus-sized exchange is the
+    final (supp_nation, cust_nation, year) aggregate with map-side
+    partials."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        _cents_revenue().alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
