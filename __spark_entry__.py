@@ -720,6 +720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": R.revenue_by_nation,
         # Q7 shape: two-role nation dim join, cross-border volume
         "nation_trade_volume": R.nation_trade_volume,
+        # daily DAU / trailing-7d WAU / stickiness (exact trailing
+        # distinct via contribution-explode, no window-distinct)
+        "user_engagement": R.user_engagement,
         "text_preview": R.text_preview,
         "date_normalize": R.date_normalize,
         "validation_score": R.validation_score,
@@ -2237,6 +2240,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand, type_class
+        """,
+        "user_engagement": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                           AS day
+                FROM events),
+            dau AS (
+                SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM ud GROUP BY day),
+            contrib AS (
+                SELECT DISTINCT user_id, wday
+                FROM ud, unnest(generate_series(day, day + 6)) AS t(wday)),
+            wau AS (
+                SELECT wday AS day, CAST(count(*) AS BIGINT) AS wau
+                FROM contrib GROUP BY wday)
+            SELECT dau.day, dau.dau, wau.wau,
+                   round(CAST(dau.dau AS DOUBLE) / wau.wau, 6)
+                       AS stickiness
+            FROM dau JOIN wau USING (day)
         """,
         "nation_trade_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

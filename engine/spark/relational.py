@@ -683,3 +683,49 @@ def nation_trade_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         _cents_revenue().alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def user_engagement(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Daily engagement: DAU, trailing-7-day WAU, and stickiness
+    (DAU/WAU) per day — the product-analytics staple.
+
+    The trailing-window distinct is computed WITHOUT a distinct-over-
+    range-window (unsupported) or a 7-way self-join: each distinct
+    (user, day) row contributes itself to the 7 window days it falls
+    in (explode of a 7-element sequence), and after the (user,
+    window-day) dedup the WAU is a plain count — shuffle volume is
+    user-days × 7, linear in activity, partition-friendly at any
+    scale. Day buckets are integer microsecond arithmetic, identical
+    in both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(DAY_US)
+        ).alias("day"),
+    )
+    ud = ev.distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(6))
+            ).alias("wday"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy(F.col("wday").alias("day")).agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

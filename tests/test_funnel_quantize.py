@@ -242,3 +242,41 @@ def test_embedding_clusters_drops_zero_norm(spark, tmp_path):
     ).collect()
     assert sum(r["n_vectors"] for r in out) == 2
     assert sum(r["share"] for r in out) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_user_engagement_trailing_window(spark, tmp_path):
+    """Hand-built activity: a user active on day d contributes to WAU
+    for days d..d+6; stickiness is DAU over the trailing-7-day
+    distinct actives."""
+    import datetime as dt
+
+    UTC = dt.timezone.utc
+
+    def ts(day):
+        return dt.datetime(2024, 1, 1 + day, 12, 0, tzinfo=UTC)
+
+    rows = [
+        (1, 100, ts(0), "view"),
+        (2, 101, ts(0), "view"),
+        (1, 102, ts(3), "view"),  # user 1 returns on day 3
+        (3, 103, ts(3), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    from engine.spark.relational import user_engagement
+
+    got = {r["day"]: r for r in user_engagement(spark, str(tmp_path)).collect()}
+    days = sorted(got)
+    d0, d3 = days[0], days[0] + 3
+    assert got[d0]["dau"] == 2 and got[d0]["wau"] == 2
+    assert got[d0]["stickiness"] == pytest.approx(1.0)
+    # day 3: users 1,3 active; trailing window covers day 0 too -> WAU
+    # = {1,2,3}; user 1 counted once despite two active days
+    assert got[d3]["dau"] == 2 and got[d3]["wau"] == 3
+    assert got[d3]["stickiness"] == pytest.approx(2 / 3, abs=1e-6)
+    # only days with activity are reported
+    assert set(days) == {d0, d3}
