@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the TRANSCRIPT curation job: raw
+multi-turn transcripts in, loader-ready packed conversation table out.
+
+Usage (local sandbox):
+    scripts/package.sh   # builds dist/engine.zip
+    spark-submit --py-files dist/engine.zip jobs/curate_job.py \
+        --input /path/with/transcripts.parquet --output /path/out \
+        [--mode prepare|curate] [--min-conv-tokens 64] \
+        [--seq-len 4096] [--shards 16] [--min-jaccard 0.5] \
+        [--synthesize N]   # N conversations instead of --input
+
+Pipeline: extraction (the fused mapInPandas stage — HTML/PDF
+main-content extraction, clean, chunk, detect, validate) → then
+- prepare: exact conversation dedup → quality gate → packing;
+- curate: (exact ∪ LSH-verified near-dup) dedup → gate → packing.
+
+Output overwrite is idempotent: every stage is deterministic, so a
+failed/killed run is re-submitted as-is. A metrics JSON line (turns
+and conversations in, conversations packed, drop rate) is written
+beside the table through Spark (object-store/HDFS-safe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="transcript curation")
+    ap.add_argument("--input", help="dir containing transcripts.parquet "
+                    "(conv_id, turn_idx, role, text, tool, ts)")
+    ap.add_argument("--synthesize", type=int, default=0,
+                    help="generate N deterministic conversations instead "
+                    "of reading --input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", choices=("prepare", "curate"),
+                    default="curate")
+    ap.add_argument("--min-conv-tokens", type=int, default=64)
+    ap.add_argument("--seq-len", type=int, default=4096)
+    ap.add_argument("--shards", type=int, default=16)
+    ap.add_argument("--min-jaccard", type=float, default=0.5)
+    ap.add_argument("--partitions", type=int, default=32)
+    args = ap.parse_args(argv)
+    if not args.input and not args.synthesize:
+        ap.error("one of --input or --synthesize is required")
+
+    from pyspark.sql import SparkSession
+
+    from engine.spark.pipeline import (
+        run_extraction,
+        transcript_curate,
+        transcript_prepare,
+    )
+    from engine.spark.transcripts import synthesize_transcripts
+
+    spark = SparkSession.builder.appName(
+        f"transcript-{args.mode}"
+    ).getOrCreate()
+
+    if args.synthesize:
+        t = synthesize_transcripts(spark, args.synthesize, 4)
+    else:
+        t = spark.read.parquet(f"{args.input}/transcripts.parquet")
+    n_turns = t.count()
+
+    per_turn = run_extraction(t, num_partitions=args.partitions).select(
+        "conv_id", "turn_idx", "cleaned_text"
+    )
+    n_convs = per_turn.select("conv_id").distinct().count()
+
+    if args.mode == "curate":
+        out = transcript_curate(
+            per_turn,
+            min_conv_tokens=args.min_conv_tokens,
+            seq_len=args.seq_len,
+            n_shards=args.shards,
+            min_jaccard=args.min_jaccard,
+        )
+    else:
+        out = transcript_prepare(
+            per_turn,
+            min_conv_tokens=args.min_conv_tokens,
+            seq_len=args.seq_len,
+            n_shards=args.shards,
+        )
+
+    dest = f"{args.output}/packed_{args.mode}"
+    out.write.mode("overwrite").parquet(dest)
+    n_out = spark.read.parquet(dest).count()
+    metrics = {
+        "mode": args.mode,
+        "turns_in": n_turns,
+        "convs_in": n_convs,
+        "convs_packed": n_out,
+        "drop_rate": round(1 - n_out / n_convs, 6) if n_convs else None,
+        "output": dest,
+    }
+    spark.createDataFrame([(json.dumps(metrics),)], "v string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{args.output}/metrics_{args.mode}")
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
