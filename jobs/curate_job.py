@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     from engine.spark.transcripts import synthesize_transcripts
 
+    # only stop a session this job created — an in-process caller
+    # (tests, notebooks) keeps its own session alive
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName(
         f"transcript-{args.mode}"
     ).getOrCreate()
@@ -102,7 +105,8 @@ def main(argv: list[str] | None = None) -> int:
         1
     ).write.mode("overwrite").text(f"{args.output}/metrics_{args.mode}")
     print(json.dumps(metrics))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

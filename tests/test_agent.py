@@ -347,3 +347,38 @@ def test_mix_transcripts_flattens_languages(spark):
         spark, "/root/testdata/sf0.01"
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_curate_job_main(spark, tmp_path):
+    """jobs/curate_job.py end-to-end in-process: synthesize → extract →
+    curate → packed table + metrics line; deterministic across runs."""
+    import json
+    import sys
+
+    sys.path.insert(0, "jobs")
+    try:
+        import curate_job
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "run")
+    rc = curate_job.main(
+        ["--synthesize", "60", "--output", out, "--mode", "curate"]
+    )
+    assert rc == 0
+    packed = spark.read.parquet(f"{out}/packed_curate")
+    rows = sorted(map(tuple, packed.collect()))
+    assert rows
+    metrics = json.loads(
+        spark.read.text(f"{out}/metrics_curate").collect()[0][0]
+    )
+    assert metrics["convs_in"] == 60
+    assert metrics["convs_packed"] == len(rows)
+    # idempotent re-run: identical table
+    assert curate_job.main(
+        ["--synthesize", "60", "--output", out, "--mode", "curate"]
+    ) == 0
+    again = sorted(
+        map(tuple, spark.read.parquet(f"{out}/packed_curate").collect())
+    )
+    assert again == rows
