@@ -650,6 +650,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _mt(src, alpha=0.7)
 
+    def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # snapshot diff: snapshot A = documents as-is; snapshot B
+        # derived deterministically in both engines — md5(text) prefix
+        # '0' docs removed, prefix '1' docs text-mutated (suffix
+        # appended), one synthetic doc added.
+        from engine.spark.analytics import corpus_diff as _cd
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        pfx = F.substring(F.md5("text"), 1, 1)
+        newsnap = (
+            docs.filter(pfx != "0")
+            .select(
+                "doc_id",
+                F.when(
+                    pfx == "1", F.concat("text", F.lit(" [rev2]"))
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(10_000_000, "brand new document")],
+                    "doc_id long, text string",
+                )
+            )
+        )
+        return _cd(docs, newsnap)
+
     def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-source mixing scorecard. sf0.01 has zero natural exact
         # dups, so both engines plant copies identically (docs whose
@@ -723,6 +753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # daily DAU / trailing-7d WAU / stickiness (exact trailing
         # distinct via contribution-explode, no window-distinct)
         "user_engagement": R.user_engagement,
+        # dataset-versioning snapshot diff (added/removed/changed by
+        # content hash; unchanged majority never leaves the join)
+        "corpus_diff": corpus_diff,
         "text_preview": R.text_preview,
         "date_normalize": R.date_normalize,
         "validation_score": R.validation_score,
@@ -2240,6 +2273,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand, type_class
+        """,
+        "corpus_diff": """
+            WITH docs AS (
+                SELECT doc_id, text FROM documents),
+            newsnap AS (
+                SELECT doc_id,
+                       CASE WHEN substr(md5(text), 1, 1) = '1'
+                            THEN text || ' [rev2]' ELSE text END AS text
+                FROM docs WHERE substr(md5(text), 1, 1) != '0'
+                UNION ALL
+                SELECT 10000000, 'brand new document'),
+            a AS (SELECT doc_id, md5(text) AS h_old FROM docs),
+            b AS (SELECT doc_id, md5(text) AS h_new FROM newsnap),
+            j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                         h_old, h_new
+                  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+            SELECT doc_id,
+                   CASE WHEN h_old IS NULL THEN 'added'
+                        WHEN h_new IS NULL THEN 'removed'
+                        WHEN h_old != h_new THEN 'changed' END AS status,
+                   h_old, h_new
+            FROM j
+            WHERE (CASE WHEN h_old IS NULL THEN 'added'
+                        WHEN h_new IS NULL THEN 'removed'
+                        WHEN h_old != h_new THEN 'changed' END)
+                  IS NOT NULL
         """,
         "user_engagement": """
             WITH ud AS (

@@ -2390,3 +2390,29 @@ def embedding_clusters(
             F.col("n_vectors") / F.sum("n_vectors").over(total), 6
         ).alias("share"),
     )
+
+
+def corpus_diff(
+    old: "DataFrame", new: "DataFrame"
+) -> "DataFrame":
+    """Dataset-versioning diff between two corpus snapshots — the
+    table a data registry shows per release: one row per doc_id that
+    differs, with status 'added' (only in new), 'removed' (only in
+    old), or 'changed' (both, different content hash). Unchanged
+    documents are NOT emitted (at 100 TB the diff is small; the
+    identical majority never leaves the join).
+
+    One full-outer join on doc_id co-partitioned both sides; text
+    never moves — each side reduces to (doc_id, md5) at the scan."""
+    a = old.select("doc_id", F.md5("text").alias("h_old"))
+    b = new.select("doc_id", F.md5("text").alias("h_new"))
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+    )
+    return (
+        j.select("doc_id", status.alias("status"), "h_old", "h_new")
+        .filter(F.col("status").isNotNull())
+    )

@@ -280,3 +280,20 @@ def test_user_engagement_trailing_window(spark, tmp_path):
     assert got[d3]["stickiness"] == pytest.approx(2 / 3, abs=1e-6)
     # only days with activity are reported
     assert set(days) == {d0, d3}
+
+
+def test_corpus_diff_statuses(spark):
+    """Hand-built snapshots: added / removed / changed classified
+    exactly; unchanged docs never emitted."""
+    from engine.spark.analytics import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
