@@ -756,6 +756,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dataset-versioning snapshot diff (added/removed/changed by
         # content hash; unchanged majority never leaves the join)
         "corpus_diff": corpus_diff,
+        # trailing-7-day RANGE-frame moving average over daily values
+        "event_value_trend": R.event_value_trend,
+        # percent_rank decile table per segment (partitioned window,
+        # no global sort)
+        "order_percentiles_by_segment": R.order_percentiles_by_segment,
         "text_preview": R.text_preview,
         "date_normalize": R.date_normalize,
         "validation_score": R.validation_score,
@@ -2273,6 +2278,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand, type_class
+        """,
+        "order_percentiles_by_segment": """
+            WITH j AS (
+                SELECT c.c_mktsegment, o.o_totalprice,
+                       least(CAST(floor(percent_rank() OVER (
+                                 PARTITION BY c.c_mktsegment
+                                 ORDER BY o.o_totalprice) * 10)
+                             AS INTEGER), 9) AS decile
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT c_mktsegment, decile,
+                   count(*) AS n_orders,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM j GROUP BY 1, 2
+        """,
+        "event_value_trend": """
+            WITH ev AS (
+                SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                           AS day,
+                       CAST(round(value * 100) AS BIGINT) AS vc
+                FROM events),
+            daily AS (
+                SELECT day, CAST(sum(vc) AS BIGINT) AS vc_sum,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM ev GROUP BY day)
+            SELECT day,
+                   CAST(vc_sum AS DOUBLE) / 100 AS day_value,
+                   n_events,
+                   round((CAST(sum(vc_sum) OVER w AS DOUBLE) / 100)
+                         / count(*) OVER w, 6) AS ma7_value
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "corpus_diff": """
             WITH docs AS (

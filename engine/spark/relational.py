@@ -729,3 +729,58 @@ def user_engagement(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+def event_value_trend(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Daily event value with a trailing-7-day moving average — the
+    RANGE-frame window (rangeBetween on the day value, so calendar
+    gaps shrink the window rather than sliding over them, unlike a
+    ROWS frame). The frame runs over the per-day aggregate (~n_days
+    rows), never raw events; the per-day aggregate itself is the only
+    event-sized exchange. Sums are exact integer cents."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(DAY_US)
+        ).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.sum("vc").alias("vc_sum"), F.count("*").cast("long").alias("n_events")
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        (F.col("vc_sum").cast("double") / 100).alias("day_value"),
+        "n_events",
+        F.round(
+            (F.sum("vc_sum").over(w).cast("double") / 100)
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("ma7_value"),
+    )
+
+
+def order_percentiles_by_segment(
+    spark: "SparkSession", sf_dir: str
+) -> "DataFrame":
+    """Decile table of order values WITHIN each market segment —
+    percent_rank (ties share a rank, so the bucketing is deterministic
+    without a tie-break column) bucketed to 10 deciles, then per
+    (segment, decile) counts and exact price bounds. The window
+    partitions on the segment key, so each partition sorts locally —
+    no global sort at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice")
+    pr = F.percent_rank().over(w)
+    decile = F.least(F.floor(pr * 10).cast("int"), F.lit(9))
+    return (
+        j.select("c_mktsegment", "o_totalprice", decile.alias("decile"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )

@@ -297,3 +297,54 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_event_value_trend_range_frame(spark, tmp_path):
+    """RANGE frame vs calendar gaps: a day more than 6 days after the
+    previous activity must NOT include it in the moving average."""
+    import datetime as dt
+
+    UTC = dt.timezone.utc
+
+    def ts(day):
+        return dt.datetime(2024, 1, 1 + day, 12, 0, tzinfo=UTC)
+
+    rows = [
+        (1, 100, ts(0), "view", 10.0),
+        (1, 101, ts(1), "view", 20.0),
+        (1, 102, ts(10), "view", 40.0),  # gap > 6 days
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    from engine.spark.relational import event_value_trend
+
+    got = {r["day"]: r for r in event_value_trend(spark, str(tmp_path)).collect()}
+    days = sorted(got)
+    d0, d1, d10 = days
+    assert got[d0]["ma7_value"] == pytest.approx(10.0)
+    assert got[d1]["ma7_value"] == pytest.approx(15.0)  # (10+20)/2
+    # a ROWS frame would average (10,20,40); RANGE excludes the gap
+    assert got[d10]["ma7_value"] == pytest.approx(40.0)
+
+
+def test_order_percentiles_by_segment_shape(spark):
+    """Every segment emits deciles 0..9 with non-overlapping price
+    bounds and counts summing to the segment's orders."""
+    from engine.spark.relational import order_percentiles_by_segment
+
+    rows = order_percentiles_by_segment(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    for seg, ds in by_seg.items():
+        ds = sorted(ds, key=lambda r: r["decile"])
+        assert [d["decile"] for d in ds] == list(range(10)), seg
+        for a, b in zip(ds, ds[1:]):
+            assert a["max_price"] <= b["min_price"] + 1e-9, (seg, a, b)
