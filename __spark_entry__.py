@@ -761,6 +761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # percent_rank decile table per segment (partitioned window,
         # no global sort)
         "order_percentiles_by_segment": R.order_percentiles_by_segment,
+        # per-nation balance outliers (exact integer-cent moments ->
+        # deterministic z-scores; no float-accumulation stddev)
+        "supplier_balance_outliers": R.supplier_balance_outliers,
         "text_preview": R.text_preview,
         "date_normalize": R.date_normalize,
         "validation_score": R.validation_score,
@@ -2278,6 +2281,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand, type_class
+        """,
+        "supplier_balance_outliers": """
+            WITH s AS (
+                SELECT s_suppkey, s_nationkey,
+                       CAST(round(s_acctbal * 100) AS BIGINT) AS bc
+                FROM supplier),
+            m AS (
+                SELECT s_nationkey,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(bc) AS BIGINT) AS s1,
+                       CAST(sum(bc * bc) AS BIGINT) AS s2
+                FROM s GROUP BY s_nationkey HAVING count(*) >= 2),
+            z AS (
+                SELECT s.s_suppkey, s.s_nationkey, s.bc,
+                       (CAST(s.bc AS DOUBLE)
+                        - CAST(m.s1 AS DOUBLE) / m.n)
+                       / sqrt((CAST(m.s2 AS DOUBLE)
+                               - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                              / (m.n - 1)) AS zval
+                FROM s JOIN m USING (s_nationkey))
+            SELECT z.s_suppkey, n.n_name,
+                   CAST(z.bc AS DOUBLE) / 100 AS acctbal,
+                   round(z.zval, 4) AS z
+            FROM z JOIN nation n ON z.s_nationkey = n.n_nationkey
+            WHERE abs(z.zval) > 2.0
         """,
         "order_percentiles_by_segment": """
             WITH j AS (

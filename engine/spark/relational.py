@@ -784,3 +784,43 @@ def order_percentiles_by_segment(
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+def supplier_balance_outliers(
+    spark: "SparkSession", sf_dir: str, z_threshold: float = 2.0
+) -> "DataFrame":
+    """Statistical outlier detection with DETERMINISTIC moments:
+    suppliers whose account balance sits more than ``z_threshold``
+    sample standard deviations from their nation's mean. The moments
+    come from exact integer-cent sums (sum and sum-of-squares are
+    longs — cents² × suppliers stays far under 2^63 at any realistic
+    dim size), so mean/std/z are single divisions of exact integers:
+    bit-identical in both engines, unlike a native stddev whose float
+    accumulation order differs per partitioning. One supplier-keyed
+    aggregate + a broadcast of the per-nation moment table."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("bc"),
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = sup.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("bc").alias("s1"),
+        F.sum(F.col("bc") * F.col("bc")).alias("s2"),
+    ).filter(F.col("n") >= 2)
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("bc").cast("double") - mean) / F.sqrt(var)
+    return (
+        sup.join(F.broadcast(m), "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.abs(z) > F.lit(z_threshold))
+        .select(
+            "s_suppkey",
+            "n_name",
+            (F.col("bc").cast("double") / 100).alias("acctbal"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -348,3 +348,29 @@ def test_order_percentiles_by_segment_shape(spark):
         assert [d["decile"] for d in ds] == list(range(10)), seg
         for a, b in zip(ds, ds[1:]):
             assert a["max_price"] <= b["min_price"] + 1e-9, (seg, a, b)
+
+
+def test_supplier_balance_outliers_planted(spark, tmp_path):
+    """A planted extreme balance is flagged with the textbook z-score;
+    a tight cluster yields no outliers."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "s_suppkey": list(range(1, 12)),
+            "s_name": [f"s{i}" for i in range(1, 12)],
+            # nation 1: ten near-identical balances + one extreme
+            "s_nationkey": [1] * 11,
+            "s_acctbal": [100.0, 101.0, 99.0, 100.5, 99.5,
+                          100.0, 101.0, 99.0, 100.5, 99.5, 500.0],
+        }
+    ).to_parquet(str(tmp_path / "supplier.parquet"))
+    pd.DataFrame(
+        {"n_nationkey": [1], "n_name": ["X"], "n_regionkey": [0]}
+    ).to_parquet(str(tmp_path / "nation.parquet"))
+
+    from engine.spark.relational import supplier_balance_outliers
+
+    got = supplier_balance_outliers(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0]["s_suppkey"] == 11 and got[0]["z"] > 2
