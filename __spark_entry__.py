@@ -764,6 +764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-nation balance outliers (exact integer-cent moments ->
         # deterministic z-scores; no float-accumulation stddev)
         "supplier_balance_outliers": R.supplier_balance_outliers,
+        # volume-anomaly days per event type (exact integer moments ->
+        # deterministic z) — the pipeline-alert monitoring query
+        "event_volume_anomalies": R.event_volume_anomalies,
         "text_preview": R.text_preview,
         "date_normalize": R.date_normalize,
         "validation_score": R.validation_score,
@@ -2281,6 +2284,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand, type_class
+        """,
+        "event_volume_anomalies": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                           AS day,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+            m AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(c) AS BIGINT) AS s1,
+                       CAST(sum(c * c) AS BIGINT) AS s2
+                FROM daily GROUP BY event_type HAVING count(*) >= 2),
+            z AS (
+                SELECT d.event_type, d.day, d.c,
+                       CAST(m.s1 AS DOUBLE) / m.n AS mean_daily,
+                       (CAST(d.c AS DOUBLE)
+                        - CAST(m.s1 AS DOUBLE) / m.n)
+                       / sqrt((CAST(m.s2 AS DOUBLE)
+                               - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                              / (m.n - 1)) AS zval
+                FROM daily d JOIN m USING (event_type))
+            SELECT event_type, day, c AS n_events,
+                   round(mean_daily, 4) AS mean_daily,
+                   round(zval, 4) AS z
+            FROM z WHERE abs(zval) > 2.0
         """,
         "supplier_balance_outliers": """
             WITH s AS (

@@ -824,3 +824,48 @@ def supplier_balance_outliers(
             F.round(z, 4).alias("z"),
         )
     )
+
+
+def event_volume_anomalies(
+    spark: "SparkSession", sf_dir: str, z_threshold: float = 2.0
+) -> "DataFrame":
+    """Volume-anomaly days per event type — the monitoring query a
+    pipeline alert reads: days whose event count deviates more than
+    ``z_threshold`` sample standard deviations from that type's mean
+    daily volume. Counts are integers, so the per-type moments (sum,
+    sum of squares over daily counts) are exact longs and the z-scores
+    are deterministic single divisions — same discipline as
+    supplier_balance_outliers. Two bounded aggregates ((type, day),
+    then type) plus a broadcast moment join; nothing event-sized
+    shuffles twice."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(DAY_US)
+        ).alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    ).filter(F.col("n") >= 2)
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > F.lit(z_threshold))
+        .select(
+            "event_type",
+            "day",
+            F.col("c").alias("n_events"),
+            F.round(mean, 4).alias("mean_daily"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -374,3 +374,31 @@ def test_supplier_balance_outliers_planted(spark, tmp_path):
     got = supplier_balance_outliers(spark, str(tmp_path)).collect()
     assert len(got) == 1
     assert got[0]["s_suppkey"] == 11 and got[0]["z"] > 2
+
+
+def test_event_volume_anomalies_planted(spark, tmp_path):
+    """A planted volume spike on one day is flagged; steady traffic
+    yields nothing."""
+    import datetime as dt
+
+    UTC = dt.timezone.utc
+    rows = []
+    eid = 0
+    for d in range(10):
+        n = 50 if d == 7 else 5  # spike on day 7
+        for i in range(n):
+            rows.append(
+                (1, eid, dt.datetime(2024, 1, 1 + d, 8, 0, i % 60,
+                                     tzinfo=UTC), "view")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from engine.spark.relational import event_volume_anomalies
+
+    got = event_volume_anomalies(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 50 and got[0]["z"] > 2
