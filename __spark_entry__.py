@@ -224,9 +224,16 @@ def _bpe_tokenize_oracle(
     table (lambdas can't hold subqueries, but they CAN capture columns
     of a cross-joined row), then apply the identical replace chain
     inside list_transform over each document's words."""
+    # coalesce each pattern to an impossible-match literal ('~' never
+    # occurs in the padded chain): if the corpus yields fewer than
+    # n_merges merges, the empty b{i} subquery would otherwise return
+    # NULL and replace(s, NULL, NULL) nulls the whole token chain in
+    # DuckDB, while Spark's bpe_tokenize just applies the fewer trained
+    # merges. A '~' -> '' replace is a no-op, matching Spark exactly.
     pats = ", ".join(
-        f"(SELECT '|' || l || '||' || r || '|' FROM b{i}) AS f{i}, "
-        f"(SELECT '|' || merged || '|' FROM b{i}) AS t{i}"
+        f"coalesce((SELECT '|' || l || '||' || r || '|' FROM b{i}), '~')"
+        f" AS f{i}, "
+        f"coalesce((SELECT '|' || merged || '|' FROM b{i}), '') AS t{i}"
         for i in range(n_merges)
     )
     chain = "'|' || array_to_string(string_split(w, ''), '||') || '||</w>|'"
@@ -2298,15 +2305,21 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(c) AS BIGINT) AS s1,
                        CAST(sum(c * c) AS BIGINT) AS s2
                 FROM daily GROUP BY event_type HAVING count(*) >= 2),
+            mv AS (
+                SELECT event_type, n, s1,
+                       (CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var
+                FROM m),
             z AS (
+                -- var = 0 (constant daily volume) -> NULL z, row filtered:
+                -- mirrors the Spark side's F.when(var > 0, ...) guard
                 SELECT d.event_type, d.day, d.c,
                        CAST(m.s1 AS DOUBLE) / m.n AS mean_daily,
-                       (CAST(d.c AS DOUBLE)
-                        - CAST(m.s1 AS DOUBLE) / m.n)
-                       / sqrt((CAST(m.s2 AS DOUBLE)
-                               - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
-                              / (m.n - 1)) AS zval
-                FROM daily d JOIN m USING (event_type))
+                       CASE WHEN m.var > 0 THEN
+                           (CAST(d.c AS DOUBLE)
+                            - CAST(m.s1 AS DOUBLE) / m.n) / sqrt(m.var)
+                       END AS zval
+                FROM daily d JOIN mv m USING (event_type))
             SELECT event_type, day, c AS n_events,
                    round(mean_daily, 4) AS mean_daily,
                    round(zval, 4) AS z
@@ -2323,14 +2336,20 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(bc) AS BIGINT) AS s1,
                        CAST(sum(bc * bc) AS BIGINT) AS s2
                 FROM s GROUP BY s_nationkey HAVING count(*) >= 2),
+            mv AS (
+                SELECT s_nationkey, n, s1,
+                       (CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var
+                FROM m),
             z AS (
+                -- var = 0 (all balances identical) -> NULL z, row filtered:
+                -- mirrors the Spark side's F.when(var > 0, ...) guard
                 SELECT s.s_suppkey, s.s_nationkey, s.bc,
-                       (CAST(s.bc AS DOUBLE)
-                        - CAST(m.s1 AS DOUBLE) / m.n)
-                       / sqrt((CAST(m.s2 AS DOUBLE)
-                               - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
-                              / (m.n - 1)) AS zval
-                FROM s JOIN m USING (s_nationkey))
+                       CASE WHEN m.var > 0 THEN
+                           (CAST(s.bc AS DOUBLE)
+                            - CAST(m.s1 AS DOUBLE) / m.n) / sqrt(m.var)
+                       END AS zval
+                FROM s JOIN mv m USING (s_nationkey))
             SELECT z.s_suppkey, n.n_name,
                    CAST(z.bc AS DOUBLE) / 100 AS acctbal,
                    round(z.zval, 4) AS z
@@ -3404,17 +3423,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "conversation_wellformed": f"""
             WITH src AS (
-                SELECT conv_id, turn_idx, role, tool
+                SELECT conv_id, turn_idx, ts, role, tool
                 FROM read_parquet('{_agent_synth_path()}/*.parquet')),
             planted AS (
-                SELECT conv_id, turn_idx, role, tool FROM src
+                SELECT conv_id, turn_idx, ts, role, tool FROM src
                 UNION ALL
-                SELECT conv_id || '~bad', turn_idx, 'assistant', tool
+                SELECT conv_id || '~bad', turn_idx, ts, 'assistant', tool
                 FROM src WHERE substr(md5(conv_id), 1, 1) = '0'),
             flagged AS (
+                -- ORDER BY (turn_idx, ts) mirrors the Spark _w_conv window
+                -- exactly: duplicate turn_idx values with different roles
+                -- must lag in the same order on both engines
                 SELECT conv_id, turn_idx, role,
                        (lag(role) OVER (
-                            PARTITION BY conv_id ORDER BY turn_idx)
+                            PARTITION BY conv_id ORDER BY turn_idx, ts)
                         = role) AS same_role,
                        (role = 'tool' AND tool IS NULL) AS tool_missing
                 FROM planted)

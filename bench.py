@@ -262,6 +262,9 @@ BENCH_QUERY_NAMES = [
 ]
 
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
 # measured clean-host value of _spin_probe on this sandbox (5 back-to-
 # back runs 0.602-0.613 s, 2026-08-17); the wait gate trips at 1.5x it
 SPIN_CLEAN_S = 0.61
@@ -602,7 +605,52 @@ def main() -> None:
             )
             result["cpus"] = n_hi
 
-    print(json.dumps(result))
+    _emit(result)
+
+
+def _emit(result: dict) -> None:
+    """Emit the bench record without outgrowing the driver's capture.
+
+    The driver keeps only the LAST ~2000 chars of stdout; round 3's
+    full one-line JSON grew past that and the recorded bench became
+    unparseable (BENCH_r03.json "parsed": null). So: the FULL record
+    goes to BENCH/last_run.json, and stdout gets a compact line —
+    headline numbers + the complete per-query wall map (the driver
+    contract) with sub-second precision trimmed and the per-query spin
+    probes left to the file."""
+    full_path = os.path.join(_REPO_DIR, "BENCH", "last_run.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as e:
+        print(f"[bench] could not write {full_path}: {e}", file=sys.stderr)
+
+    compact = dict(result)
+    compact.pop("query_spin_s", None)
+    compact["queries"] = {
+        k: round(v, 2) for k, v in result.get("queries", {}).items()
+    }
+    if "scaling" in result:
+        s = result["scaling"]
+        compact["scaling"] = {
+            k: (
+                {"turns_per_sec": v["turns_per_sec"], "wall_s": v["wall_s"]}
+                if isinstance(v, dict) and "turns_per_sec" in v
+                else v
+            )
+            for k, v in s.items()
+            if k != "affinity"
+        }
+    compact["full_record"] = "BENCH/last_run.json"
+    line = json.dumps(compact)
+    # belt-and-braces: if the compact line still exceeds the driver's
+    # tail buffer, shed the least essential fields until it fits
+    for victim in ("skew", "scaling", "host_spin_s", "full_record"):
+        if len(line) <= 1900:
+            break
+        compact.pop(victim, None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

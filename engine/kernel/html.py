@@ -37,6 +37,9 @@ _BLOCK_SPLIT = re.compile(
 )
 _ANCHOR_TEXT = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 _ANY_TAG = re.compile(r"<[^>]+>")
+# A '<' never followed by '>' (truncated payload / tag cut mid-attribute):
+# routine in crawl corpora where responses are length-capped mid-byte.
+_UNTERMINATED_TAIL = re.compile(r"<[^>]*$")
 _CLASS_ID = re.compile(r"(?:class|id)\s*=\s*[\"']([^\"']*)[\"']", re.IGNORECASE)
 
 _BAD_HINTS = ("nav", "footer", "sidebar", "comment", "menu", "banner",
@@ -72,7 +75,9 @@ def _decode_entities(text: str) -> str:
 
 
 def _visible_text(fragment: str) -> str:
-    return _decode_entities(_ANY_TAG.sub(" ", fragment))
+    # complete tags first, then any unterminated trailing fragment —
+    # otherwise markup truncated mid-tag survives into "cleaned" text.
+    return _decode_entities(_UNTERMINATED_TAIL.sub(" ", _ANY_TAG.sub(" ", fragment)))
 
 
 def _stopword_ratio(text: str) -> float:
@@ -136,6 +141,8 @@ def _segment(html: str) -> list[_Block]:
             else:
                 link_chars = 0
             tag_count = sum(1 for _ in _ANY_TAG.finditer(fragment))
+            if _UNTERMINATED_TAIL.search(_ANY_TAG.sub(" ", fragment)):
+                tag_count += 1  # the stripped unterminated tail is markup too
             blocks.append(_Block(text, link_chars, tag_count, hint))
     return blocks
 

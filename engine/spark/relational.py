@@ -594,8 +594,13 @@ def event_funnel(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.col("s.step_idx").alias("step_idx"),
         F.col("s.step").alias("step"),
         F.col("s.users").cast("long").alias("users"),
-        F.round(F.col("s.users") / F.col("s.prev"), 6).alias("conv_from_prev"),
-        F.round(F.col("s.users") / F.col("s.first"), 6).alias(
+        # try_divide: an empty / non-converting funnel (prev or first = 0)
+        # yields NULL rates, matching the DuckDB twin, instead of an
+        # ANSI-mode DIVIDE_BY_ZERO crash.
+        F.round(F.try_divide(F.col("s.users"), F.col("s.prev")), 6).alias(
+            "conv_from_prev"
+        ),
+        F.round(F.try_divide(F.col("s.users"), F.col("s.first")), 6).alias(
             "conv_from_first"
         ),
     )
@@ -812,7 +817,10 @@ def supplier_balance_outliers(
     var = (
         F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
     ) / (F.col("n") - 1)
-    z = (F.col("bc").cast("double") - mean) / F.sqrt(var)
+    # var == 0 (all balances in a nation identical) must yield NULL z, not
+    # an ANSI DIVIDE_BY_ZERO crash; NULL fails the |z| filter, matching the
+    # DuckDB twin where NULL/0-stddev rows are silently filtered.
+    z = F.when(var > 0, (F.col("bc").cast("double") - mean) / F.sqrt(var))
     return (
         sup.join(F.broadcast(m), "s_nationkey")
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -857,7 +865,9 @@ def event_volume_anomalies(
         F.col("s2").cast("double")
         - F.col("s1").cast("double") * F.col("s1") / F.col("n")
     ) / (F.col("n") - 1)
-    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
+    # constant daily volume (var == 0) = "no anomalies", not a crash:
+    # NULL z fails the filter on both engines (see supplier_balance_outliers).
+    z = F.when(var > 0, (F.col("c").cast("double") - mean) / F.sqrt(var))
     return (
         daily.join(F.broadcast(m), "event_type")
         .filter(F.abs(z) > F.lit(z_threshold))

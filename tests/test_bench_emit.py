@@ -1,0 +1,75 @@
+"""The driver keeps only the last ~2000 chars of stdout; round 3's
+bench record became unparseable when the one-line JSON outgrew it
+(BENCH_r03.json "parsed": null). Pin the contract: the stdout line
+always fits the driver's tail buffer and still carries the full
+per-query wall map; the complete record lands in BENCH/last_run.json."""
+
+import contextlib
+import io
+import json
+import os
+
+import bench
+
+
+def _fake_result():
+    qs = {n: 1.234 for n in bench.BENCH_QUERY_NAMES}
+    qs["extract_pipeline"] = 5.251
+    qs["extract_pipeline_salted"] = 6.021
+    return {
+        "metric": "extraction throughput (turns/sec), local[24]",
+        "host_spin_s": [0.61, 0.62],
+        "value": 39211.8,
+        "unit": "turns/sec",
+        "queries": qs,
+        "sf": 0.1,
+        "turns": 206036,
+        "cpus": 24,
+        "query_spin_s": {n: 0.61 for n in qs},
+        "equality_pass_rate": 1.0,
+        "equality_sample": 2000,
+        "scaling": {
+            "local[6]": {"turns": 1, "wall_s": 30.0,
+                         "turns_per_sec": 8000.0, "host_spin_s": [0.6]},
+            "local[24]": {"turns": 1, "wall_s": 8.0,
+                          "turns_per_sec": 27000.0, "host_spin_s": [0.6]},
+            "efficiency_N_to_4N": 0.865,
+            "pair": "local[6] -> local[24]",
+            "affinity": "hard per-leg CPU cap",
+        },
+    }
+
+
+def test_emit_fits_driver_tail_and_keeps_query_map(tmp_path, monkeypatch):
+    result = _fake_result()
+    # redirect the full-record file into tmp so the test never clobbers
+    # a real bench artifact
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
+    (tmp_path / "BENCH").mkdir()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._emit(result)
+    line = buf.getvalue().strip().splitlines()[-1]
+    assert len(line) <= 1900, "stdout JSON must fit the driver's tail"
+    parsed = json.loads(line)
+    # the full query map survives compaction (the driver contract)
+    assert set(parsed["queries"]) == set(result["queries"])
+    assert parsed["value"] == result["value"]
+    assert parsed["equality_pass_rate"] == 1.0
+    full = json.load(open(os.path.join(tmp_path, "BENCH", "last_run.json")))
+    assert full["query_spin_s"]  # spins live in the file, not stdout
+    assert "query_spin_s" not in parsed
+
+
+def test_emit_sheds_fields_when_oversized(tmp_path, monkeypatch, capsys):
+    result = _fake_result()
+    # an adversarially bloated skew section must be shed, never split
+    result["skew"] = {f"mode_{i}": {"wall_s": 1.0} for i in range(200)}
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
+    (tmp_path / "BENCH").mkdir()
+    bench._emit(result)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert "skew" not in parsed
+    assert set(parsed["queries"]) == set(result["queries"])

@@ -64,6 +64,21 @@ def test_plain_text_passthrough():
     assert extract_main_text("no markup here") == "no markup here"
 
 
+def test_truncated_payloads_never_leak_markup():
+    # crawl payloads are routinely cut mid-tag; raw markup must not
+    # survive into "cleaned" main text (round-3 VERDICT confirmed bug).
+    assert extract_main_text("<div") == ""
+    assert extract_main_text("hello <span") == "hello"
+    out = extract_main_text(f"<p>{CONTENT}</p><div class='foo")
+    assert CONTENT in out and "<div" not in out and "foo" not in out
+    # tag cut mid-attribute after real content
+    out = extract_main_text(f"<p>{CONTENT}</p>text <a href=")
+    assert "<a" not in out and "href" not in out
+    # mid-entity truncation stays literal text (no crash, no markup)
+    out = extract_main_text(f"<p>{CONTENT} fish &am")
+    assert CONTENT in out and "<p" not in out
+
+
 # ---------- PDF layout ----------
 
 def test_pdfbox_roundtrip_single_and_two_column():

@@ -5,7 +5,7 @@ invariants that must hold for any input — the properties the Spark
 stage and every downstream consumer rely on (span offsets index into
 the cleaned text, determinism, idempotence, parser totality)."""
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from engine.kernel.chunker import chunk_text, estimate_tokens
@@ -89,6 +89,9 @@ htmlish = st.text(
 
 
 @settings(max_examples=150, deadline=None)
+@example("<div")
+@example("hello <span")
+@example("a <b>ok</b> <div class=")
 @given(htmlish)
 def test_html_extractor_total_and_deterministic(s):
     from engine.kernel.html import extract_main_text
@@ -128,6 +131,136 @@ def test_pdfish_total_on_wellformed_and_garbage(boxes, garbage):
     # arbitrary garbage (no header) must not raise either
     reconstruct_text(garbage)
     page_stats(garbage)
+
+
+# well-formed 6-field box lines (the real %PDFBOX1 format) interleaved
+# with malformed ones: short lines, non-numeric coords, stray pipes.
+_wellformed_box = st.tuples(
+    st.integers(min_value=0, max_value=2),            # <3 pages: no
+    st.floats(min_value=0, max_value=600,             # boilerplate strip,
+              allow_nan=False, allow_infinity=False), # content must survive
+    st.floats(min_value=0, max_value=780, allow_nan=False,
+              allow_infinity=False),
+    st.floats(min_value=0, max_value=612, allow_nan=False,
+              allow_infinity=False),
+    st.floats(min_value=0, max_value=792, allow_nan=False,
+              allow_infinity=False),
+    st.text(alphabet=st.characters(blacklist_characters="|\n",
+                                   blacklist_categories=("Cs",)),
+            min_size=1, max_size=30),
+)
+_malformed_line = st.one_of(
+    st.text(alphabet=st.sampled_from(list("0123456789|.ab ")), max_size=20),
+    st.just("1|2"),                       # too few fields
+    st.just("x|1|2|3|4|text"),            # non-numeric page
+    st.just("1|a|2|3|4|text"),            # non-numeric coord
+    st.just("|||||"),                     # empty fields
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_wellformed_box, max_size=15),
+       st.lists(_malformed_line, max_size=10))
+def test_pdfish_malformed_lines_skipped_content_preserved(boxes, junk):
+    """parse_boxes drops malformed lines without disturbing the
+    well-formed ones, and reconstruct_text preserves every box's text
+    (<3 pages, so the positional boilerplate strip never fires)."""
+    import random
+
+    from engine.kernel.pdfish import parse_boxes, reconstruct_text
+
+    good_lines = [
+        f"{p}|{x0}|{y0}|{x1}|{y1}|{t}" for p, x0, y0, x1, y1, t in boxes
+    ]
+    rng = random.Random(42)
+    mixed = list(good_lines)
+    for j in junk:
+        mixed.insert(rng.randrange(len(mixed) + 1), j)
+    payload = "%PDFBOX1\n" + "\n".join(mixed)
+
+    parsed = parse_boxes(payload)
+    # junk lines may themselves be parseable (e.g. "1|2|3|4|5|x" from the
+    # digit/pipe alphabet) but never fewer than the well-formed count
+    clean_parsed = parse_boxes("%PDFBOX1\n" + "\n".join(good_lines))
+    assert len(clean_parsed) == len(boxes)
+    assert len(parsed) >= len(boxes)
+    assert [b for b in parsed if b in clean_parsed] == clean_parsed
+
+    out = reconstruct_text("%PDFBOX1\n" + "\n".join(good_lines))
+    assert reconstruct_text("%PDFBOX1\n" + "\n".join(good_lines)) == out
+    for _, _, _, _, _, t in boxes:
+        if t.strip():
+            assert t.strip() in out
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_wellformed_box, max_size=15))
+def test_pdfish_page_stats_consistent(boxes):
+    from engine.kernel.pdfish import page_stats, serialize_boxes, Box
+
+    payload = serialize_boxes([Box(*b) for b in boxes])
+    n_pages, chars, with_text = page_stats(payload)
+    assert chars == sum(len(t) for *_, t in boxes)
+    assert with_text <= n_pages
+    if boxes:
+        assert n_pages >= len({p for p, *_ in boxes})
+
+
+@settings(max_examples=150, deadline=None)
+@example("a\rb\r\rc")                       # lone CRs
+@example("﻿start ﻿ mid")          # BOM at and mid-string
+@example("a" + "\n" * 10_000 + "b")         # pathological blank run
+@example("x y\tz")                     # nbsp + tab inline ws
+@given(text_strategy)
+def test_clean_text_structural_invariants(s):
+    """Whatever comes in, the cleaned text obeys the T1-T5 contract:
+    no CR/tab survives, every line is stripped, blank runs are capped
+    at 2, and the ends carry no whitespace."""
+    cleaned, metrics = clean_text(s)
+    assert "\r" not in cleaned and "\t" not in cleaned
+    assert "\n\n\n\n" not in cleaned  # ≤2 consecutive blank lines
+    assert cleaned == cleaned.strip()
+    for line in cleaned.split("\n"):
+        assert line == line.strip()
+    assert metrics["cleaned_length"] == len(cleaned)
+    assert 0 <= metrics["noise_ratio"] <= 1 or len(cleaned) <= len(s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    text_strategy,
+    st.integers(min_value=2, max_value=60),
+    st.integers(min_value=0, max_value=20),
+)
+def test_chunk_raw_text_span_invariants(s, max_tokens, overlap):
+    """Span invariants on RAW (uncleaned) adversarial unicode: offsets
+    in-bounds and ordered, content is the stripped slice, consecutive
+    windows leave no gap, and the tail beyond the last span is
+    whitespace-only."""
+    overlap = min(overlap, max_tokens // 2)  # contract: overlap < window
+    chunks = chunk_text(s, max_tokens=max_tokens, overlap_tokens=overlap)
+    if not s.strip():
+        assert chunks == []
+        return
+    assert chunks
+    n = len(s)
+    prev_start, prev_end = -1, 0
+    for c in chunks:
+        assert 0 <= c["start_char"] < c["end_char"] <= n
+        window = s[c["start_char"] : c["end_char"]]
+        # reference parity (processor.py:349-358 vs :382): the single-
+        # chunk fast path returns the text AS-IS; split chunks strip.
+        if len(chunks) == 1 and c["end_char"] - c["start_char"] == n:
+            assert c["content"] == window
+        else:
+            assert c["content"] == window.strip()
+            assert c["content"]
+        assert c["estimated_tokens"] == estimate_tokens(c["content"])
+        assert c["start_char"] >= prev_start            # monotone starts
+        assert c["start_char"] <= prev_end              # no coverage gap
+        prev_start, prev_end = c["start_char"], c["end_char"]
+    assert [c["index"] for c in chunks] == list(range(len(chunks)))
+    assert s[chunks[-1]["end_char"] :].strip() == ""    # tail covered
 
 
 @settings(max_examples=200, deadline=None)
