@@ -740,7 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _cw(src.unionByName(bad))
 
-    return {
+    full = {
         # relational / reference-semantics operators (SURVEY.md §2.4-2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_orders_per_segment": R.top_orders_per_segment,
@@ -951,6 +951,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source corpus scorecard (docs/tokens/dup-rate/share) —
         # the crawl-mixing decision table; planted dups at every SF
         "source_scorecard": source_scorecard,
+    }
+    # Driver-coverage insurance (round-3 verdict task #7): the driver
+    # samples the FIRST 50 entries, and round 3's sample covered exactly
+    # positions 0-49 — leaving 45 entries (ats/agent ops, bpe, the
+    # transcript compositions) with only the local oracle gate. Rotate
+    # the previously-unsampled names to the front so CORRECTNESS_r04
+    # records driver rows for them; the r3-green entries follow and
+    # remain covered by tests/test_entry_oracle.py either way.
+    sampled_r3 = {
+        "q1_pricing_summary", "top_orders_per_segment", "score_distribution",
+        "customers_without_orders", "suppliers_in_region",
+        "order_consistency", "event_set_ops", "sessionize_events",
+        "event_props_json", "part_type_shares", "ats_keyword_match",
+        "candidate_pairwise", "revenue_by_nation", "nation_trade_volume",
+        "user_engagement", "corpus_diff", "event_value_trend",
+        "order_percentiles_by_segment", "supplier_balance_outliers",
+        "event_volume_anomalies", "date_normalize", "validation_score",
+        "skill_match_tiers", "text_preview", "candidate_rank",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_apply",
+        "dedup_cluster_assign", "dedup_cluster_assign_star",
+        "dedup_incremental", "order_rollup",
+        "stratified_sample", "decontaminate", "repetition_metrics",
+        "pii_scrub", "vocab_top_k", "corpus_stats", "c4_clean",
+        "line_dedup", "internal_ngram_overlap", "lm_unigram_score",
+        "lm_bigram_score", "mix_corpus", "corpus_prepare",
+        "multimodal_features", "resize_images", "frame_sampling",
+    }
+    return {
+        **{k: v for k, v in full.items() if k not in sampled_r3},
+        **{k: v for k, v in full.items() if k in sampled_r3},
     }
 
 

@@ -436,6 +436,41 @@ def _skew_bench(spark) -> dict:
     out["salting_speedup"] = round(
         out["naive"]["wall_s"] / out["salted"]["wall_s"], 2
     )
+
+    # ordered-EXPORT evidence (round-3 verdict task #5): writing the
+    # corpus globally ordered must not pin the 64k-turn mega-thread's
+    # sort on one task. 'ordered_range' is ordered_export's
+    # repartitionByRange(conv_id, turn_idx) + sortWithinPartitions;
+    # 'ordered_naive' hash-partitions on conv_id alone so one task
+    # sorts (and writes) the whole mega-thread.
+    from engine.spark.pipeline import ordered_export
+
+    sink_base = os.path.join(tempfile.gettempdir(), "bench_ordered_sink")
+    for mode in ("ordered_range", "ordered_naive"):
+        sink = f"{sink_base}_{mode}"
+        if mode == "ordered_range":
+            write = lambda: ordered_export(t, sink, num_partitions=p)
+        else:
+            write = lambda: (
+                t.repartition(p, "conv_id")
+                .sortWithinPartitions("conv_id", "turn_idx", "ts")
+                .write.mode("overwrite")
+                .parquet(sink)
+            )
+        write()  # warm (plan + committer)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            write()
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        out[mode] = {
+            "wall_s": round(best, 2),
+            "turns_per_sec": round(n_total / best, 1),
+        }
+    out["ordered_export_speedup"] = round(
+        out["ordered_naive"]["wall_s"] / out["ordered_range"]["wall_s"], 2
+    )
     return out
 
 

@@ -73,3 +73,135 @@ def test_enrich_unparseable_reply(spark):
     out = llm_enrich(df, client_factory=garbage_factory).collect()
     assert out[0].llm_json is None
     assert out[0].llm_was_repaired is False
+
+
+# ---- real HTTP client factory: retry / backoff / fallback ordering ----
+# (canned transport, no network; semantics from reference client.py:560-632)
+
+def _ok_body(content: str) -> str:
+    return json.dumps({"choices": [{"message": {"content": content}}]})
+
+
+class _CannedTransport:
+    """Scripted per-URL response sequences + full call/sleep journal."""
+
+    def __init__(self, script):
+        # script: {url_substring: [(status, body), ...]} consumed in order
+        self.script = {k: list(v) for k, v in script.items()}
+        self.calls = []  # (url, model, prompt)
+
+    def __call__(self, url, payload, headers, timeout_s):
+        self.calls.append((url, payload["model"], payload["messages"][0]["content"]))
+        for key, seq in self.script.items():
+            if key in url:
+                return seq.pop(0) if seq else (500, "script exhausted")
+        raise AssertionError(f"unexpected url {url}")
+
+
+def _cfgs():
+    from engine.spark.llm_client import ProviderConfig
+
+    return (
+        ProviderConfig(base_url="http://primary.test/v1", model="m-primary",
+                       api_key="k1"),
+        ProviderConfig(base_url="http://fallback.test/v1", model="m-fallback"),
+    )
+
+
+def test_retry_429_backoff_then_success():
+    from engine.spark.llm_client import generate_with_retry
+
+    primary, _ = _cfgs()
+    tr = _CannedTransport({"primary.test": [(429, "slow down"),
+                                            (429, "slow down"),
+                                            (200, _ok_body("done"))]})
+    sleeps = []
+    out = generate_with_retry(primary, "p", max_retries=3,
+                              transport=tr, sleep=sleeps.append)
+    assert out == "done"
+    # reference backoff: min(2**attempt, 10) -> 1s after attempt 0, 2s after 1
+    assert sleeps == [1.0, 2.0]
+    assert len(tr.calls) == 3 and all(c[1] == "m-primary" for c in tr.calls)
+
+
+def test_backoff_caps_at_10s():
+    from engine.spark.llm_client import generate_with_retry, LLMHttpError
+
+    primary, _ = _cfgs()
+    tr = _CannedTransport({"primary.test": [(429, "x")] * 7})
+    sleeps = []
+    try:
+        generate_with_retry(primary, "p", max_retries=7,
+                            transport=tr, sleep=sleeps.append)
+        raise AssertionError("should have raised")
+    except LLMHttpError as e:
+        assert e.status == 429
+    # 1,2,4,8->capped 8? no: min(2**a,10) = 1,2,4,8,10,10 (no sleep after last)
+    assert sleeps == [1.0, 2.0, 4.0, 8.0, 10.0, 10.0]
+
+
+def test_non_retryable_goes_straight_to_fallback():
+    from engine.spark.llm_client import generate_with_retry
+
+    primary, fallback = _cfgs()
+    tr = _CannedTransport({
+        "primary.test": [(401, "bad key"), (200, _ok_body("never reached"))],
+        "fallback.test": [(200, _ok_body("via fallback"))],
+    })
+    sleeps = []
+    out = generate_with_retry(primary, "p", fallback=fallback,
+                              max_retries=3, transport=tr, sleep=sleeps.append)
+    assert out == "via fallback"
+    assert sleeps == []  # 401 never backs off
+    # ordering: exactly ONE primary attempt, then exactly ONE fallback try
+    assert [c[1] for c in tr.calls] == ["m-primary", "m-fallback"]
+
+
+def test_fallback_single_try_and_primary_error_raised():
+    from engine.spark.llm_client import generate_with_retry, LLMHttpError
+
+    primary, fallback = _cfgs()
+    tr = _CannedTransport({
+        "primary.test": [(500, "boom")] * 3,
+        "fallback.test": [(503, "also down"), (200, _ok_body("no second try"))],
+    })
+    try:
+        generate_with_retry(primary, "p", fallback=fallback,
+                            max_retries=3, transport=tr, sleep=lambda s: None)
+        raise AssertionError("should have raised")
+    except LLMHttpError as e:
+        assert e.status == 500  # the PRIMARY's last error, not the fallback's
+    # 3 primary attempts then a single fallback try (client.py:619-630)
+    assert [c[1] for c in tr.calls] == ["m-primary"] * 3 + ["m-fallback"]
+
+
+def test_http_factory_plugs_into_enrich_stage(spark):
+    from engine.spark.llm_client import http_client_factory
+    from engine.spark.pipeline import run_extraction
+    from engine.spark.transcripts import synthesize_transcripts
+
+    primary, fallback = _cfgs()
+
+    # a LOCAL function (not a test-module class): cloudpickle ships it
+    # by value, so the executors never need to import test_llm_stage —
+    # proves the factory pickles to workers and the stage consumes it
+    def canned_transport(url, payload, headers, timeout_s):
+        import json as _json
+
+        if "primary" in url:
+            body = _json.dumps(
+                {"choices": [{"message": {
+                    "content": _json.dumps({"total_amount": 12.5})}}]}
+            )
+            return 200, body
+        raise AssertionError("fallback must not be hit")
+
+    factory = http_client_factory(primary, fallback=fallback,
+                                  transport=canned_transport,
+                                  sleep=lambda s: None)
+    t = synthesize_transcripts(spark, 8, 2)
+    res = run_extraction(t, num_partitions=4)
+    rows = llm_enrich(res, client_factory=factory).select(
+        "llm_json", "llm_was_repaired").collect()
+    assert rows and all(r.llm_json == '{"total_amount": 12.5}' for r in rows)
+    assert not any(r.llm_was_repaired for r in rows)

@@ -324,3 +324,65 @@ def test_partitioned_sink_prunes_on_part_id(spark, transcripts, tmp_path_factory
     # and the filtered read returns exactly that partition's rows
     assert one.count() == res.filter("part_id = 3").count()
     assert one.select("part_id").distinct().collect()[0][0] == 3
+
+
+def test_blocked_stable_order_matches_window(spark):
+    """with_stable_order_blocked must equal with_stable_order exactly —
+    tiny block size forces the multi-block path, shuffled input and
+    duplicate ts included."""
+    from engine.spark.pipeline import with_stable_order_blocked
+
+    t = synthesize_transcripts(spark, 10, 6, parallelism=3, shuffle_rows=True)
+    want = {
+        (r.conv_id, r.turn_idx): r.turn_seq
+        for r in with_stable_order(t).collect()
+    }
+    got = {
+        (r.conv_id, r.turn_idx): r.turn_seq
+        for r in with_stable_order_blocked(t, block=4).collect()
+    }
+    assert got == want
+    # schema parity: same columns, same order
+    assert with_stable_order_blocked(t, block=4).columns == \
+        with_stable_order(t).columns
+
+
+def test_ordered_export_global_file_order(spark, tmp_path_factory):
+    """ordered_export: part files read in NAME order yield the full
+    (conv_id, turn_idx, ts) global order; no rows lost or duplicated;
+    a conversation larger than any single partition splits across
+    consecutive files (no pinned task)."""
+    import glob
+    import os
+
+    from engine.spark.pipeline import ordered_export
+
+    out = str(tmp_path_factory.mktemp("ordered_sink") / "t")
+    # 6 normal conversations + one 400-turn "mega" thread, 16 ranges →
+    # the mega-thread must span multiple partitions
+    normal = synthesize_transcripts(spark, 6, 2, parallelism=2)
+    mega = synthesize_transcripts(spark, 1, 100, parallelism=2).withColumn(
+        "conv_id", F.lit("conv-mega")
+    )
+    t = normal.unionByName(mega.select(*normal.columns))
+    n_in = t.count()
+    n_mega = mega.count()
+    ordered_export(t, out, num_partitions=16)
+
+    files = sorted(glob.glob(os.path.join(out, "part-*")))
+    assert len(files) > 1
+    keys = []
+    per_file_mega = []
+    for f in files:
+        rows = spark.read.parquet(f).collect()
+        keys += [(r.conv_id, r.turn_idx, r.ts) for r in rows]
+        per_file_mega.append(
+            sum(1 for r in rows if r.conv_id == "conv-mega")
+        )
+    assert len(keys) == n_in
+    assert keys == sorted(keys)          # global order across file names
+    mega_total = sum(per_file_mega)
+    assert mega_total == n_mega
+    # the mega thread split across >1 file and no file owns it all
+    assert sum(1 for c in per_file_mega if c > 0) > 1
+    assert max(per_file_mega) < mega_total
