@@ -50,16 +50,20 @@ def _materialize_inputs(spark, sf_dir: str, n_convs: int) -> str:
     # parallelism — the no-shuffle extraction path parallelizes at scan
     # granularity, so a table accidentally written as a handful of fat
     # files would cap every later read at that many tasks.
-    # layout v3 (192 files): 64 files at these sizes packed into only
-    # 32 scan tasks (16 MB bins merged ~8 MB files pairwise), and 32
-    # ~6 s tasks on 24 slots is 2 waves with the second wave only
-    # 8 wide — measured avg concurrency 15.6/24, which deflated the
-    # N→4N ratio to 0.59 while the 6-slot leg (5.3 smooth waves) was
-    # unaffected. A real 100 TB stage runs thousands of waves, so the
-    # bench emulates that steady state with ≥4 waves at the widest
-    # leg: 192 files + the 4 MB split bins set by the bench sessions
-    # → ~192 tasks (~1 core-s each).
-    n_files = 192
+    # layout v3 (192 files) fixed round 2's wave quantization (64 files
+    # packed into 32 fat tasks by 16 MB bins = 2 uneven waves at 24
+    # slots, N→4N ratio deflated to 0.59) but round 4's interleaved
+    # clean-window A/B showed 192 sub-MB files cost ~15% single-job
+    # throughput in per-file open/footer overhead (53.3k t/s at 64
+    # files vs 45.0k at 192, same window, spins 0.62/0.66).
+    # layout v4 (96 files + the 4 MB split bins the bench sessions
+    # set): within 2% of the 64-file headline (52.4k vs 53.3k same
+    # window) AND an even task-to-slot division at both scaling legs
+    # (96/24 = 4 full waves, 96/6 = 16) so neither leg loses
+    # concurrency to a ragged last wave. A real 100 TB stage runs
+    # thousands of waves; this emulates that steady state without
+    # paying the tiny-file tax.
+    n_files = 96
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(_gen.__file__))}|f{n_files}".encode()
     ).hexdigest()[:10]
@@ -509,10 +513,11 @@ def main() -> None:
     if scaling_only:
         n_turns, extract_wall, queries = 0, 1.0, {}
     else:
-        # 4 MB split bins: the stored transcript table is 192 ~2.6 MB
-        # files; default 16 MB bins pack them ~3-per-task, quantizing
-        # the stage into few fat waves (see _materialize_inputs). One
-        # file per task ≈ 1 core-s granularity → every slot stays fed.
+        # 4 MB split bins: the stored transcript table is 96 small
+        # files; default 16 MB bins would pack several per task,
+        # quantizing the stage into few fat waves (see
+        # _materialize_inputs). One file per task → even waves, every
+        # slot stays fed.
         spark = get_spark(
             "bench", cpus=cpus,
             extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
@@ -589,8 +594,8 @@ def main() -> None:
         for c in (n_lo, n_hi, n_lo, n_hi):
             s = get_spark(
                 f"bench-scale-{c}", cpus=c, shuffle_partitions=max(c, 8),
-                # fine scan granularity (~192 one-file tasks, ~1 core-s
-                # each → ≥8 waves at 24 slots): a leg must measure
+                # fine scan granularity (96 one-file tasks → exactly 4
+                # even waves at 24 slots, 16 at 6): a leg must measure
                 # steady-state parallel rate, not wave quantization.
                 # With the old 32-task layout the 24-slot leg ran 2
                 # waves (second wave 8 wide, avg concurrency 15.6/24)

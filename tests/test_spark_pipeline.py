@@ -288,12 +288,14 @@ def test_noshuffle_falls_back_on_coarse_layout(spark, tmp_path_factory):
 
 
 def test_bench_layout_feeds_wide_stages(spark):
-    """Layout-v3 guard: the bench's materialized input must scan as
-    >=4 task waves at the widest leg (24 slots) under the bench's 4 MB
-    split bins. Round 3 found the 64-file/16 MB-bin layout silently
-    packed into 32 tasks = 2 waves, idling 1/3 of the wide leg's slots
-    and deflating the measured N->4N efficiency to 0.59 in a clean
-    window (BENCH/BASELINE.md §2 wave-quantization finding)."""
+    """Layout guard: the bench's materialized input must scan as FULL
+    task waves at the widest leg (24 slots) under the bench's 4 MB
+    split bins — at least 4 waves and an even division. Round 3 found
+    the 64-file/16 MB-bin layout silently packed into 32 tasks = 2
+    waves, idling 1/3 of the wide leg's slots and deflating the
+    measured N->4N efficiency to 0.59 in a clean window; round 4's A/B
+    found 192 sub-MB files cost ~15% per-file overhead, hence layout
+    v4: 96 files = 4 even waves (BENCH/BASELINE.md §2)."""
     import bench
 
     path = bench._materialize_inputs(spark, "/root/testdata/sf0.001", 300)
@@ -304,6 +306,7 @@ def test_bench_layout_feeds_wide_stages(spark):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert parts >= 4 * 24
+    assert parts % 24 == 0  # even waves: no ragged last wave at 24 slots
 
 
 def test_partitioned_sink_prunes_on_part_id(spark, transcripts, tmp_path_factory):
