@@ -814,6 +814,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overlap rule); driver form: doc_id % 5 == 0 plays the
         # held-out benchmark set
         "decontaminate": A.decontaminate,
+        # the paraphrase-robust near-dup arm of the same split: MinHash
+        # bands bipartite-joined corpus-vs-eval (eval side broadcasts,
+        # the corpus never shuffles past its signature agg)
+        "decontaminate_fuzzy": A.decontaminate_fuzzy,
+        # corpus-global repeated-n-gram table (the boilerplate detector
+        # feeding strike-out rules); per-doc distinct map-side so the
+        # plain count IS document frequency
+        "boilerplate_ngrams": A.boilerplate_ngrams,
+        # deterministic seeded shard manifest (loader-ready global
+        # shuffle: shard = portable-hash mod k, pos = per-shard order);
+        # partition-invariant, reseed = new epoch order
+        "shuffle_shards": A.shuffle_shards,
         # Gopher-style repetition metrics + gate; map-only (sorted-
         # array fold for modes, no explode/groupBy shuffle)
         "repetition_metrics": A.repetition_metrics,
@@ -1772,6 +1784,80 @@ def _decontaminate_oracle(n: int = 13, eval_mod: int = 5) -> str:
     """
 
 
+def _decontaminate_fuzzy_oracle(threshold: float = 0.5, eval_mod: int = 5) -> str:
+    """DuckDB twin of analytics.decontaminate_fuzzy: MinHash bands over
+    the full table (signatures are per-doc, so banding before or after
+    the corpus/eval split is identical), eval-side bucket-size cap, a
+    bipartite bucket join, signature-agreement Jaccard, anti-join."""
+    from engine.spark.analytics import LSH_MAX_BUCKET_DOCS, MINHASH_K
+
+    return f"""
+        WITH {_sig_band_ctes()},
+        eb AS (
+            SELECT bucket, sig AS esig,
+                   count(*) OVER (PARTITION BY bucket) AS bsize
+            FROM bands WHERE doc_id % {eval_mod} = 0
+        ),
+        ebc AS (SELECT bucket, esig FROM eb WHERE bsize <= {LSH_MAX_BUCKET_DOCS}),
+        cb AS (SELECT doc_id, sig, bucket FROM bands
+               WHERE doc_id % {eval_mod} != 0),
+        hits AS (
+            SELECT DISTINCT c.doc_id
+            FROM cb c JOIN ebc e ON c.bucket = e.bucket
+            WHERE round(len(list_filter(range(1, {MINHASH_K + 1}),
+                                        i -> c.sig[i] = e.esig[i])) / {MINHASH_K},
+                        6) >= {threshold}
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id % {eval_mod} != 0
+          AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """
+
+
+def _boilerplate_ngrams_oracle(
+    n: int = 5, min_docs: int = 3, top_k: int = 100
+) -> str:
+    """DuckDB twin of analytics.boilerplate_ngrams: per-doc DISTINCT
+    word n-grams (same tokenization as the shingle chain), document
+    frequency, min_docs filter, deterministic (doc_freq DESC, gram)
+    top-k — the gram is unique per row so the LIMIT is stable."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id, {gram} AS gram
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - {n - 1})) AS i
+                  FROM words WHERE len(w) >= {n})
+        )
+        SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+        FROM g GROUP BY gram HAVING count(*) >= {min_docs}
+        ORDER BY doc_freq DESC, gram LIMIT {top_k}
+    """
+
+
+def _shuffle_shards_oracle(n_shards: int = 8, seed: str = "r4") -> str:
+    """DuckDB twin of analytics.shuffle_shards: the portable 60-bit
+    md5 hash (non-negative, so % agrees across engines), shard by
+    modulus, per-shard row_number under the identical (h, doc_id)
+    order."""
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM documents
+        )
+        SELECT doc_id, CAST(h % {n_shards} AS INT) AS shard_id,
+               CAST(row_number() OVER (
+                   PARTITION BY h % {n_shards} ORDER BY h, doc_id
+               ) AS BIGINT) AS pos
+        FROM h
+    """
+
+
 def _repetition_oracle() -> str:
     """DuckDB twin of analytics.repetition_metrics: the relational
     formulation (unnest + two-level GROUP BY for counts/modes) of what
@@ -2657,6 +2743,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prepare": _corpus_prepare_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),
         "decontaminate": _decontaminate_oracle(),
+        "decontaminate_fuzzy": _decontaminate_fuzzy_oracle(),
+        "boilerplate_ngrams": _boilerplate_ngrams_oracle(),
+        "shuffle_shards": _shuffle_shards_oracle(),
         "repetition_metrics": _repetition_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "vocab_top_k": r"""

@@ -2416,3 +2416,167 @@ def corpus_diff(
         j.select("doc_id", status.alias("status"), "h_old", "h_new")
         .filter(F.col("status").isNotNull())
     )
+
+
+# -------------------------------------------- fuzzy decontamination
+
+def decontaminate_fuzzy_batch(
+    corpus: "DataFrame",
+    eval_docs: "DataFrame",
+    jaccard_threshold: float = 0.5,
+    max_eval_bucket: int = LSH_MAX_BUCKET_DOCS,
+) -> "DataFrame":
+    """Paraphrase-robust eval-set DECONTAMINATION — drop every training
+    document whose MinHash-estimated Jaccard against ANY held-out eval
+    document clears ``jaccard_threshold``. The exact 13-gram rule
+    (decontaminate_batch) misses lightly edited benchmark text (token
+    swaps, truncation, whitespace churn); this is the near-dup arm the
+    large-scale pipelines run beside it (the same LSH machinery as
+    dedup_minhash_lsh, pointed across the corpus/eval split instead of
+    within the corpus).
+
+    Scale shape: the eval side is tiny next to a 100 TB corpus, so its
+    banded signatures BROADCAST and the bucket match is a map-side
+    broadcast join — the corpus pays exactly the MinHash signature
+    aggregation it already pays for dedup (one groupBy over hashed
+    shingles with map-side partial min-agg; shingles NOT deduplicated,
+    min is duplicate-insensitive) and is never shuffled afterwards.
+    Candidate pairs exist only within a shared band bucket, and each is
+    bounded by |eval ∩ bucket| ≤ ``max_eval_bucket`` (oversized eval
+    buckets are degenerate boilerplate; capping them bounds the
+    per-corpus-row fanout — connectivity does not matter here because
+    any single surviving hit already drops the doc)."""
+    eb = _minhash_bands(eval_docs).select(
+        F.col("bucket"), F.col("sig").alias("esig")
+    )
+    w = Window.partitionBy("bucket")
+    eb = (
+        eb.withColumn("bsize", F.count("*").over(w))
+        .filter(F.col("bsize") <= max_eval_bucket)
+        .drop("bsize")
+    )
+    cb = _minhash_bands(corpus)
+    hits = (
+        cb.join(F.broadcast(eb), "bucket")
+        .select(
+            "doc_id", _est_jaccard(F.col("sig"), F.col("esig")).alias("est")
+        )
+        .filter(F.col("est") >= jaccard_threshold)
+        .select("doc_id")
+        .distinct()
+    )
+    return corpus.select("doc_id").join(hits, "doc_id", "left_anti")
+
+
+def decontaminate_fuzzy(
+    spark: "SparkSession",
+    sf_dir: str,
+    jaccard_threshold: float = 0.5,
+    eval_mod: int = 5,
+) -> "DataFrame":
+    """Driver-query form of decontaminate_fuzzy_batch: doc ids divisible
+    by ``eval_mod`` play the held-out benchmark set (same split as
+    `decontaminate`, so the two arms are directly comparable — the
+    planted near-dup pairs that straddle the split are caught HERE even
+    when no exact 13-gram survives the edit). Fully DuckDB-oracled via
+    the portable md5 double-hash signatures."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % eval_mod == 0)
+    corpus = docs.filter(F.col("doc_id") % eval_mod != 0)
+    return decontaminate_fuzzy_batch(corpus, ev, jaccard_threshold)
+
+
+# ------------------------------------------ cross-document boilerplate
+
+def boilerplate_ngrams_batch(
+    docs: "DataFrame", n: int = 5, min_docs: int = 3, top_k: int = 100
+) -> "DataFrame":
+    """Cross-document repeated n-gram table — the corpus-global
+    boilerplate detector feeding C4/RefinedWeb-style strike-out rules:
+    every word ``n``-gram appearing in at least ``min_docs`` DISTINCT
+    documents, ranked by document frequency. Deterministic under ties
+    (doc_freq DESC, gram ASC — the gram is unique per row).
+
+    Scale shape: grams deduplicate PER DOCUMENT map-side
+    (array_distinct before the explode), so the groupBy count IS the
+    document frequency with no count(DISTINCT) and no second shuffle;
+    partial counts combine map-side, shuffle volume ∝ distinct grams,
+    and the min_docs filter + top-k run on the already-aggregated
+    table (TakeOrdered — no global sort)."""
+    toks = docs.select(
+        "doc_id",
+        F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ").alias("w"),
+    ).filter(F.size("w") >= n)
+    grams = toks.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("w", i + j + 1) for j in range(n)]
+                    ),
+                )
+            )
+        ).alias("gram")
+    )
+    counts = (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )
+    return counts.orderBy(F.desc("doc_freq"), "gram").limit(top_k)
+
+
+def boilerplate_ngrams(
+    spark: "SparkSession", sf_dir: str, n: int = 5, min_docs: int = 3,
+    top_k: int = 100,
+) -> "DataFrame":
+    """Driver-query form of boilerplate_ngrams_batch over the documents
+    table (the planted near-dup families at every SF make the df ≥ 3
+    filter non-vacuous: 74 shared 5-grams at sf0.01)."""
+    return boilerplate_ngrams_batch(_docs(spark, sf_dir), n, min_docs, top_k)
+
+
+# ------------------------------------------- deterministic shard shuffle
+
+def shuffle_shards_batch(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "r4",
+) -> "DataFrame":
+    """Deterministic global shuffle + shard manifest — the step between
+    a curated corpus and the training loader: every row gets a
+    (shard_id, pos) such that reading shards 0..k-1 each in pos order
+    is a seed-reproducible random permutation of the corpus.
+    Partition- and parallelism-invariant (the permutation is a pure
+    function of seed and id — rerunning on different cluster shapes
+    yields byte-identical manifests), and re-seeding gives an
+    independent epoch order without rewriting any data.
+
+    Scale shape: shard assignment is a map-only portable hash
+    (shard = h % n_shards); ``pos`` is one row_number window PER SHARD,
+    so the only exchange is the hash partition by shard_id and the
+    per-task state is corpus/n_shards rows — production sizes n_shards
+    to the loader-file target (thousands of shards at 100 TB), exactly
+    like the writer's file sizing, so no task ever sorts more than one
+    shard. No global sort anywhere."""
+    h = _phash60(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), h.alias("h")).withColumn(
+        "shard_id", (F.col("h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard_id").orderBy("h", id_col)
+    return keyed.select(
+        id_col,
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def shuffle_shards(
+    spark: "SparkSession", sf_dir: str, n_shards: int = 8, seed: str = "r4"
+) -> "DataFrame":
+    """Driver-query form of shuffle_shards_batch over the documents
+    table. Fully DuckDB-oracled (portable md5 hash + row_number under
+    the identical (h, doc_id) ordering)."""
+    return shuffle_shards_batch(_docs(spark, sf_dir), "doc_id", n_shards, seed)

@@ -1143,3 +1143,119 @@ def test_lm_bigram_gate_splits_corpus(spark):
         .collect()[0]
     )
     assert 0 < agg["k"] < agg["n"]
+
+
+def test_decontaminate_fuzzy_batch_planted(spark):
+    """The near-dup decontamination arm: a corpus doc that is a lightly
+    EDITED copy of an eval doc (no long verbatim run survives, so the
+    exact 13-gram rule misses it) drops on MinHash signature agreement;
+    an unrelated doc and a doc sharing only scattered words survive.
+    Driver form non-vacuous at sf0.01 AND strictly stronger there than
+    the exact arm (the planted near-dup families straddle the % 5
+    split)."""
+    from engine.spark.analytics import (
+        decontaminate,
+        decontaminate_batch,
+        decontaminate_fuzzy,
+        decontaminate_fuzzy_batch,
+    )
+
+    base = [f"word{i}" for i in range(100)]
+    edited = list(base)
+    # a swap every 12 words: every clean run is < 13 words (no exact
+    # 13-gram survives) while 3-shingle jaccard stays ~0.6 > 0.5
+    for pos in range(7, 100, 12):
+        edited[pos] = f"swap{pos}"
+    scattered = " ".join(f"word{i} filler{i} pad{i}" for i in range(0, 60, 3))
+    ev = spark.createDataFrame(
+        [(0, " ".join(base))], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(edited)),
+            (2, " ".join(f"other{i}" for i in range(100))),
+            (3, scattered),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in decontaminate_fuzzy_batch(corpus, ev).collect()
+    )
+    assert kept == [2, 3]
+    # the edit broke every 13-gram, so the EXACT arm keeps doc 1
+    kept_exact = sorted(
+        r.doc_id for r in decontaminate_batch(corpus, ev).collect()
+    )
+    assert 1 in kept_exact
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_corpus = docs.filter(F.col("doc_id") % 5 != 0).count()
+    n_fuzzy = decontaminate_fuzzy(spark, sf).count()
+    assert 0 < n_fuzzy < n_corpus
+    assert n_fuzzy < decontaminate(spark, sf).count()
+
+
+def test_boilerplate_ngrams_batch_planted(spark):
+    """Document frequency counts DISTINCT docs (a doc repeating the
+    gram 3 times still counts once), the min_docs filter holds, and the
+    (doc_freq DESC, gram) ordering is exact."""
+    from engine.spark.analytics import boilerplate_ngrams_batch
+
+    shared = "alpha beta gamma delta epsilon"
+    rarer = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1 {shared} {shared}"),  # repeats count once
+            (2, f"lead2 {shared} tail2"),
+            (3, f"{shared} and {rarer} mix3"),
+            (4, f"{rarer} solo4"),
+            (5, f"{rarer} solo5"),
+            (6, "completely unrelated text body here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = boilerplate_ngrams_batch(docs, n=5, min_docs=3, top_k=10).collect()
+    table = [(r.gram, r.doc_freq) for r in rows]
+    assert (shared, 3) in table and (rarer, 3) in table
+    # every row clears min_docs and ordering is (doc_freq DESC, gram)
+    assert all(f >= 3 for _, f in table)
+    assert table == sorted(table, key=lambda t: (-t[1], t[0]))
+    # no gram from a single doc leaks in
+    assert not any("unrelated" in g for g, _ in table)
+
+
+def test_shuffle_shards_batch_invariants(spark):
+    """The shard manifest is a seed-pure permutation: every id appears
+    exactly once, pos is contiguous 1..|shard| within each shard, the
+    result is partition-invariant (repartitioned input gives the
+    byte-identical manifest), and a different seed yields a different
+    order without losing any row."""
+    from engine.spark.analytics import shuffle_shards_batch
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards_batch(df, "doc_id", n_shards=7, seed="e1")
+    rows = sorted(
+        (r.doc_id, r.shard_id, r.pos) for r in out.collect()
+    )
+    assert len(rows) == 200 and len({d for d, _, _ in rows}) == 200
+    by_shard: dict[int, list[int]] = {}
+    for _, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # partition invariance
+    rows13 = sorted(
+        (r.doc_id, r.shard_id, r.pos)
+        for r in shuffle_shards_batch(
+            df.repartition(13), "doc_id", n_shards=7, seed="e1"
+        ).collect()
+    )
+    assert rows13 == rows
+    # re-seeding permutes: same ids, different (shard, pos) for most
+    rows_e2 = sorted(
+        (r.doc_id, r.shard_id, r.pos)
+        for r in shuffle_shards_batch(df, "doc_id", n_shards=7, seed="e2").collect()
+    )
+    assert {d for d, _, _ in rows_e2} == {d for d, _, _ in rows}
+    assert rows_e2 != rows

@@ -314,3 +314,90 @@ def test_pattern_guard_equivalence_fuzz(s):
     hd = re.search(r"\d", s) is not None
     for compiled in (_INV_PAT, _RES_PAT):
         assert _pattern_score(s, lower, compiled, hd) == unguarded(s, compiled)
+
+
+# ------------------------------------------------------- jsonrepair (T12)
+
+_json_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters='"\\'
+        ),
+        max_size=30,
+    ),
+)
+_json_dict = st.dictionaries(
+    st.text(alphabet=st.characters(whitelist_categories=("Ll",)), min_size=1,
+            max_size=10),
+    _json_scalar,
+    max_size=6,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@example("{'a': 1,}")
+@example('```json\n{"a": 1}\n```')
+@example('{"a": {"b": 1')
+@example("{,}")
+@given(st.text(max_size=400))
+def test_parse_json_loose_total_and_deterministic(s):
+    """parse_json_loose must be total on arbitrary LLM-ish output and
+    deterministic; whatever it returns must be a dict (or None) with a
+    strategy label from the documented set."""
+    from engine.kernel.jsonrepair import parse_json_loose
+
+    data, repaired, strategy = parse_json_loose(s)
+    assert parse_json_loose(s) == (data, repaired, strategy)
+    assert data is None or isinstance(data, dict)
+    assert strategy in {
+        "direct", "fence", "brace", "brace_repaired", "full_repaired",
+        "failed", "empty",
+    }
+    if strategy in ("failed", "empty"):
+        assert data is None
+
+
+@settings(max_examples=150, deadline=None)
+@given(_json_dict)
+def test_parse_json_loose_recovers_valid_json(d):
+    """Any well-formed JSON object round-trips losslessly through the
+    parser via the direct strategy, and survives fencing + prose
+    wrapping (the LLM reply shapes the reference's 4-strategy parser
+    was built for)."""
+    import json
+
+    from engine.kernel.jsonrepair import parse_json_loose
+
+    raw = json.dumps(d)
+    assert parse_json_loose(raw) == (d, False, "direct")
+    fenced = f"Sure! Here is the data:\n```json\n{raw}\n```\nHope it helps."
+    data, repaired, strategy = parse_json_loose(fenced)
+    assert data == d and not repaired and strategy == "fence"
+    if d:  # brace-span extraction needs at least one brace pair inside
+        prose = f"The extracted fields are {raw} as requested."
+        data, repaired, strategy = parse_json_loose(prose)
+        assert data == d and strategy in ("brace", "direct")
+
+
+@settings(max_examples=150, deadline=None)
+@given(_json_dict)
+def test_repair_json_fixes_mechanical_damage(d):
+    """Trailing commas and unclosed braces — the two most common LLM
+    truncation artifacts — must be repaired back to the original dict
+    whenever the payload has string-free damage (keys are [a-z]+, so
+    the quote/bare-key rewrites cannot misfire inside values)."""
+    import json
+
+    from engine.kernel.jsonrepair import parse_json_loose
+
+    raw = json.dumps(d)
+    if d:
+        trailing = raw[:-1] + ",}"
+        data, repaired, strategy = parse_json_loose(trailing)
+        assert data == d and repaired
+    unclosed = "{" + raw  # outer object never closed
+    data, repaired, strategy = parse_json_loose(unclosed)
+    assert data is None or isinstance(data, dict)
