@@ -238,6 +238,9 @@ BENCH_QUERY_NAMES = [
         "dedup_incremental",
         "stratified_sample",
         "decontaminate",
+        "decontaminate_fuzzy",
+        "boilerplate_ngrams",
+        "shuffle_shards",
         "repetition_metrics",
         "pii_scrub",
         "vocab_top_k",
