@@ -826,6 +826,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle: shard = portable-hash mod k, pos = per-shard order);
         # partition-invariant, reseed = new epoch order
         "shuffle_shards": A.shuffle_shards,
+        # per-eval-doc contamination audit (exact-13-gram hits + fuzzy
+        # MinHash hits per burned benchmark doc) — the table beside the
+        # keep-lists; both arms broadcast the eval side
+        "contamination_report": A.contamination_report,
+        # per-source tf-idf keyword table (crawl-triage: what a source
+        # is about before weighting it); per-doc-distinct map-side so
+        # the (source, word) count is the doc frequency
+        "source_keywords": A.source_keywords,
         # Gopher-style repetition metrics + gate; map-only (sorted-
         # array fold for modes, no explode/groupBy shuffle)
         "repetition_metrics": A.repetition_metrics,
@@ -1858,6 +1866,96 @@ def _shuffle_shards_oracle(n_shards: int = 8, seed: str = "r4") -> str:
     """
 
 
+def _contamination_report_oracle(
+    n: int = 13, threshold: float = 0.5, eval_mod: int = 5
+) -> str:
+    """DuckDB twin of analytics.contamination_report: the exact-13-gram
+    pair chain (renamed w13/g13 to avoid colliding with the shingle
+    CTEs) and the bipartite fuzzy pair chain, both counted per eval
+    doc; only eval docs with ≥1 hit survive."""
+    from engine.spark.analytics import LSH_MAX_BUCKET_DOCS, MINHASH_K
+
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+        WITH {_sig_band_ctes()},
+        w13 AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ), g13 AS (
+            SELECT doc_id, {gram} AS gram
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - {n - 1})) AS i
+                  FROM w13 WHERE len(w) >= {n})
+        ),
+        evg AS (SELECT DISTINCT doc_id AS eval_id, gram FROM g13
+                WHERE doc_id % {eval_mod} = 0),
+        expairs AS (
+            SELECT DISTINCT e.eval_id, c.doc_id
+            FROM g13 c JOIN evg e ON c.gram = e.gram
+            WHERE c.doc_id % {eval_mod} != 0),
+        exc AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_exact
+                FROM expairs GROUP BY eval_id),
+        eb AS (
+            SELECT doc_id AS eval_id, sig AS esig, bucket,
+                   count(*) OVER (PARTITION BY bucket) AS bsize
+            FROM bands WHERE doc_id % {eval_mod} = 0),
+        ebc AS (SELECT eval_id, esig, bucket FROM eb
+                WHERE bsize <= {LSH_MAX_BUCKET_DOCS}),
+        fzpairs AS (
+            SELECT DISTINCT e.eval_id, c.doc_id
+            FROM bands c JOIN ebc e ON c.bucket = e.bucket
+            WHERE c.doc_id % {eval_mod} != 0
+              AND round(len(list_filter(range(1, {MINHASH_K + 1}),
+                                        i -> c.sig[i] = e.esig[i])) / {MINHASH_K},
+                        6) >= {threshold}),
+        fzc AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_fuzzy
+                FROM fzpairs GROUP BY eval_id)
+        SELECT d.doc_id AS eval_id,
+               coalesce(n_exact, 0)::BIGINT AS n_exact,
+               coalesce(n_fuzzy, 0)::BIGINT AS n_fuzzy
+        FROM documents d
+        LEFT JOIN exc ON exc.eval_id = d.doc_id
+        LEFT JOIN fzc ON fzc.eval_id = d.doc_id
+        WHERE d.doc_id % {eval_mod} = 0
+          AND (coalesce(n_exact, 0) > 0 OR coalesce(n_fuzzy, 0) > 0)
+    """
+
+
+def _source_keywords_oracle(top_k: int = 5, min_df: int = 2) -> str:
+    """DuckDB twin of analytics.source_keywords: per-doc DISTINCT
+    words, (source, word) doc frequency, corpus df as a second
+    aggregate, round-6 tf-idf, deterministic (score DESC, word)
+    row_number top-k per source."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents
+        ), dw AS (
+            SELECT DISTINCT doc_id, source, word
+            FROM (SELECT doc_id, source, unnest(w) AS word FROM d)
+            WHERE word <> ''
+        ), sw AS (
+            SELECT source, word, CAST(count(*) AS BIGINT) AS df_source
+            FROM dw GROUP BY source, word
+        ), wa AS (
+            SELECT word, sum(df_source) AS df_corpus FROM sw GROUP BY word
+        ), nd AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT source, sw.word, df_source,
+                   round(df_source * ln(n_docs / df_corpus), 6) AS score
+            FROM sw JOIN wa ON sw.word = wa.word, nd
+            WHERE df_source >= {min_df}
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY score DESC, word) AS rk
+            FROM scored
+        )
+        SELECT source, word, df_source, score FROM r WHERE rk <= {top_k}
+    """
+
+
 def _repetition_oracle() -> str:
     """DuckDB twin of analytics.repetition_metrics: the relational
     formulation (unnest + two-level GROUP BY for counts/modes) of what
@@ -2746,6 +2844,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_fuzzy": _decontaminate_fuzzy_oracle(),
         "boilerplate_ngrams": _boilerplate_ngrams_oracle(),
         "shuffle_shards": _shuffle_shards_oracle(),
+        "contamination_report": _contamination_report_oracle(),
+        "source_keywords": _source_keywords_oracle(),
         "repetition_metrics": _repetition_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "vocab_top_k": r"""

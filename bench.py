@@ -241,6 +241,8 @@ BENCH_QUERY_NAMES = [
         "decontaminate_fuzzy",
         "boilerplate_ngrams",
         "shuffle_shards",
+        "contamination_report",
+        "source_keywords",
         "repetition_metrics",
         "pii_scrub",
         "vocab_top_k",

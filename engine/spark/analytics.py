@@ -2580,3 +2580,147 @@ def shuffle_shards(
     table. Fully DuckDB-oracled (portable md5 hash + row_number under
     the identical (h, doc_id) ordering)."""
     return shuffle_shards_batch(_docs(spark, sf_dir), "doc_id", n_shards, seed)
+
+
+# ---------------------------------------------- contamination audit
+
+def contamination_report(
+    spark: "SparkSession",
+    sf_dir: str,
+    n: int = 13,
+    jaccard_threshold: float = 0.5,
+    eval_mod: int = 5,
+    max_eval_bucket: int = LSH_MAX_BUCKET_DOCS,
+) -> "DataFrame":
+    """Per-eval-document contamination AUDIT — the table a data team
+    reads before shipping an eval suite: for every held-out document
+    that leaks into the training corpus, how many corpus documents hit
+    it on the exact 13-gram rule and how many on the MinHash near-dup
+    rule. Complements the keep-lists (decontaminate / _fuzzy), which
+    answer "what do we drop" but not "which benchmarks are burned".
+
+    Scale shape: both arms broadcast the eval side (distinct eval
+    n-grams; capped eval band buckets) so the corpus is scanned twice
+    (once per arm) and never shuffled past the signature agg; every
+    post-join table is bounded by the number of HITS × eval size, not
+    corpus size. Output: (eval_id, n_exact, n_fuzzy) for eval docs
+    with at least one hit."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % eval_mod == 0)
+    corpus = docs.filter(F.col("doc_id") % eval_mod != 0)
+
+    evg = (
+        _ngrams(ev, n)
+        .select(F.col("doc_id").alias("eval_id"), "gram")
+        .distinct()
+    )
+    ex_pairs = (
+        _ngrams(corpus, n)
+        .join(F.broadcast(evg), "gram")
+        .select("eval_id", "doc_id")
+        .distinct()
+    )
+    exc = ex_pairs.groupBy("eval_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+
+    w = Window.partitionBy("bucket")
+    eb = (
+        _minhash_bands(ev)
+        .select(F.col("doc_id").alias("eval_id"), F.col("sig").alias("esig"),
+                "bucket")
+        .withColumn("bsize", F.count("*").over(w))
+        .filter(F.col("bsize") <= max_eval_bucket)
+        .drop("bsize")
+    )
+    fz_pairs = (
+        _minhash_bands(corpus)
+        .join(F.broadcast(eb), "bucket")
+        .select(
+            "eval_id", "doc_id",
+            _est_jaccard(F.col("sig"), F.col("esig")).alias("est"),
+        )
+        .filter(F.col("est") >= jaccard_threshold)
+        .select("eval_id", "doc_id")
+        .distinct()
+    )
+    fzc = fz_pairs.groupBy("eval_id").agg(
+        F.count("*").cast("long").alias("n_fuzzy")
+    )
+
+    report = (
+        ev.select(F.col("doc_id").alias("eval_id"))
+        .join(exc, "eval_id", "left")
+        .join(fzc, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_exact", F.lit(0).cast("long")).alias("n_exact"),
+            F.coalesce("n_fuzzy", F.lit(0).cast("long")).alias("n_fuzzy"),
+        )
+    )
+    return report.filter((F.col("n_exact") > 0) | (F.col("n_fuzzy") > 0))
+
+
+# ------------------------------------------------ per-source keywords
+
+def source_keywords_batch(
+    docs: "DataFrame", top_k: int = 5, min_df: int = 2
+) -> "DataFrame":
+    """Per-source distinguishing keywords — document-frequency tf-idf
+    (score = df_source · ln(n_docs / df_corpus)), top-``top_k`` words
+    per source. The crawl-triage table: what a source is actually
+    about before deciding its mixing weight.
+
+    Scale shape: words deduplicate PER DOCUMENT map-side
+    (array_distinct before the explode), so the (source, word) count
+    IS the source document frequency; the corpus-wide df is a second
+    aggregate over that already-vocab-sized table (never the corpus);
+    the final ranking window partitions by source. Doubles rounded to
+    6 dp on both engines (the lm_* convention); ties broken by word,
+    so the top-k is deterministic."""
+    words = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+            )
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    # sw feeds BOTH the scored join and the corpus-df aggregate; without
+    # materialization Spark re-executes the corpus scan + explode once
+    # per consumer (verified in the plan: two parquet scans of text).
+    # A lazy localCheckpoint collapses them to one corpus pass — the
+    # same compute-once fix dedup_incremental measured at 1.75x.
+    sw = words.groupBy("source", "word").agg(
+        F.count("*").cast("long").alias("df_source")
+    ).localCheckpoint(eager=False)
+    wa = sw.groupBy("word").agg(F.sum("df_source").alias("df_corpus"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        sw.join(wa, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df_source") >= min_df)
+        .select(
+            "source", "word", "df_source",
+            F.round(
+                F.col("df_source")
+                * F.log(F.col("n_docs") / F.col("df_corpus")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("source", "word", "df_source", "score")
+    )
+
+
+def source_keywords(
+    spark: "SparkSession", sf_dir: str, top_k: int = 5, min_df: int = 2
+) -> "DataFrame":
+    """Driver-query form of source_keywords_batch over the documents
+    table. Fully DuckDB-oracled (round-6 tf-idf, deterministic
+    (score DESC, word) row_number top-k)."""
+    return source_keywords_batch(_docs(spark, sf_dir), top_k, min_df)

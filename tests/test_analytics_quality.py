@@ -1259,3 +1259,69 @@ def test_shuffle_shards_batch_invariants(spark):
     )
     assert {d for d, _, _ in rows_e2} == {d for d, _, _ in rows}
     assert rows_e2 != rows
+
+
+def test_contamination_report_planted(spark, tmp_path):
+    """An eval doc with one verbatim-13-gram leak reports n_exact=1;
+    an eval doc with a lightly EDITED leak (no 13-gram survives)
+    reports n_fuzzy>=1 with n_exact=0; a clean eval doc emits no row.
+    Uses eval_mod=2 over a planted parquet so ids control the split."""
+    from engine.spark.analytics import contamination_report
+
+    base = [f"word{i}" for i in range(100)]
+    edited = list(base)
+    for pos in range(7, 100, 12):
+        edited[pos] = f"swap{pos}"
+    rows = [
+        # eval side (doc_id % 2 == 0)
+        (0, " ".join(base)),                                 # fuzzily leaked
+        (2, " ".join(f"bench{i}" for i in range(30))),        # exactly leaked
+        (4, " ".join(f"clean{i}" for i in range(40))),        # no leak
+        # corpus side (doc_id % 2 != 0)
+        (1, " ".join(edited)),
+        (3, "lead " + " ".join(f"bench{i}" for i in range(5, 20)) + " tail"),
+        (5, " ".join(f"other{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    path = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(f"{path}/documents.parquet")
+    rep = {
+        r.eval_id: (r.n_exact, r.n_fuzzy)
+        for r in contamination_report(spark, path, eval_mod=2).collect()
+    }
+    assert rep[2][0] >= 1          # exact arm catches the verbatim leak
+    assert rep[0] == (0, 1)        # fuzzy-only: edit broke every 13-gram
+    assert 4 not in rep            # clean eval doc emits no row
+
+
+def test_source_keywords_planted(spark):
+    """df_source counts DISTINCT docs; a word present in every doc has
+    idf = ln(1) = 0 and cannot outrank a source-specific word; min_df
+    filters singletons; top-k per source respects (score DESC, word)."""
+    from engine.spark.analytics import source_keywords_batch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha shared", "A"),
+            (2, "alpha shared", "A"),
+            (3, "beta shared", "B"),
+            (4, "beta shared", "B"),
+            (5, "gamma shared", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_keywords_batch(docs, top_k=2, min_df=2).collect()
+    table = {(r.source, r.word): (r.df_source, r.score) for r in rows}
+    # 'shared' is in all 5 docs -> idf 0 -> score 0 everywhere
+    assert table[("A", "shared")][1] == 0.0
+    # 'alpha' in 2/5 docs, only in A: df_source=2, score = 2*ln(5/2)
+    import math
+    assert table[("A", "alpha")] == (2, round(2 * math.log(5 / 2), 6))
+    assert table[("B", "beta")] == (2, round(2 * math.log(5 / 2), 6))
+    # gamma is a singleton (df 1 < min_df) -> filtered
+    assert ("B", "gamma") not in table
+    # score DESC puts the discriminative word first in each source
+    assert table[("A", "alpha")][1] > table[("A", "shared")][1]
