@@ -1325,3 +1325,76 @@ def test_source_keywords_planted(spark):
     assert ("B", "gamma") not in table
     # score DESC puts the discriminative word first in each source
     assert table[("A", "alpha")][1] > table[("A", "shared")][1]
+
+
+def test_dedup_job_decontaminate_and_manifest_modes(spark, tmp_path):
+    """jobs/dedup_job.py in-process: the round-4 modes. decontaminate
+    drops docs hit by EITHER arm against a real eval dir (a fuzzily
+    edited leak AND a verbatim leak both drop; a clean doc survives);
+    manifest writes a seeded epoch manifest whose re-run is idempotent
+    and whose re-seed permutes."""
+    import json
+    import sys
+
+    sys.path.insert(0, "jobs")
+    try:
+        import dedup_job
+    finally:
+        sys.path.pop(0)
+
+    base = [f"word{i}" for i in range(100)]
+    edited = list(base)
+    for pos in range(7, 100, 12):
+        edited[pos] = f"swap{pos}"
+    bench = " ".join(f"bench{i}" for i in range(30))
+    cdir, edir = str(tmp_path / "corpus"), str(tmp_path / "eval")
+    spark.createDataFrame(
+        [
+            (1, " ".join(edited)),                    # fuzzy-only leak
+            (2, " ".join(f"other{i}" for i in range(60))),  # clean
+            (3, "lead " + bench + " tail"),           # verbatim leak
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{cdir}/documents.parquet")
+    spark.createDataFrame(
+        [(0, " ".join(base)), (4, bench)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{edir}/documents.parquet")
+
+    out = str(tmp_path / "out")
+    rc = dedup_job.main(
+        ["--input", cdir, "--output", out, "--mode", "decontaminate",
+         "--eval-input", edir]
+    )
+    assert rc == 0
+    kept = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/decontaminated").collect()
+    )
+    assert kept == [2]
+    metrics = json.loads(
+        spark.read.text(f"{out}/metrics_decontaminate").collect()[0][0]
+    )
+    assert metrics["rows_in"] == 3 and metrics["rows_out"] == 1
+
+    out2 = str(tmp_path / "out2")
+    argv = ["--input", cdir, "--output", out2, "--mode", "manifest",
+            "--shards", "3", "--seed", "e1"]
+    assert dedup_job.main(argv) == 0
+    m1 = sorted(
+        map(tuple, spark.read.parquet(f"{out2}/manifest_e1").collect())
+    )
+    assert len(m1) == 3 and {r[0] for r in m1} == {1, 2, 3}
+    # idempotent re-run
+    assert dedup_job.main(argv) == 0
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{out2}/manifest_e1").collect())
+    ) == m1
+    # re-seed permutes without losing rows
+    assert dedup_job.main(
+        ["--input", cdir, "--output", out2, "--mode", "manifest",
+         "--shards", "3", "--seed", "e2"]
+    ) == 0
+    m2 = sorted(
+        map(tuple, spark.read.parquet(f"{out2}/manifest_e2").collect())
+    )
+    assert {r[0] for r in m2} == {1, 2, 3} and m2 != m1
