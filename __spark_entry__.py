@@ -834,6 +834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is about before weighting it); per-doc-distinct map-side so
         # the (source, word) count is the doc frequency
         "source_keywords": A.source_keywords,
+        # single-row dedup dataset card (exact surplus, verified pairs,
+        # components + largest, drop fraction) — the "how redundant is
+        # this crawl" summary, composed from the oracled chain
+        "dedup_report": A.dedup_report,
         # Gopher-style repetition metrics + gate; map-only (sorted-
         # array fold for modes, no explode/groupBy shuffle)
         "repetition_metrics": A.repetition_metrics,
@@ -1866,6 +1870,34 @@ def _shuffle_shards_oracle(n_shards: int = 8, seed: str = "r4") -> str:
     """
 
 
+def _dedup_report_oracle() -> str:
+    """DuckDB twin of analytics.dedup_report: component stats from the
+    recursive-closure reach table (component root = min reachable id —
+    identical to min-label propagation), exact surplus from a distinct
+    hash count, survivors from the shared keep-list tail."""
+    return f"""
+        WITH RECURSIVE {_apply_lsh_drop_ctes()},
+        comp AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+        csizes AS (SELECT root, count(*) AS sz FROM comp GROUP BY root),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_components,
+                   CAST(coalesce(max(sz), 0) AS BIGINT) AS largest_component
+            FROM csizes),
+        base AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                       AS n_exact_extra
+            FROM documents),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n_near_pairs FROM vpairs),
+        kept AS (SELECT count(*) AS n_kept FROM survivors)
+        SELECT n_docs, n_exact_extra, n_near_pairs, n_components,
+               largest_component,
+               CAST(n_docs - n_kept AS BIGINT) AS n_dropped,
+               round((n_docs - n_kept) / n_docs, 6) AS dup_fraction
+        FROM base, np, stats, kept
+    """
+
+
 def _contamination_report_oracle(
     n: int = 13, threshold: float = 0.5, eval_mod: int = 5
 ) -> str:
@@ -2846,6 +2878,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_shards": _shuffle_shards_oracle(),
         "contamination_report": _contamination_report_oracle(),
         "source_keywords": _source_keywords_oracle(),
+        "dedup_report": _dedup_report_oracle(),
         "repetition_metrics": _repetition_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "vocab_top_k": r"""

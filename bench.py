@@ -243,6 +243,7 @@ BENCH_QUERY_NAMES = [
         "shuffle_shards",
         "contamination_report",
         "source_keywords",
+        "dedup_report",
         "repetition_metrics",
         "pii_scrub",
         "vocab_top_k",

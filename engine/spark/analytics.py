@@ -2724,3 +2724,66 @@ def source_keywords(
     table. Fully DuckDB-oracled (round-6 tf-idf, deterministic
     (score DESC, word) row_number top-k)."""
     return source_keywords_batch(_docs(spark, sf_dir), top_k, min_df)
+
+
+# --------------------------------------------------- dedup dataset card
+
+def dedup_report(
+    spark: "SparkSession", sf_dir: str, min_jaccard: float = 0.5
+) -> "DataFrame":
+    """Single-row dedup DATASET CARD — the summary a data team reads
+    after the keep-list run: corpus size, exact-duplicate surplus,
+    verified near-dup pair count, component count + largest component,
+    total docs dropped and the duplicate fraction. The "how redundant
+    is this crawl" number that decides whether dedup is worth re-running
+    at a lower threshold.
+
+    Composition of the existing chain (exact hash agg; LSH-verified
+    pairs computed ONCE and fed to both the pair count and the
+    components stage; the keep-list tail); every aggregate is a 1-row
+    table, combined by crossJoin — a production pipeline would derive
+    the same card from its persisted keep-list instead of recomputing.
+    largest_component is the skew headline: a value near n_docs means
+    boilerplate collapse, not organic duplication."""
+    docs = _docs(spark, sf_dir)
+    base = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.count("*") - F.count_distinct(F.md5("text")))
+        .cast("long")
+        .alias("n_exact_extra"),
+    )
+    pairs = lsh_verified_pairs(spark, sf_dir, min_jaccard=min_jaccard)
+    # pairs feed three consumers (count, components, keep-list tail);
+    # localCheckpoint materializes the verify chain once
+    pairs = pairs.localCheckpoint(eager=False)
+    npairs = pairs.agg(F.count("*").cast("long").alias("n_near_pairs"))
+    comp = (
+        dedup_clusters(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias(
+                "largest_component"
+            ),
+        )
+    )
+    surv = _apply_drops(spark, sf_dir, pairs).agg(
+        F.count("*").cast("long").alias("n_kept")
+    )
+    return (
+        base.crossJoin(npairs)
+        .crossJoin(comp)
+        .crossJoin(surv)
+        .select(
+            "n_docs",
+            "n_exact_extra",
+            "n_near_pairs",
+            "n_components",
+            "largest_component",
+            (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_dropped"),
+            F.round(
+                (F.col("n_docs") - F.col("n_kept")) / F.col("n_docs"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1398,3 +1398,21 @@ def test_dedup_job_decontaminate_and_manifest_modes(spark, tmp_path):
         map(tuple, spark.read.parquet(f"{out2}/manifest_e2").collect())
     )
     assert {r[0] for r in m2} == {1, 2, 3} and m2 != m1
+
+
+def test_dedup_report_planted(spark, planted_dir):
+    """The dataset card over the planted corpus: 44 docs (40 base + 3
+    near-dup partners + 1 exact dup), exactly one exact-surplus doc,
+    the planted pairs surfacing as verified near-dups in 2-doc
+    components, and the drop fraction consistent with the drop count."""
+    from engine.spark.analytics import dedup_report
+
+    row = dedup_report(spark, planted_dir).collect()[0]
+    assert row.n_docs == 44
+    assert row.n_exact_extra == 1
+    assert row.n_near_pairs >= 3   # (3,100),(11,101),(5,200); (27,102)
+    # may miss every band (documented s-curve miss)
+    assert row.n_components >= 3
+    assert row.largest_component == 2   # planted dups are pairs
+    assert row.n_dropped >= 3
+    assert row.dup_fraction == round(row.n_dropped / row.n_docs, 6)
