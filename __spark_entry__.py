@@ -1003,8 +1003,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_score", "mix_corpus", "corpus_prepare",
         "multimodal_features", "resize_images", "frame_sampling",
     }
+    # round-4 additions: all seven carry local oracle gates at both SFs,
+    # so they queue BEHIND the 45 never-driver-sampled r3 entries — the
+    # first 50 slots stay reserved for entries with no driver row yet
+    new_r4 = {
+        "decontaminate_fuzzy", "boilerplate_ngrams", "shuffle_shards",
+        "contamination_report", "source_keywords", "dedup_report",
+    }
     return {
-        **{k: v for k, v in full.items() if k not in sampled_r3},
+        **{k: v for k, v in full.items()
+           if k not in sampled_r3 and k not in new_r4},
+        **{k: v for k, v in full.items() if k in new_r4},
         **{k: v for k, v in full.items() if k in sampled_r3},
     }
 
