@@ -254,3 +254,61 @@ def stream_dedup_exact(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_decontaminate(
+    spark: "SparkSession",
+    input_dir: str,
+    eval_docs: "DataFrame",
+    output_dir: str,
+    checkpoint_dir: str,
+    n: int = 13,
+    jaccard_threshold: float = 0.5,
+    available_now: bool = True,
+) -> "StreamingQuery":
+    """Ingest-time eval-set decontamination: every arriving document is
+    checked against the held-out eval set BEFORE it ever lands in the
+    corpus — both arms (exact 13-gram overlap AND MinHash near-dup),
+    the streaming twin of dedup_job's --mode decontaminate.
+
+    Statelessness by construction: the keep/drop decision is a pure
+    function of (document, eval set) — no cross-document state — so
+    microbatch boundaries are semantically invisible (streamed
+    survivors == the batch run over the same corpus, test-asserted)
+    and NO watermark state accumulates; the only streaming state is
+    the file-progress checkpoint. Each microbatch runs the same
+    broadcast-eval batch operators (decontaminate_batch +
+    decontaminate_fuzzy_batch), so the 100 TB scale shape is inherited:
+    the eval side broadcasts, the arriving batch is scanned, never
+    shuffled past its signature agg. Exactly-once: idempotent
+    per-`batch=<id>` overwrite sink + checkpoint (the stream_dedup_exact
+    contract)."""
+    from engine.spark.analytics import (
+        decontaminate_batch,
+        decontaminate_fuzzy_batch,
+    )
+
+    src = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        exact = decontaminate_batch(batch_df, eval_docs, n)
+        fuzzy = decontaminate_fuzzy_batch(
+            batch_df, eval_docs, jaccard_threshold
+        )
+        keep = exact.join(fuzzy, "doc_id")
+        batch_df.join(keep, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/clean/batch={batch_id}")
+
+    writer = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

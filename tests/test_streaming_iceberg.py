@@ -185,3 +185,61 @@ def test_stream_dedup_exact_drops_cross_batch_duplicates(spark, tmp_path_factory
     assert got2.count() == 3
     texts = sorted(r.text for r in got2.collect())
     assert texts == ["alpha body", "beta body", "gamma body"]
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path_factory):
+    """Ingest-time decontamination: an exact 13-gram leak and a fuzzily
+    edited leak are both dropped AT ARRIVAL across two separate drains,
+    clean docs pass, and the streamed survivor set equals the batch run
+    over the union (microbatch boundaries provably invisible)."""
+    import datetime as dt
+
+    from engine.spark.analytics import (
+        decontaminate_batch,
+        decontaminate_fuzzy_batch,
+    )
+    from engine.spark.streaming import stream_decontaminate
+
+    base = tmp_path_factory.mktemp("sdecon")
+    in_dir, out_dir, ckpt = (str(base / d) for d in ("in", "out", "ckpt"))
+
+    bench = " ".join(f"bench{i}" for i in range(30))
+    words = [f"word{i}" for i in range(100)]
+    edited = list(words)
+    for pos in range(7, 100, 12):
+        edited[pos] = f"swap{pos}"
+    ev = spark.createDataFrame(
+        [(1000, " ".join(words)), (1001, bench)],
+        "doc_id long, text string",
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [
+        (0, "lead " + bench + " tail", t0),              # exact leak
+        (1, " ".join(f"other{i}" for i in range(60)), t0),  # clean
+    ]
+    rows2 = [
+        (2, " ".join(edited), t0),                       # fuzzy leak
+        (3, " ".join(f"more{i}" for i in range(50)), t0),   # clean
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = stream_decontaminate(spark, in_dir, ev, out_dir, ckpt)
+    q.awaitTermination(300)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = stream_decontaminate(spark, in_dir, ev, out_dir, ckpt)
+    q2.awaitTermination(300)
+
+    streamed = {r.doc_id for r in spark.read.parquet(f"{out_dir}/clean").collect()}
+    assert streamed == {1, 3}
+
+    # equivalence with the batch path over the full corpus
+    allrows = spark.createDataFrame(rows1 + rows2, schema).drop("ts")
+    exact = decontaminate_batch(allrows, ev)
+    fuzzy = decontaminate_fuzzy_batch(allrows, ev)
+    batch_keep = {r.doc_id for r in exact.join(fuzzy, "doc_id").collect()}
+    assert streamed == batch_keep
