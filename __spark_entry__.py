@@ -225,7 +225,10 @@ def _bpe_tokenize_oracle(
     of a cross-joined row), then apply the identical replace chain
     inside list_transform over each document's words."""
     # coalesce each pattern to an impossible-match literal ('~' never
-    # occurs in the padded chain): if the corpus yields fewer than
+    # occurs in the padded chain — words are regexp_extract_all
+    # '[a-z]+', so the chain alphabet is exactly [a-z|</w>] on both
+    # engines; no corpus text can smuggle a tilde in): if the corpus
+    # yields fewer than
     # n_merges merges, the empty b{i} subquery would otherwise return
     # NULL and replace(s, NULL, NULL) nulls the whole token chain in
     # DuckDB, while Spark's bpe_tokenize just applies the fewer trained
@@ -1001,11 +1004,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub", "vocab_top_k", "corpus_stats", "c4_clean",
         "line_dedup", "internal_ngram_overlap", "lm_unigram_score",
         "lm_bigram_score", "mix_corpus", "corpus_prepare",
-        "multimodal_features", "resize_images", "frame_sampling",
+        "multimodal_features",
     }
-    # round-4 additions: all seven carry local oracle gates at both SFs,
-    # so they queue BEHIND the 45 never-driver-sampled r3 entries — the
-    # first 50 slots stay reserved for entries with no driver row yet
+    # round-4 additions: all six carry local oracle gates at both SFs,
+    # so they queue BEHIND the 46 never-driver-sampled r3 entries — a
+    # 50-entry driver sample then covers every no-driver-row-yet entry
+    # plus the first four new ops; the last two (source_keywords,
+    # dedup_report, positions 50-51) rely on the local gates until the
+    # next rotation.
     new_r4 = {
         "decontaminate_fuzzy", "boilerplate_ngrams", "shuffle_shards",
         "contamination_report", "source_keywords", "dedup_report",

@@ -39,7 +39,12 @@ _ANCHOR_TEXT = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 _ANY_TAG = re.compile(r"<[^>]+>")
 # A '<' never followed by '>' (truncated payload / tag cut mid-attribute):
 # routine in crawl corpora where responses are length-capped mid-byte.
-_UNTERMINATED_TAIL = re.compile(r"<[^>]*$")
+_UNTERMINATED_TAIL = re.compile(r"<(?=[A-Za-z/!?])[^>]*$")
+# tag-shaped only: '<' must open an element (letter), closer (/),
+# comment/doctype (!) or PI (?) to count as a truncated tag — a bare
+# comparison like 'for x < 5, the bound holds' is PROSE and must
+# survive (round-4 review: the unanchored <[^>]*$ deleted everything
+# after a literal '<' in tail position).
 _CLASS_ID = re.compile(r"(?:class|id)\s*=\s*[\"']([^\"']*)[\"']", re.IGNORECASE)
 
 _BAD_HINTS = ("nav", "footer", "sidebar", "comment", "menu", "banner",
@@ -74,10 +79,21 @@ def _decode_entities(text: str) -> str:
     return text
 
 
+def _strip_tags(fragment: str) -> tuple[str, int]:
+    """(tagless text, tag count). Complete tags first (subn counts them
+    in the same pass), then any tag-shaped unterminated trailing
+    fragment — otherwise markup truncated mid-tag survives into
+    "cleaned" text; the stripped tail counts as markup too."""
+    stripped, n_tags = _ANY_TAG.subn(" ", fragment)
+    m = _UNTERMINATED_TAIL.search(stripped)
+    if m:
+        stripped = stripped[: m.start()] + " "
+        n_tags += 1
+    return stripped, n_tags
+
+
 def _visible_text(fragment: str) -> str:
-    # complete tags first, then any unterminated trailing fragment —
-    # otherwise markup truncated mid-tag survives into "cleaned" text.
-    return _decode_entities(_UNTERMINATED_TAIL.sub(" ", _ANY_TAG.sub(" ", fragment)))
+    return _decode_entities(_strip_tags(fragment)[0])
 
 
 def _stopword_ratio(text: str) -> float:
@@ -131,7 +147,8 @@ def _segment(html: str) -> list[_Block]:
         # adjacent block tags) yield no block; skip their regex work
         if not fragment or fragment.isspace():
             continue
-        text = " ".join(_visible_text(fragment).split())
+        stripped, tag_count = _strip_tags(fragment)
+        text = " ".join(_decode_entities(stripped).split())
         if text:
             if "<a" in fragment or "<A" in fragment:  # anchors need '<a'
                 link_chars = sum(
@@ -140,9 +157,6 @@ def _segment(html: str) -> list[_Block]:
                 )
             else:
                 link_chars = 0
-            tag_count = sum(1 for _ in _ANY_TAG.finditer(fragment))
-            if _UNTERMINATED_TAIL.search(_ANY_TAG.sub(" ", fragment)):
-                tag_count += 1  # the stripped unterminated tail is markup too
             blocks.append(_Block(text, link_chars, tag_count, hint))
     return blocks
 

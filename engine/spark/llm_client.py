@@ -22,6 +22,7 @@ the stage stays OUT of the deterministic correctness gate either way
 
 from __future__ import annotations
 
+import http.client
 import json
 import time
 import urllib.error
@@ -72,7 +73,12 @@ def _urllib_transport(
             return r.status, r.read().decode("utf-8", "replace")
     except urllib.error.HTTPError as e:
         return e.code, e.read().decode("utf-8", "replace")
-    except OSError as e:  # DNS / refused / timeout — retryable transport fault
+    except (OSError, http.client.HTTPException) as e:
+        # DNS / refused / timeout / malformed status line / truncated
+        # body — all retryable transport faults. HTTPException is NOT
+        # an OSError (round-4 review): without it a flaky server's
+        # BadStatusLine/IncompleteRead bypassed the whole retry ladder
+        # and killed the Spark task on one transient glitch.
         return 599, str(e)
 
 

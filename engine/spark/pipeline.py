@@ -90,7 +90,15 @@ def with_stable_order_blocked(
     each partition ≤ ~block rows); turn_seq = block offset + intra
     rank. A 10^8-turn mega-thread becomes 10^4 bounded sorts plus a
     10^4-row window instead of one 10^8-row sort on a single task."""
-    blk = (F.col("turn_idx") / F.lit(block)).cast("long").alias("_blk")
+    # NULL turn_idx must flow through: the block join below is
+    # null-UNSAFE equality, so a NULL _blk row would silently vanish
+    # while with_stable_order's window keeps it (nulls first). Coalesce
+    # to long-min — it sorts before every real block, exactly the
+    # window's nulls-first position (round-4 review fix).
+    blk = F.coalesce(
+        (F.col("turn_idx") / F.lit(block)).cast("long"),
+        F.lit(-(2**63)).cast("long"),
+    ).alias("_blk")
     marked = df.withColumn("_blk", blk)
     counts = marked.groupBy("conv_id", "_blk").agg(
         F.count("*").alias("_blk_n")

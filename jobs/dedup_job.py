@@ -116,10 +116,13 @@ def main(argv: list[str] | None = None) -> int:
     }
     # write metrics through Spark so hdfs://-style outputs work too
     # (builtin open() only handles local paths); overwrite keeps the
-    # re-submission idempotent
+    # re-submission idempotent. Manifest metrics are keyed per SEED —
+    # each epoch's manifest is its own table, so its run record must
+    # not clobber the previous epoch's.
+    metrics_name = table if args.mode == "manifest" else args.mode
     spark.createDataFrame([(json.dumps(metrics),)], "v string").coalesce(
         1
-    ).write.mode("overwrite").text(f"{args.output}/metrics_{args.mode}")
+    ).write.mode("overwrite").text(f"{args.output}/metrics_{metrics_name}")
     print(json.dumps(metrics))
     if owns_session:
         spark.stop()

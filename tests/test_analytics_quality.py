@@ -1398,6 +1398,12 @@ def test_dedup_job_decontaminate_and_manifest_modes(spark, tmp_path):
         map(tuple, spark.read.parquet(f"{out2}/manifest_e2").collect())
     )
     assert {r[0] for r in m2} == {1, 2, 3} and m2 != m1
+    # per-seed metrics: e2's run record must not clobber e1's
+    for seed in ("e1", "e2"):
+        rec = json.loads(
+            spark.read.text(f"{out2}/metrics_manifest_{seed}").collect()[0][0]
+        )
+        assert rec["output"].endswith(f"manifest_{seed}")
 
 
 def test_dedup_report_planted(spark, planted_dir):

@@ -154,3 +154,17 @@ def test_generator_deterministic_and_partition_independent():
     assert gen.turns_for_conv(0, 10) == gen.turns_for_conv(0, 10)
     # mega-thread skew exists
     assert gen.turns_for_conv(0, 10) > gen.turns_for_conv(1, 10) * 5
+
+
+def test_prose_comparison_tail_survives():
+    """Round-4 review fix pinned: a literal '<' comparison in tail
+    position is PROSE, not a truncated tag — the unanchored strip
+    deleted everything after it. Tag-shaped tails still strip."""
+    from engine.kernel.html import extract_main_text
+
+    prose = "for x < 5, the bound holds for all n"
+    assert extract_main_text(prose) == prose
+    assert "<" not in extract_main_text("hello <span")
+    assert "<" not in extract_main_text("truncated <div class=")
+    # '<' before a digit/space/end is prose everywhere
+    assert extract_main_text("a < b and b <") == "a < b and b <"

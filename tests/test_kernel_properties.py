@@ -136,7 +136,12 @@ def test_pdfish_total_on_wellformed_and_garbage(boxes, garbage):
 # well-formed 6-field box lines (the real %PDFBOX1 format) interleaved
 # with malformed ones: short lines, non-numeric coords, stray pipes.
 _wellformed_box = st.tuples(
-    st.integers(min_value=0, max_value=2),            # <3 pages: no
+    # pages {0,1} ONLY: the positional header/footer strip fires at
+    # >=3 distinct pages (pdfish._strip_boilerplate), so max_value=2
+    # (three pages) let a text repeated at the same y on all three be
+    # legitimately stripped — hypothesis found exactly that (six '0'
+    # boxes at y=0 across pages 0-2 → '')
+    st.integers(min_value=0, max_value=1),            # <3 pages: no
     st.floats(min_value=0, max_value=600,             # boilerplate strip,
               allow_nan=False, allow_infinity=False), # content must survive
     st.floats(min_value=0, max_value=780, allow_nan=False,

@@ -205,3 +205,24 @@ def test_http_factory_plugs_into_enrich_stage(spark):
         "llm_json", "llm_was_repaired").collect()
     assert rows and all(r.llm_json == '{"total_amount": 12.5}' for r in rows)
     assert not any(r.llm_was_repaired for r in rows)
+
+
+def test_urllib_transport_maps_httpexception_to_599(monkeypatch):
+    """Round-4 review fix pinned: http.client.HTTPException (malformed
+    status line, truncated body) is not an OSError — it must map to the
+    retryable 599 like every other transport fault, not escape the
+    retry ladder."""
+    import http.client
+    import urllib.request
+
+    from engine.spark.llm_client import _urllib_transport
+
+    def boom(req, timeout=None):
+        raise http.client.BadStatusLine("garbage from flaky proxy")
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    status, body = _urllib_transport(
+        "http://example.invalid/v1", {}, {}, 1.0
+    )
+    assert status == 599
+    assert "garbage" in body
