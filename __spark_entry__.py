@@ -841,6 +841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # components + largest, drop fraction) — the "how redundant is
         # this crawl" summary, composed from the oracled chain
         "dedup_report": A.dedup_report,
+        # signed feature-hashing text embedding (Weinberger et al.) —
+        # the in-engine text->vector path: integer bucket sums, exact
+        # norm operands, flattened nonzero (doc_id, pos, value)
+        "hash_embed": A.hash_embed,
         # Gopher-style repetition metrics + gate; map-only (sorted-
         # array fold for modes, no explode/groupBy shuffle)
         "repetition_metrics": A.repetition_metrics,
@@ -1015,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new_r4 = {
         "decontaminate_fuzzy", "boilerplate_ngrams", "shuffle_shards",
         "contamination_report", "source_keywords", "dedup_report",
+        "hash_embed",
     }
     return {
         **{k: v for k, v in full.items()
@@ -1882,6 +1887,42 @@ def _shuffle_shards_oracle(n_shards: int = 8, seed: str = "r4") -> str:
                    PARTITION BY h % {n_shards} ORDER BY h, doc_id
                ) AS BIGINT) AS pos
         FROM h
+    """
+
+
+def _hash_embed_oracle(dim: int = 64) -> str:
+    """DuckDB twin of analytics.hash_embed: same portable md5 bucket
+    hash, the sign from exact integer arithmetic (h % 2dim >= dim),
+    signed-count bucket sums (exact integers), and the L2 norm over
+    exact integer squares — so sqrt and the final divide see identical
+    operands on both engines and round-6 values match bit-for-bit.
+    Flattened nonzero (doc_id, pos, value) rows, like the Spark side."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(string_split(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g'), ' ')) AS word
+                FROM documents)
+            WHERE word <> ''
+        ), hb AS (
+            SELECT doc_id,
+                   CAST(h % {dim} AS INT) AS bucket,
+                   CASE WHEN h % {2 * dim} >= {dim} THEN 1 ELSE -1 END AS sign
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('e:' || word), 1, 15))::BIGINT AS h
+                  FROM w)
+        ), s AS (
+            SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
+            FROM hb GROUP BY doc_id, bucket
+        ), n AS (
+            SELECT doc_id,
+                   sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS norm
+            FROM s GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.bucket AS pos, round(v / norm, 6) AS value
+        FROM s JOIN n ON s.doc_id = n.doc_id
+        WHERE norm > 0 AND round(v / norm, 6) != 0.0
     """
 
 
@@ -2894,6 +2935,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_report": _contamination_report_oracle(),
         "source_keywords": _source_keywords_oracle(),
         "dedup_report": _dedup_report_oracle(),
+        "hash_embed": _hash_embed_oracle(),
         "repetition_metrics": _repetition_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "vocab_top_k": r"""

@@ -244,6 +244,7 @@ BENCH_QUERY_NAMES = [
         "contamination_report",
         "source_keywords",
         "dedup_report",
+        "hash_embed",
         "repetition_metrics",
         "pii_scrub",
         "vocab_top_k",

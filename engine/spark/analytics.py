@@ -2787,3 +2787,99 @@ def dedup_report(
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------- feature-hash embedding
+
+HASH_EMBED_DIM = 64
+
+
+def hash_embed_batch(
+    docs: "DataFrame", dim: int = HASH_EMBED_DIM
+) -> "DataFrame":
+    """Signed feature-hashing text embedding [Weinberger et al., ICML'09
+    "Feature Hashing for Large Scale Multitask Learning"] — the
+    in-engine text → vector path: every word hashes to a bucket and a
+    sign, the signed counts accumulate per bucket, and the vector is
+    L2-normalized. No external model, no Python in the plan — the
+    embedding a 100 TB pipeline can afford for cheap near-dup/cluster
+    passes before spending GPU money, and it composes with the whole
+    ANN stack (same array<double> shape as the embeddings table).
+
+    Scale shape: two-level aggregation — (doc, bucket) partial sums
+    absorb word repeats map-side, then one per-doc collect of ≤ dim
+    (bucket, sum) entries builds the dense vector via a map lookup;
+    shuffle volume ∝ docs × distinct buckets hit (≤ dim), never words.
+    Exactness: bucket sums are INTEGER (signed counts), so the only FP
+    is the final norm divide, rounded to 6 dp on both engines; the
+    sign bit comes from the same portable md5 the rest of the LSH
+    stack uses, so the twin is bit-identical. Zero vectors (no words,
+    or full sign cancellation) stay all-zero rather than dividing by
+    a zero norm."""
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    h = _phash60(F.concat(F.lit("e:"), F.col("word")))
+    hashed = words.select(
+        "doc_id",
+        (h % dim).cast("int").alias("bucket"),
+        # the next bit above the bucket bits decides the sign — as
+        # EXACT integer arithmetic (h % 2dim >= dim), never a double
+        # divide: h is ~2^60 and a 53-bit mantissa would corrupt the
+        # low bits the sign lives in
+        F.when((h % (2 * dim)) >= dim, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    sums = hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("v")
+    )
+    dense = sums.groupBy("doc_id").agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list("v")
+        ).alias("m")
+    )
+    # try_element_at: ANSI mode makes plain element_at RAISE on a
+    # missing map key, and most docs miss some of the dim buckets
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at("m", i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    out = dense.select(
+        "doc_id",
+        F.when(
+            norm > 0,
+            F.transform(vec, lambda x: F.round(x / norm, 6)),
+        )
+        .otherwise(F.transform(vec, lambda x: x * 0.0))
+        .alias("embedding"),
+    )
+    # docs with no words at all still get a zero vector
+    zero = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: i * F.lit(0.0)
+    )
+    missing = docs.select("doc_id").join(
+        out.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", zero.alias("embedding"))
+    return out.unionByName(missing)
+
+
+def hash_embed(
+    spark: "SparkSession", sf_dir: str, dim: int = HASH_EMBED_DIM
+) -> "DataFrame":
+    """Driver-query form of hash_embed_batch over the documents table,
+    flattened to (doc_id, pos, value) rows so the oracle hash compares
+    scalars (the driver gate's value-hash treats arrays opaquely).
+    Fully DuckDB-oracled via the portable md5 bucket/sign hashes."""
+    vecs = hash_embed_batch(_docs(spark, sf_dir), dim)
+    return vecs.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "value")
+    ).filter(F.col("value") != 0.0)

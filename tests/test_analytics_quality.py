@@ -1422,3 +1422,36 @@ def test_dedup_report_planted(spark, planted_dir):
     assert row.largest_component == 2   # planted dups are pairs
     assert row.n_dropped >= 3
     assert row.dup_fraction == round(row.n_dropped / row.n_docs, 6)
+
+
+def test_hash_embed_batch_invariants(spark):
+    """Feature-hash embeddings: unit L2 norm for any doc with words,
+    identical text -> identical vector (so near-dup cosine works on
+    them), a doc with no words -> the zero vector (not a crash or a
+    missing row), and the output shape composes with the ANN stack
+    (fixed dim, array<double>)."""
+    import math
+
+    from engine.spark.analytics import HASH_EMBED_DIM, hash_embed_batch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha beta gamma alpha"),     # exact dup of 1
+            (3, "totally different words here entirely"),
+            (4, "   "),                        # whitespace-only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: list(r.embedding) for r in hash_embed_batch(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(len(v) == HASH_EMBED_DIM for v in rows.values())
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    for d in (1, 2, 3):
+        assert abs(math.sqrt(sum(x * x for x in rows[d])) - 1.0) < 1e-6
+    assert rows[4] == [0.0] * HASH_EMBED_DIM
+    # cosine of the exact dup pair is 1.0 — the embedding is usable as
+    # the dedup_embedding_cosine / simsearch input directly
+    dot = sum(a * b for a, b in zip(rows[1], rows[2]))
+    assert abs(dot - 1.0) < 1e-6
