@@ -845,6 +845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the in-engine text->vector path: integer bucket sums, exact
         # norm operands, flattened nonzero (doc_id, pos, value)
         "hash_embed": A.hash_embed,
+        # text in -> semantic near-dup pairs out, no external model:
+        # hash embeddings fed into the multi-probe sign-bucket cosine
+        # machinery (order-insensitive complement to MinHash)
+        "dedup_text_semantic": A.dedup_text_semantic,
         # Gopher-style repetition metrics + gate; map-only (sorted-
         # array fold for modes, no explode/groupBy shuffle)
         "repetition_metrics": A.repetition_metrics,
@@ -1019,7 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new_r4 = {
         "decontaminate_fuzzy", "boilerplate_ngrams", "shuffle_shards",
         "contamination_report", "source_keywords", "dedup_report",
-        "hash_embed",
+        "hash_embed", "dedup_text_semantic",
     }
     return {
         **{k: v for k, v in full.items()
@@ -1890,39 +1894,111 @@ def _shuffle_shards_oracle(n_shards: int = 8, seed: str = "r4") -> str:
     """
 
 
-def _hash_embed_oracle(dim: int = 64) -> str:
-    """DuckDB twin of analytics.hash_embed: same portable md5 bucket
-    hash, the sign from exact integer arithmetic (h % 2dim >= dim),
-    signed-count bucket sums (exact integers), and the L2 norm over
-    exact integer squares — so sqrt and the final divide see identical
-    operands on both engines and round-6 values match bit-for-bit.
-    Flattened nonzero (doc_id, pos, value) rows, like the Spark side."""
+def _hash_embed_ctes(dim: int = 64) -> str:
+    """Shared hash-embed CTE chain: same portable md5 bucket hash as
+    the Spark side, the sign from exact integer arithmetic
+    (h % 2dim >= dim), signed-count bucket sums (exact integers), the
+    L2 norm over exact integer squares — so sqrt and the final divide
+    see identical operands on both engines and round-6 values match
+    bit-for-bit. Emits CTEs hw/hhb/hs/hn (prefixed: the consumers mix
+    in other chains)."""
     return f"""
-        WITH w AS (
+        hw AS (
             SELECT doc_id, word FROM (
                 SELECT doc_id,
                        unnest(string_split(regexp_replace(lower(text),
                            '\\s+', ' ', 'g'), ' ')) AS word
                 FROM documents)
             WHERE word <> ''
-        ), hb AS (
+        ), hhb AS (
             SELECT doc_id,
                    CAST(h % {dim} AS INT) AS bucket,
                    CASE WHEN h % {2 * dim} >= {dim} THEN 1 ELSE -1 END AS sign
             FROM (SELECT doc_id,
                          ('0x' || substr(md5('e:' || word), 1, 15))::BIGINT AS h
-                  FROM w)
-        ), s AS (
+                  FROM hw)
+        ), hs AS (
             SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
-            FROM hb GROUP BY doc_id, bucket
-        ), n AS (
+            FROM hhb GROUP BY doc_id, bucket
+        ), hn AS (
             SELECT doc_id,
                    sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS norm
-            FROM s GROUP BY doc_id
-        )
-        SELECT s.doc_id, s.bucket AS pos, round(v / norm, 6) AS value
-        FROM s JOIN n ON s.doc_id = n.doc_id
+            FROM hs GROUP BY doc_id
+        )"""
+
+
+def _hash_embed_oracle(dim: int = 64) -> str:
+    """DuckDB twin of analytics.hash_embed: flattened nonzero
+    (doc_id, pos, value) rows, like the Spark side."""
+    return f"""
+        WITH {_hash_embed_ctes(dim)}
+        SELECT hs.doc_id, hs.bucket AS pos, round(v / norm, 6) AS value
+        FROM hs JOIN hn ON hs.doc_id = hn.doc_id
         WHERE norm > 0 AND round(v / norm, 6) != 0.0
+    """
+
+
+def _dedup_text_semantic_oracle(
+    dim: int = 64, threshold: float = 0.9, sign_dims: int = 6
+) -> str:
+    """DuckDB twin of analytics.dedup_text_semantic: dense round-6
+    hash-embed vectors (zero-norm docs excluded, exactly the Spark
+    filter), two 6-bit sign-bucket probes, bucket-local candidate
+    pairs, round-5 dot (the vectors are unit — _cosine contract)."""
+    def bucket_expr(offset: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN v[{offset + i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+            for i in range(sign_dims)
+        )
+
+    return f"""
+        WITH {_hash_embed_ctes(dim)},
+        hvals AS (
+            SELECT hs.doc_id, hs.bucket, round(v / norm, 6) AS val
+            FROM hs JOIN hn ON hs.doc_id = hn.doc_id WHERE norm > 0
+        ), hdense AS (
+            SELECT doc_id,
+                   map(list(bucket ORDER BY bucket),
+                       list(val ORDER BY bucket)) AS m
+            FROM hvals GROUP BY doc_id
+        ), he AS (
+            SELECT doc_id AS vec_id,
+                   list_transform(range(0, {dim}),
+                                  i -> CAST(coalesce(m[i][1], 0.0) AS DOUBLE))
+                       AS v
+            FROM hdense
+        ), hb0 AS (
+            SELECT vec_id, v, {bucket_expr(0)} AS bucket FROM he
+        ), hb1 AS (
+            SELECT vec_id, v, {bucket_expr(sign_dims)} AS bucket FROM he
+        ), hcand AS (
+            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                   a.v AS va, c.v AS vb
+            FROM hb0 a JOIN hb0 c
+              ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            UNION
+            SELECT a.vec_id, c.vec_id, a.v, c.v
+            FROM hb1 a JOIN hb1 c
+              ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        )
+        , hsims AS (
+            -- dot as the SAME left fold Spark's F.aggregate runs
+            -- (0.0 + p1 + p2 + ...): list_dot_product may sum in a
+            -- different order (pairwise/FMA) and diverged by 1 ulp on
+            -- 22 of 1.1M pairs at sf0.1. Rounding is the explicit
+            -- floor(x*1e5 + 0.5)/1e5 IEEE formula — engine round()
+            -- builtins disagree within an ulp of a 5-dp boundary
+            -- (0.8040849999999999: Spark 0.80408, DuckDB 0.80409)
+            SELECT vec_a, vec_b,
+                   floor(list_reduce(
+                       list_prepend(0.0,
+                           list_transform(range(1, {dim + 1}),
+                                          i -> va[i] * vb[i])),
+                       (acc, x) -> acc + x) * 100000.0 + 0.5) / 100000.0
+                       AS cosine
+            FROM hcand
+        )
+        SELECT vec_a, vec_b, cosine FROM hsims WHERE cosine >= {threshold}
     """
 
 
@@ -2936,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
         "source_keywords": _source_keywords_oracle(),
         "dedup_report": _dedup_report_oracle(),
         "hash_embed": _hash_embed_oracle(),
+        "dedup_text_semantic": _dedup_text_semantic_oracle(),
         "repetition_metrics": _repetition_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "vocab_top_k": r"""

@@ -1269,7 +1269,27 @@ def dedup_embedding_cosine(
     if sign_dims is None:
         n, dim = _corpus_stats(embs)
         sign_dims = adaptive_sign_dims(n, dim, probes)
+    return _probe_pair_sims(embs, threshold, sign_dims, probes)
 
+
+def _floor_round5(col) -> "F.Column":
+    """floor(x·1e5 + 0.5)/1e5 — 5-dp rounding as PURE IEEE arithmetic,
+    so any engine computes the identical double. Engine round()
+    builtins disagree on values within an ulp of a decimal boundary
+    (measured: dot 0.8040849999999999 → Spark HALF_UP 0.80408, DuckDB
+    round 0.80409 — 22 of 1.1M pairs at sf0.1); the explicit formula
+    removes the builtin from the contract."""
+    return F.floor(col * F.lit(100000.0) + F.lit(0.5)) / F.lit(100000.0)
+
+
+def _probe_pair_sims(
+    embs: "DataFrame", threshold: float, sign_dims: int, probes: int,
+    rounder=None,
+) -> "DataFrame":
+    """Multi-probe sign-bucket pair join + round-5 cosine threshold
+    over any (vec_id, v) table — shared by dedup_embedding_cosine and
+    the text-side dedup_text_semantic composition. ``rounder``
+    overrides the 5-dp rounding expression (default F.round)."""
     pairs = None
     for pidx in range(probes):
         b = embs.withColumn(
@@ -1286,10 +1306,12 @@ def dedup_embedding_cosine(
         )
         pairs = pp if pairs is None else pairs.unionByName(pp)
     pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+    if rounder is None:
+        rounder = lambda c: F.round(c, 5)
     sims = pairs.select(
         "vec_a",
         "vec_b",
-        F.round(_cosine(F.col("va"), F.col("vb")), 5).alias("cosine"),
+        rounder(_cosine(F.col("va"), F.col("vb"))).alias("cosine"),
     )
     return sims.filter(F.col("cosine") >= threshold)
 
@@ -2883,3 +2905,37 @@ def hash_embed(
     return vecs.select(
         "doc_id", F.posexplode("embedding").alias("pos", "value")
     ).filter(F.col("value") != 0.0)
+
+
+def dedup_text_semantic(
+    spark: "SparkSession",
+    sf_dir: str,
+    threshold: float = 0.9,
+    sign_dims: int = 6,
+    probes: int = 2,
+) -> "DataFrame":
+    """SEMANTIC text near-dup pairs with no external model: feature-
+    hash embeddings (hash_embed_batch — unit vectors, exact integer
+    bucket sums) fed straight into the multi-probe sign-bucket cosine
+    machinery. The composition a pipeline without GPU embeddings runs:
+    text in → near-dup pairs out, every stage native Catalyst and the
+    whole chain one DuckDB twin. Word-swap edits that break exact
+    13-grams barely move the hashed bag-of-words, so this catches the
+    same class as MinHash at a different operating point (order-
+    insensitive: it also pairs shuffled-word rewrites MinHash misses).
+    Scale: identical to dedup_embedding_cosine — bucket-local joins,
+    never a cross product; sign_dims pinned to 6 for the static oracle
+    (production would pass adaptive_sign_dims)."""
+    vecs = (
+        hash_embed_batch(_docs(spark, sf_dir))
+        .select(F.col("doc_id").alias("vec_id"), F.col("embedding").alias("v"))
+        # zero vectors (wordless docs) carry no direction — exclude,
+        # like _vecs' zero-norm sentinel handling
+        .filter(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) > 0)
+    )
+    # floor-based rounding: this op's dense same-generator corpus puts
+    # dozens of pairs within an ulp of a 5-dp boundary, where engine
+    # round() builtins disagree (_floor_round5)
+    return _probe_pair_sims(
+        vecs, threshold, sign_dims, probes, rounder=_floor_round5
+    )

@@ -1455,3 +1455,38 @@ def test_hash_embed_batch_invariants(spark):
     # the dedup_embedding_cosine / simsearch input directly
     dot = sum(a * b for a, b in zip(rows[1], rows[2]))
     assert abs(dot - 1.0) < 1e-6
+
+
+def test_dedup_text_semantic_planted(spark, tmp_path):
+    """Text-only semantic near-dups: an exact copy pairs at cosine 1.0,
+    a SHUFFLED-WORD rewrite (which MinHash shingles treat as a
+    different document) still pairs at high cosine — the
+    order-insensitive complement — and an unrelated doc pairs with
+    nothing."""
+    import random
+
+    from engine.spark.analytics import dedup_text_semantic
+
+    rng = random.Random(5)
+    words = [f"tok{i}" for i in range(80)]
+    shuffled = list(words)
+    rng.shuffle(shuffled)
+    rows = [
+        (1, " ".join(words), "en", "s", 0),
+        (2, " ".join(words), "en", "s", 0),          # exact copy
+        (3, " ".join(shuffled), "en", "s", 0),       # word-order rewrite
+        (4, " ".join(f"zzz{i}" for i in range(80)), "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(f"{path}/documents.parquet")
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_text_semantic(spark, path).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # bag-of-words is order-insensitive: shuffled text = identical vector
+    assert pairs[(1, 3)] == 1.0 and pairs[(2, 3)] == 1.0
+    assert not any(4 in p for p in pairs)
