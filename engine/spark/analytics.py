@@ -2816,6 +2816,32 @@ def dedup_report(
 HASH_EMBED_DIM = 64
 
 
+def _hash_embed_sums(docs: "DataFrame", dim: int) -> "DataFrame":
+    """(doc_id, bucket, v): exact-integer signed-count bucket sums —
+    the sparse core both hash_embed forms share."""
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    h = _phash60(F.concat(F.lit("e:"), F.col("word")))
+    hashed = words.select(
+        "doc_id",
+        (h % dim).cast("int").alias("bucket"),
+        # the next bit above the bucket bits decides the sign — as
+        # EXACT integer arithmetic (h % 2dim >= dim), never a double
+        # divide: h is ~2^60 and a 53-bit mantissa would corrupt the
+        # low bits the sign lives in
+        F.when((h % (2 * dim)) >= dim, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    return hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("v")
+    )
+
+
 def hash_embed_batch(
     docs: "DataFrame", dim: int = HASH_EMBED_DIM
 ) -> "DataFrame":
@@ -2838,50 +2864,43 @@ def hash_embed_batch(
     stack uses, so the twin is bit-identical. Zero vectors (no words,
     or full sign cancellation) stay all-zero rather than dividing by
     a zero norm."""
-    words = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
-        ).alias("word"),
-    ).filter(F.col("word") != "")
-    h = _phash60(F.concat(F.lit("e:"), F.col("word")))
-    hashed = words.select(
-        "doc_id",
-        (h % dim).cast("int").alias("bucket"),
-        # the next bit above the bucket bits decides the sign — as
-        # EXACT integer arithmetic (h % 2dim >= dim), never a double
-        # divide: h is ~2^60 and a 53-bit mantissa would corrupt the
-        # low bits the sign lives in
-        F.when((h % (2 * dim)) >= dim, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("sign"),
-    )
-    sums = hashed.groupBy("doc_id", "bucket").agg(
-        F.sum("sign").cast("long").alias("v")
-    )
+    sums = _hash_embed_sums(docs, dim)
+    # dense feeds BOTH the output vectors and the missing-doc anti-join;
+    # a lazy localCheckpoint stops the explode+agg subtree re-executing
+    # per consumer (the dedup_incremental/source_keywords defect class)
     dense = sums.groupBy("doc_id").agg(
         F.map_from_arrays(
             F.collect_list("bucket"), F.collect_list("v")
         ).alias("m")
-    )
+    ).localCheckpoint(eager=False)
     # try_element_at: ANSI mode makes plain element_at RAISE on a
-    # missing map key, and most docs miss some of the dim buckets
+    # missing map key, and most docs miss some of the dim buckets.
+    # STAGED projections (the repetition_metrics lesson): vec and norm
+    # materialize as column attributes before the per-element divide —
+    # inlined, the norm (an aggregate over the 64-slot transform) would
+    # re-evaluate inside every element's lambda (higher-order fns are
+    # codegen-fallback, nothing rescues the duplication; measured 9 s →
+    # sub-second at sf0.1 for the driver form).
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(
             F.try_element_at("m", i.cast("int")), F.lit(0)
         ).cast("double"),
     )
-    norm = F.sqrt(
-        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    staged = dense.select("doc_id", vec.alias("vec")).select(
+        "doc_id",
+        "vec",
+        F.sqrt(
+            F.aggregate("vec", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
     )
-    out = dense.select(
+    out = staged.select(
         "doc_id",
         F.when(
-            norm > 0,
-            F.transform(vec, lambda x: F.round(x / norm, 6)),
+            F.col("nrm") > 0,
+            F.transform("vec", lambda x: F.round(x / F.col("nrm"), 6)),
         )
-        .otherwise(F.transform(vec, lambda x: x * 0.0))
+        .otherwise(F.transform("vec", lambda x: x * 0.0))
         .alias("embedding"),
     )
     # docs with no words at all still get a zero vector
@@ -2889,7 +2908,7 @@ def hash_embed_batch(
         F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: i * F.lit(0.0)
     )
     missing = docs.select("doc_id").join(
-        out.select("doc_id"), "doc_id", "left_anti"
+        dense.select("doc_id"), "doc_id", "left_anti"
     ).select("doc_id", zero.alias("embedding"))
     return out.unionByName(missing)
 
@@ -2897,14 +2916,28 @@ def hash_embed_batch(
 def hash_embed(
     spark: "SparkSession", sf_dir: str, dim: int = HASH_EMBED_DIM
 ) -> "DataFrame":
-    """Driver-query form of hash_embed_batch over the documents table,
-    flattened to (doc_id, pos, value) rows so the oracle hash compares
-    scalars (the driver gate's value-hash treats arrays opaquely).
-    Fully DuckDB-oracled via the portable md5 bucket/sign hashes."""
-    vecs = hash_embed_batch(_docs(spark, sf_dir), dim)
-    return vecs.select(
-        "doc_id", F.posexplode("embedding").alias("pos", "value")
-    ).filter(F.col("value") != 0.0)
+    """Driver-query form: the nonzero (doc_id, pos, value) entries of
+    hash_embed_batch's vectors — emitted SPARSELY from the bucket sums
+    (no dense assembly, no posexplode: a Generate whose input is the
+    64-slot interpreted transform cost 4.75 s at sf0.1; the sparse join
+    form runs sub-second and is exactly what the DuckDB twin computes).
+    Flat scalars because the driver gate's value-hash treats arrays
+    opaquely."""
+    sums = _hash_embed_sums(_docs(spark, sf_dir), dim).localCheckpoint(
+        eager=False  # feeds both the values and the norms
+    )
+    vd = F.col("v").cast("double")
+    norms = sums.groupBy("doc_id").agg(F.sqrt(F.sum(vd * vd)).alias("nrm"))
+    return (
+        sums.join(norms, "doc_id")
+        .filter(F.col("nrm") > 0)
+        .select(
+            "doc_id",
+            F.col("bucket").alias("pos"),
+            F.round(vd / F.col("nrm"), 6).alias("value"),
+        )
+        .filter(F.col("value") != 0.0)
+    )
 
 
 def dedup_text_semantic(
