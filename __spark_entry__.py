@@ -1014,22 +1014,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_score", "mix_corpus", "corpus_prepare",
         "multimodal_features",
     }
-    # round-4 additions: all six carry local oracle gates at both SFs,
-    # so they queue BEHIND the 46 never-driver-sampled r3 entries — a
-    # 50-entry driver sample then covers every no-driver-row-yet entry
-    # plus the first four new ops; the last two (source_keywords,
-    # dedup_report, positions 50-51) rely on the local gates until the
-    # next rotation.
-    new_r4 = {
-        "decontaminate_fuzzy", "boilerplate_ngrams", "shuffle_shards",
-        "contamination_report", "source_keywords", "dedup_report",
-        "hash_embed", "dedup_text_semantic",
+    # Round-5 rotation (r4 verdict task #3). Front-load, in order:
+    #   1. the 4 round-4 ops that have NEVER had a driver row (they sat
+    #      at positions 50-53 last round, just outside the 50-entry
+    #      sample window): source_keywords, dedup_report, hash_embed,
+    #      dedup_text_semantic;
+    #   2. the 2 round-4 red driver rows (transcript_prepare /
+    #      transcript_curate — oracle-twin HUGEINT cast fixed this
+    #      round) so CORRECTNESS_r05 re-records them;
+    #   3. round-5 additions;
+    #   4. the r3-sampled entries (oldest driver evidence, refresh);
+    #      the r4-green entries last (freshest evidence). With 6+|new_r5|
+    #      front slots, ~44 of the 49 r3 entries also land in-window.
+    never_sampled = {
+        "source_keywords", "dedup_report", "hash_embed",
+        "dedup_text_semantic",
     }
+    red_r4 = {"transcript_curate", "transcript_prepare"}
+    new_r5 = {"dedup_text_semantic_adaptive"}
+    front = never_sampled | red_r4 | new_r5
     return {
+        **{k: v for k, v in full.items() if k in front},
         **{k: v for k, v in full.items()
-           if k not in sampled_r3 and k not in new_r4},
-        **{k: v for k, v in full.items() if k in new_r4},
-        **{k: v for k, v in full.items() if k in sampled_r3},
+           if k in sampled_r3 and k not in front},
+        **{k: v for k, v in full.items()
+           if k not in front and k not in sampled_r3},
     }
 
 
@@ -1556,11 +1565,15 @@ def _transcript_curate_oracle() -> str:
                    est_tokens
             FROM keepers),
         packed AS (
+            -- CAST: DuckDB window sum(BIGINT) yields HUGEINT (decimal128
+            -- in Arrow) while Spark emits bigint; the driver's value-hash
+            -- is type-sensitive, so pin the twin to BIGINT (same form as
+            -- the pack_sequences twin).
             SELECT conv_id, shard, est_tokens,
-                   sum(est_tokens) OVER (
+                   CAST(sum(est_tokens) OVER (
                        PARTITION BY shard ORDER BY conv_id
                        ROWS UNBOUNDED PRECEDING) - est_tokens
-                       AS start_tok
+                       AS BIGINT) AS start_tok
             FROM sharded)
         SELECT conv_id, shard, est_tokens, start_tok,
                CAST(floor(start_tok / 4096) AS BIGINT) AS bin
@@ -3628,11 +3641,14 @@ def oracle_sql() -> dict[str, str]:
                        est_tokens
                 FROM keepers),
             packed AS (
+                -- CAST: window sum(BIGINT) is HUGEINT in DuckDB/Arrow but
+                -- bigint in Spark — cast so the driver's type-sensitive
+                -- value-hash matches (see _transcript_curate_oracle).
                 SELECT conv_id, shard, est_tokens,
-                       sum(est_tokens) OVER (
+                       CAST(sum(est_tokens) OVER (
                            PARTITION BY shard ORDER BY conv_id
                            ROWS UNBOUNDED PRECEDING) - est_tokens
-                           AS start_tok
+                           AS BIGINT) AS start_tok
                 FROM sharded)
             SELECT conv_id, shard, est_tokens, start_tok,
                    CAST(floor(start_tok / 4096) AS BIGINT) AS bin

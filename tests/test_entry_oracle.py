@@ -1,10 +1,22 @@
 """Local replica of the driver's correctness gate: every queries()
 entry with an oracle_sql() twin must match DuckDB on the same parquet
-(row count + order-insensitive values), at sf0.01 like the driver."""
+(row count + order-insensitive values + canonical dtypes), at sf0.01
+like the driver.
 
+The dtype leg exists because the driver's value-hash is type-sensitive:
+round 4 proved an uncast DuckDB window ``sum(BIGINT)`` (HUGEINT →
+decimal128 in Arrow) hashes differently from Spark's bigint even when
+every value is identical, and the old ``int()``/``round()`` cell
+coercion here could never see it. Each oracle result is now fetched as
+an Arrow table and its schema compared, column by column, against the
+Spark schema under a canonical mapping (all int widths → "int", all
+float widths → "float", decimal deliberately its own class)."""
+
+import decimal
 import math
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -38,7 +50,75 @@ def _norm_cell(v):
         return round(v, 9)
     if isinstance(v, int):
         return int(v)
+    if isinstance(v, decimal.Decimal):
+        # reached only when BOTH engines emit decimal (the dtype gate
+        # rejects decimal-vs-int/float); normalize scale across engines
+        if v == v.to_integral_value():
+            return int(v)
+        return round(float(v), 9)
     return str(v)
+
+
+def _canon_arrow(t) -> str:
+    """Arrow DataType -> canonical class. Widths collapse (the driver is
+    green across int32/int64 twins) but decimal is its OWN class so an
+    uncast HUGEINT sum() can never pass against a Spark bigint/double."""
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{_canon_arrow(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{_canon_arrow(t.key_type)},{_canon_arrow(t.item_type)}>"
+    return f"other:{t}"
+
+
+def _canon_spark(t) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(t, T.DecimalType):
+        return "decimal"
+    if isinstance(t, T.StringType):
+        return "str"
+    if isinstance(t, T.BinaryType):
+        return "bin"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(t, T.ArrayType):
+        return f"list<{_canon_spark(t.elementType)}>"
+    if isinstance(t, T.StructType):
+        inner = ",".join(f"{f.name}:{_canon_spark(f.dataType)}" for f in t.fields)
+        return f"struct<{inner}>"
+    if isinstance(t, T.MapType):
+        return f"map<{_canon_spark(t.keyType)},{_canon_spark(t.valueType)}>"
+    return f"other:{t}"
 
 
 def _normalize(rows, cols):
@@ -58,16 +138,49 @@ def test_query_matches_oracle(spark, ddb, name):
     cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
 
-    res = ddb.execute(entry_mod.oracle_sql()[name])
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    tbl = ddb.execute(entry_mod.oracle_sql()[name]).fetch_arrow_table()
+    ocols = tbl.column_names
+    orows = list(zip(*(c.to_pylist() for c in tbl.columns))) if ocols else []
 
     assert sorted(cols) == sorted(ocols), f"{name}: column names differ"
+
+    # type-faithful leg: the driver's value-hash is type-sensitive, so an
+    # uncast DuckDB HUGEINT/decimal vs Spark bigint must fail HERE first
+    spark_canon = {f.name: _canon_spark(f.dataType) for f in df.schema.fields}
+    oracle_canon = {
+        tbl.schema.field(i).name: _canon_arrow(tbl.schema.field(i).type)
+        for i in range(len(ocols))
+    }
+    dt_mism = {
+        c: (spark_canon[c], oracle_canon[c])
+        for c in spark_canon
+        if spark_canon[c] != oracle_canon[c]
+    }
+    assert not dt_mism, f"{name}: dtype mismatch (spark, oracle): {dt_mism}"
+
     assert len(spark_rows) == len(orows), f"{name}: row count differs"
     a = _normalize(spark_rows, cols)
     b = _normalize(orows, ocols)
     mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
     assert not mism, f"{name}: first mismatch {a[mism[0]]} vs {b[mism[0]]}"
+
+
+def test_dtype_gate_catches_uncast_hugeint(ddb):
+    """Self-test of the dtype leg: an uncast DuckDB sum(BIGINT) —
+    window or plain — is decimal128 in Arrow and MUST canon to a class
+    distinct from Spark's bigint, which is exactly the r4 driver-red
+    class (transcript_prepare/transcript_curate start_tok)."""
+    raw = ddb.execute(
+        "SELECT sum(x) OVER () AS s FROM (SELECT 1::BIGINT AS x)"
+    ).fetch_arrow_table()
+    assert _canon_arrow(raw.schema.field(0).type) == "decimal"
+    cast = ddb.execute(
+        "SELECT CAST(sum(x) OVER () AS BIGINT) AS s FROM (SELECT 1::BIGINT AS x)"
+    ).fetch_arrow_table()
+    assert _canon_arrow(cast.schema.field(0).type) == "int"
+    from pyspark.sql import types as T
+
+    assert _canon_spark(T.LongType()) == "int" != "decimal"
 
 
 def test_oracle_keys_subset_of_queries():
