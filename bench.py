@@ -270,6 +270,7 @@ BENCH_QUERY_NAMES = [
         "source_scorecard",
         "dedup_conversations_near",
         "simsearch_int8",
+        "dedup_text_semantic_adaptive",
 ]
 
 
@@ -697,6 +698,22 @@ def _emit(result: dict) -> None:
             break
         compact.pop(victim, None)
         line = json.dumps(compact)
+    # terminal guarantee (r4 ADVICE): the queries map itself grows with
+    # BENCH_QUERY_NAMES and is never popped above — if the line still
+    # doesn't fit, drop the slowest-to-matter detail (whole query rows,
+    # fastest first; full map stays in BENCH/last_run.json) until it
+    # does, so the stdout contract can't silently regress past the
+    # driver's tail capture again.
+    if len(line) > 1900 and isinstance(compact.get("queries"), dict):
+        kept = sorted(
+            compact["queries"].items(), key=lambda kv: -kv[1]
+        )
+        while len(line) > 1900 and kept:
+            kept.pop()
+            compact["queries"] = dict(sorted(kept))
+            compact["queries_truncated"] = True
+            line = json.dumps(compact)
+    assert len(line) <= 1900, f"bench stdout line {len(line)} > 1900"
     print(line)
 
 

@@ -2972,3 +2972,194 @@ def dedup_text_semantic(
     return _probe_pair_sims(
         vecs, threshold, sign_dims, probes, rounder=_floor_round5
     )
+
+
+def rp_lsh_params(
+    n_vectors: int,
+    threshold: float,
+    target_recall: float = 0.85,
+    min_dims: int = 6,
+    max_dims: int = 42,
+    max_probes: int = 32,
+) -> tuple[int, int]:
+    """(sign_dims, probes) for random-HYPERPLANE LSH [Charikar, STOC'02
+    "Similarity estimation techniques from rounding algorithms"].
+
+    Coordinate-sign bucketing (adaptive_sign_dims + _sign_bucket) is
+    the wrong tool for bag-of-words embeddings: the dominant buckets
+    ("the"/"and" mass) have near-constant signs corpus-wide, so at
+    sf0.1 probe 0 collapsed 5,000 docs into FOUR buckets (measured:
+    max bucket 3,302 → 6.06M candidate pairs — the entire ~55 s cost
+    of the first adaptive attempt). Random hyperplanes make each bit a
+    fair coin regardless of coordinate skew, restoring the keyspace
+    math: sign_dims = ceil(log2 n)+1 ⇒ ≥ 2n keys ⇒ expected random
+    collisions ≈ n/4 per probe.
+
+    Width r costs recall per band (P[bit agrees] = 1 − θ/π, θ the
+    threshold angle), so probes scale WITH width — banded AND-OR
+    exactly like MinHash LSH: recall = 1 − (1 − p^r)^b ≥ target.
+    Transcendentals (acos/log) appear only HERE, driver-side at plan
+    time; the chosen (r, b) are persisted with the vector artifact so
+    a cross-engine twin never re-derives them through its own libm."""
+    import math
+
+    if n_vectors <= 1:
+        return min_dims, 1
+    r = max(min(math.ceil(math.log2(n_vectors)) + 1, max_dims), min_dims)
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    pr = p**r
+    if pr >= 1.0:
+        return r, 1
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+    return r, max(1, min(b, max_probes))
+
+
+def _rp_sign(probe: int, bit: int, j: int) -> int:
+    """Deterministic Rademacher sign for hyperplane (probe, bit),
+    coordinate j: +1 iff the first md5 nibble of 'rp:probe:bit:j' is
+    < 8. md5 is the one hash every engine shares, so a DuckDB twin
+    regenerates the identical hyperplanes from the same strings."""
+    import hashlib
+
+    d = hashlib.md5(f"rp:{probe}:{bit}:{j}".encode()).hexdigest()
+    return 1 if int(d[0], 16) < 8 else -1
+
+
+def hash_embed_vectors(
+    docs: "DataFrame", dim: int = HASH_EMBED_DIM
+) -> "DataFrame":
+    """The servable hash-embed artifact: (vec_id, v, w) for every doc
+    with at least one word surviving sign cancellation — ``v`` the
+    round-6 L2-normalized double vector (identical math to
+    hash_embed_batch, parity-tested) and ``w`` the RAW signed integer
+    counts. ``w`` exists so downstream hyperplane bucketing can run on
+    exact integer dots: sign(dot(v, plane)) == sign(dot(w, plane))
+    because the norm is a positive scalar, and an integer dot is
+    order-insensitive — any engine, any aggregation order, same bucket
+    bit. That removes FP fold order from the bucketing contract
+    entirely (it remains only in the final cosine, where both engines
+    run the same explicit left fold)."""
+    sums = _hash_embed_sums(docs, dim)
+    dense = sums.groupBy("doc_id").agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list("v")
+        ).alias("m")
+    )
+    wcol = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at("m", i.cast("int")), F.lit(0)
+        ).cast("long"),
+    )
+    # integer norm²: exact, so nrm and the rounded v match
+    # hash_embed_batch bit-for-bit (same sqrt input)
+    staged = dense.select(F.col("doc_id").alias("vec_id"), wcol.alias("w")).select(
+        "vec_id",
+        "w",
+        F.sqrt(
+            F.aggregate(
+                "w", F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).cast("double")
+        ).alias("nrm"),
+    )
+    return staged.filter(F.col("nrm") > 0).select(
+        "vec_id",
+        F.transform("w", lambda x: F.round(x.cast("double") / F.col("nrm"), 6)).alias(
+            "v"
+        ),
+        "w",
+    )
+
+
+def rp_pair_sims(
+    vecs: "DataFrame",
+    threshold: float,
+    sign_dims: int,
+    probes: int,
+    dim: int = HASH_EMBED_DIM,
+) -> "DataFrame":
+    """Random-hyperplane banded pair generation + round-5 cosine
+    threshold over a (vec_id, v, w) table.
+
+    Bucketing runs SPARSELY on the integer counts ``w``: nonzero
+    coordinates explode once, broadcast-join the (probe, bit, j, sign)
+    hyperplane table, and two hash aggregations build per-(vec, probe)
+    bucket ids — all whole-stage codegen, no per-bit expression
+    unrolling (an unrolled probes×bits×dim expression tree serialized
+    12 MiB task binaries and spent ~45 s in plan compile at sf0.01),
+    and exact integer dots so aggregation order cannot flip a sign.
+
+    Candidate pairs travel as (vec_a, vec_b) IDS ONLY through the
+    bucket self-join + distinct — the 64-double vectors re-join after
+    dedup — so the collision shuffle is ~16 bytes/pair, and only
+    surviving pairs pay the 64-dim cosine fold."""
+    spark = vecs.sparkSession
+    proj = spark.createDataFrame(
+        [
+            (p, i, j, _rp_sign(p, i, j))
+            for p in range(probes)
+            for i in range(sign_dims)
+            for j in range(dim)
+        ],
+        "probe int, bit int, j int, s long",
+    )
+    nz = vecs.select(
+        "vec_id", F.posexplode("w").alias("j", "wj")
+    ).filter(F.col("wj") != 0)
+    dots = (
+        nz.join(F.broadcast(proj), "j")
+        .groupBy("vec_id", "probe", "bit")
+        .agg(F.sum(F.col("wj") * F.col("s")).alias("dot"))
+    )
+    buck = dots.groupBy("vec_id", "probe").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("bucket")
+    )
+    a = buck.select("probe", "bucket", F.col("vec_id").alias("vec_a"))
+    c = buck.select("probe", "bucket", F.col("vec_id").alias("vec_b"))
+    pairs = (
+        a.join(c, ["probe", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sims = (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            _floor_round5(_cosine(F.col("va"), F.col("vb"))).alias("cosine"),
+        )
+    )
+    return sims.filter(F.col("cosine") >= threshold)
+
+
+def dedup_text_semantic_served(
+    spark: "SparkSession",
+    vectors_path: str,
+    threshold: float = 0.9,
+    target_recall: float = 0.85,
+    params: tuple[int, int] | None = None,
+) -> "DataFrame":
+    """dedup_text_semantic at its PRODUCTION operating point: nonzero
+    hash-embed unit vectors materialized once as a parquet artifact
+    (the IVF-codebook serve pattern), bucketed by random-hyperplane
+    LSH with (sign_dims, probes) from rp_lsh_params — balanced buckets
+    at any corpus skew, keyspace ≥ 2n, recall bought back with probes.
+    The pinned sign_dims=6 coordinate-sign form above exists for its
+    fully-static oracle and costs ~60 s at sf0.1 on this dense corpus;
+    this is the form a pipeline runs. One count() over the slim
+    artifact picks the plan — the same AQE-style planning read
+    _corpus_stats does."""
+    vecs = spark.read.parquet(vectors_path).select("vec_id", "v", "w")
+    if params is None:
+        params = rp_lsh_params(vecs.count(), threshold, target_recall)
+    sign_dims, probes = params
+    return rp_pair_sims(vecs, threshold, sign_dims, probes)

@@ -1457,6 +1457,101 @@ def test_hash_embed_batch_invariants(spark):
     assert abs(dot - 1.0) < 1e-6
 
 
+def test_rp_lsh_params_keyspace_and_recall():
+    """Random-hyperplane plan maths: the keyspace always dominates the
+    corpus (≥ 2n keys up to the width cap), probes stay bounded, and
+    the banded OR actually buys the target recall at the threshold
+    angle — checked against the closed form 1-(1-p^r)^b."""
+    import math
+
+    from engine.spark.analytics import rp_lsh_params
+
+    for n in (2, 500, 5_000, 10**6, 10**9, 10**12):
+        r, b = rp_lsh_params(n, threshold=0.9)
+        assert 6 <= r <= 42 and 1 <= b <= 32
+        if r < 42:
+            assert 2**r >= 2 * n
+        p = 1.0 - math.acos(0.9) / math.pi
+        if b < 32:  # uncapped → the recall bound must hold exactly
+            assert 1.0 - (1.0 - p**r) ** b >= 0.85
+    # degenerate corpora don't divide by zero or go negative
+    assert rp_lsh_params(0, 0.9) == (6, 1)
+    assert rp_lsh_params(1, 0.9) == (6, 1)
+    # identical-vector threshold (p=1) needs exactly one probe
+    assert rp_lsh_params(10**6, 1.0)[1] == 1
+
+
+def test_hash_embed_vectors_parity_with_batch(spark):
+    """The servable (vec_id, v, w) artifact must agree with
+    hash_embed_batch bit-for-bit on v (same norm input, same round-6),
+    carry exact integer counts in w (norm² over w == the float norm²),
+    and drop exactly the zero-norm docs the batch form zero-fills."""
+    import math
+
+    from engine.spark.analytics import hash_embed_batch, hash_embed_vectors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "totally different words here entirely"),
+            (3, "   "),  # no words → no artifact row
+        ],
+        "doc_id long, text string",
+    )
+    batch = {r.doc_id: list(r.embedding) for r in hash_embed_batch(docs).collect()}
+    art = {r.vec_id: (list(r.v), list(r.w)) for r in hash_embed_vectors(docs).collect()}
+    assert set(art) == {1, 2}  # doc 3 has zero norm → excluded
+    for vid, (v, w) in art.items():
+        assert v == batch[vid]
+        assert all(isinstance(x, int) for x in w)
+        n2 = sum(x * x for x in w)
+        assert n2 > 0
+        # v is w / sqrt(n2) rounded to 6 dp — same math as the batch
+        nrm = math.sqrt(float(n2))
+        assert v == [round(x / nrm, 6) for x in w]
+
+
+def test_dedup_text_semantic_served_planted(spark, tmp_path):
+    """The production (served) form over a persisted artifact finds the
+    planted pair: exact copy ↔ cosine 1.0, word-order rewrite still
+    pairs (order-insensitive), unrelated doc pairs with nothing — and
+    explicit params vs adaptive params agree on this corpus."""
+    import random
+
+    from engine.spark.analytics import (
+        dedup_text_semantic_served,
+        hash_embed_vectors,
+        rp_lsh_params,
+    )
+
+    rng = random.Random(7)
+    words = [f"tok{i}" for i in range(80)]
+    shuffled = list(words)
+    rng.shuffle(shuffled)
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),
+            (2, " ".join(words)),
+            (3, " ".join(shuffled)),
+            (4, " ".join(f"zzz{i}" for i in range(80))),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "hv")
+    hash_embed_vectors(docs).write.parquet(path)
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_text_semantic_served(spark, path, threshold=0.9).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    explicit = dedup_text_semantic_served(
+        spark, path, threshold=0.9, params=rp_lsh_params(4, 0.9)
+    ).collect()
+    assert {(r.vec_a, r.vec_b): r.cosine for r in explicit} == pairs
+
+
 def test_dedup_text_semantic_planted(spark, tmp_path):
     """Text-only semantic near-dups: an exact copy pairs at cosine 1.0,
     a SHUFFLED-WORD rewrite (which MinHash shingles treat as a

@@ -73,3 +73,31 @@ def test_emit_sheds_fields_when_oversized(tmp_path, monkeypatch, capsys):
     parsed = json.loads(line)
     assert "skew" not in parsed
     assert set(parsed["queries"]) == set(result["queries"])
+
+
+def test_emit_truncates_query_map_as_terminal_guarantee(
+    tmp_path, monkeypatch, capsys
+):
+    """r4 ADVICE: the queries map itself was never shed, so growing
+    BENCH_QUERY_NAMES past the tail buffer would silently reproduce the
+    BENCH_r03 'parsed: null' failure. With ~160 fake query names the
+    line must still parse, still fit, keep the SLOWEST queries (the
+    ones a judge reads first), and flag the truncation."""
+    result = _fake_result()
+    result["queries"] = {
+        f"synthetic_query_with_a_long_name_{i:03d}": float(i) for i in range(160)
+    }
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
+    (tmp_path / "BENCH").mkdir()
+    bench._emit(result)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["queries_truncated"] is True
+    kept = parsed["queries"]
+    assert 0 < len(kept) < 160
+    # the survivors are the slowest ones
+    assert min(kept.values()) > 100.0
+    # the full untruncated map still lands in the file record
+    full = json.load(open(os.path.join(tmp_path, "BENCH", "last_run.json")))
+    assert len(full["queries"]) == 160

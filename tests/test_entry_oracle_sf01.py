@@ -39,6 +39,10 @@ SF_PINNED = {
     "embedding_clusters",
     "dedup_conversations",
     "transcript_prepare",
+    # reads the persisted hash-embed vector artifact materialized at
+    # the driver's sf0.01 path; the sf0.1 form is cross-checked by
+    # test_text_semantic_adaptive_sf01 below with a per-SF artifact
+    "dedup_text_semantic_adaptive",
 }
 
 
@@ -89,3 +93,26 @@ def test_query_matches_oracle_at_sf01(spark, ddb, name):
     assert sorted(cols) == sorted(ocols), f"{name}: column names differ"
     assert len(spark_rows) == len(orows), f"{name}: row count differs"
     assert _normalize(spark_rows, cols) == _normalize(orows, ocols), name
+
+
+def test_text_semantic_adaptive_sf01(spark, ddb):
+    """dedup_text_semantic_adaptive at sf0.1 with a per-SF artifact:
+    the entry materializes the hash-embed vectors + rp_lsh_params at
+    the sf0.1-keyed path, and the same twin (parametrized by sf_dir)
+    replays hyperplanes/buckets/pairs/cosines from those parquets —
+    so the adaptive plan (wider sign_dims, more vectors, deeper
+    aggregation) is cross-engine-checked at the bench scale, not just
+    the driver's sf0.01."""
+    name = "dedup_text_semantic_adaptive"
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    res = ddb.sql(
+        entry_mod._dedup_text_semantic_adaptive_oracle(sf_dir=SF_DIR)
+    )
+    ocols = res.columns
+    orows = res.fetchall()
+    assert sorted(cols) == sorted(ocols)
+    assert len(spark_rows) == len(orows)
+    assert spark_rows, "sf0.1 adaptive form found no near-dup pairs"
+    assert _normalize(spark_rows, cols) == _normalize(orows, ocols)
