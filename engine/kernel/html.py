@@ -39,12 +39,43 @@ _ANCHOR_TEXT = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 _ANY_TAG = re.compile(r"<[^>]+>")
 # A '<' never followed by '>' (truncated payload / tag cut mid-attribute):
 # routine in crawl corpora where responses are length-capped mid-byte.
-_UNTERMINATED_TAIL = re.compile(r"<(?=[A-Za-z/!?])[^>]*$")
+_UNTERMINATED_TAIL = re.compile(
+    r"<(?P<name>/|!|\?|[A-Za-z][A-Za-z0-9-]*)(?P<rest>[^>]*)$"
+)
 # tag-shaped only: '<' must open an element (letter), closer (/),
 # comment/doctype (!) or PI (?) to count as a truncated tag — a bare
 # comparison like 'for x < 5, the bound holds' is PROSE and must
 # survive (round-4 review: the unanchored <[^>]*$ deleted everything
-# after a literal '<' in tail position).
+# after a literal '<' in tail position). A MATCH is then judged by
+# _tail_is_truncated_tag: '</' '<!' '<?' always strip, a known HTML
+# element name strips ('hello <span', 'text<br'), an attribute
+# assignment anywhere in the rest strips ('<x-widget data-id="3'),
+# but an UNKNOWN word reading as prose survives ('if a<threshold then
+# the bound holds' — the r4 ADVICE case: the letter-lookahead alone
+# deleted everything after a tight comparison). Accepted loss, pinned
+# in tests: 'a<b then ...' still strips — 'b' IS the bold element and
+# a crawl cut at '<b' is indistinguishable from that prose.
+_KNOWN_TAGS = frozenset(
+    "a abbr address area article aside audio b base bdi bdo blockquote "
+    "body br button canvas caption cite code col colgroup data datalist "
+    "dd del details dfn dialog div dl dt em embed fieldset figcaption "
+    "figure footer form h1 h2 h3 h4 h5 h6 head header hr html i iframe "
+    "img input ins kbd label legend li link main map mark meta meter nav "
+    "noscript object ol optgroup option output p param picture pre "
+    "progress q rp rt ruby s samp script section select slot small "
+    "source span strong style sub summary sup table tbody td template "
+    "textarea tfoot th thead time title tr track u ul var video "
+    "wbr".split()
+)
+
+
+def _tail_is_truncated_tag(m: "re.Match[str]") -> bool:
+    name = m.group("name")
+    if name in ("/", "!", "?"):
+        return True
+    if name.lower() in _KNOWN_TAGS:
+        return True
+    return "=" in m.group("rest")
 _CLASS_ID = re.compile(r"(?:class|id)\s*=\s*[\"']([^\"']*)[\"']", re.IGNORECASE)
 
 _BAD_HINTS = ("nav", "footer", "sidebar", "comment", "menu", "banner",
@@ -86,7 +117,7 @@ def _strip_tags(fragment: str) -> tuple[str, int]:
     "cleaned" text; the stripped tail counts as markup too."""
     stripped, n_tags = _ANY_TAG.subn(" ", fragment)
     m = _UNTERMINATED_TAIL.search(stripped)
-    if m:
+    if m and _tail_is_truncated_tag(m):
         stripped = stripped[: m.start()] + " "
         n_tags += 1
     return stripped, n_tags

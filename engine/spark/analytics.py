@@ -816,7 +816,10 @@ def _ngrams(docs: "DataFrame", n: int) -> "DataFrame":
 
 
 def decontaminate_batch(
-    corpus: "DataFrame", eval_docs: "DataFrame", n: int = 13
+    corpus: "DataFrame",
+    eval_docs: "DataFrame",
+    n: int = 13,
+    eval_grams: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Training-corpus DECONTAMINATION — drop every training document
     sharing any word ``n``-gram with a held-out evaluation set (the
@@ -835,8 +838,18 @@ def decontaminate_batch(
     if hits ever outgrew the broadcast threshold AQE falls back to a
     shuffled anti-join on doc_id alone. Docs shorter than n words
     carry no n-grams and always survive (both engines agree by
-    construction)."""
-    ev_grams = _ngrams(eval_docs, n).select("gram").distinct()
+    construction).
+
+    ``eval_grams`` short-circuits the eval-side derivation with a
+    pre-built distinct-gram table (one ``gram`` column) — callers that
+    check many batches against one fixed eval set (stream_decontaminate)
+    build it once via :func:`eval_ngram_table` and cache it instead of
+    re-aggregating the eval set per call."""
+    ev_grams = (
+        eval_grams
+        if eval_grams is not None
+        else eval_ngram_table(eval_docs, n)
+    )
     hits = (
         _ngrams(corpus, n)
         .join(F.broadcast(ev_grams), "gram")
@@ -844,6 +857,14 @@ def decontaminate_batch(
         .distinct()
     )
     return corpus.select("doc_id").join(hits, "doc_id", "left_anti")
+
+
+def eval_ngram_table(eval_docs: "DataFrame", n: int = 13) -> "DataFrame":
+    """The broadcastable eval-side artifact of decontaminate_batch: the
+    eval set's distinct word n-grams. Split out so a fixed eval set is
+    aggregated ONCE for many corpus batches (r4 ADVICE: the streaming
+    twin re-derived it per microbatch)."""
+    return _ngrams(eval_docs, n).select("gram").distinct()
 
 
 def decontaminate(
@@ -2447,6 +2468,7 @@ def decontaminate_fuzzy_batch(
     eval_docs: "DataFrame",
     jaccard_threshold: float = 0.5,
     max_eval_bucket: int = LSH_MAX_BUCKET_DOCS,
+    eval_bands: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Paraphrase-robust eval-set DECONTAMINATION — drop every training
     document whose MinHash-estimated Jaccard against ANY held-out eval
@@ -2467,15 +2489,17 @@ def decontaminate_fuzzy_batch(
     bounded by |eval ∩ bucket| ≤ ``max_eval_bucket`` (oversized eval
     buckets are degenerate boilerplate; capping them bounds the
     per-corpus-row fanout — connectivity does not matter here because
-    any single surviving hit already drops the doc)."""
-    eb = _minhash_bands(eval_docs).select(
-        F.col("bucket"), F.col("sig").alias("esig")
-    )
-    w = Window.partitionBy("bucket")
+    any single surviving hit already drops the doc).
+
+    ``eval_bands`` short-circuits the eval-side derivation with a
+    pre-built capped band table (``bucket``, ``esig``) from
+    :func:`eval_band_table` — the streaming caller builds and caches it
+    once for the stream's lifetime instead of re-signing the eval set
+    per microbatch."""
     eb = (
-        eb.withColumn("bsize", F.count("*").over(w))
-        .filter(F.col("bsize") <= max_eval_bucket)
-        .drop("bsize")
+        eval_bands
+        if eval_bands is not None
+        else eval_band_table(eval_docs, max_eval_bucket)
     )
     cb = _minhash_bands(corpus)
     hits = (
@@ -2488,6 +2512,24 @@ def decontaminate_fuzzy_batch(
         .distinct()
     )
     return corpus.select("doc_id").join(hits, "doc_id", "left_anti")
+
+
+def eval_band_table(
+    eval_docs: "DataFrame", max_eval_bucket: int = LSH_MAX_BUCKET_DOCS
+) -> "DataFrame":
+    """The broadcastable eval-side artifact of decontaminate_fuzzy_batch:
+    banded MinHash signatures of the eval set with degenerate
+    (boilerplate) buckets capped. Split out so a fixed eval set is
+    signed ONCE for many corpus batches."""
+    eb = _minhash_bands(eval_docs).select(
+        F.col("bucket"), F.col("sig").alias("esig")
+    )
+    w = Window.partitionBy("bucket")
+    return (
+        eb.withColumn("bsize", F.count("*").over(w))
+        .filter(F.col("bsize") <= max_eval_bucket)
+        .drop("bsize")
+    )
 
 
 def decontaminate_fuzzy(

@@ -282,11 +282,25 @@ def stream_decontaminate(
     the eval side broadcasts, the arriving batch is scanned, never
     shuffled past its signature agg. Exactly-once: idempotent
     per-`batch=<id>` overwrite sink + checkpoint (the stream_dedup_exact
-    contract)."""
+    contract).
+
+    The eval set is FIXED for the stream's lifetime, so its two
+    broadcast artifacts — the distinct 13-gram table and the capped
+    MinHash band table — materialize ONCE before the stream starts
+    (persist + count) and every microbatch joins against the cached
+    frames (r4 ADVICE: the first version re-ran the eval shingle/
+    signature aggregation inside every trigger)."""
     from engine.spark.analytics import (
         decontaminate_batch,
         decontaminate_fuzzy_batch,
+        eval_band_table,
+        eval_ngram_table,
     )
+
+    ev_grams = eval_ngram_table(eval_docs, n).persist()
+    ev_bands = eval_band_table(eval_docs).persist()
+    ev_grams.count()
+    ev_bands.count()
 
     src = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
@@ -295,9 +309,11 @@ def stream_decontaminate(
     )
 
     def sink(batch_df, batch_id: int) -> None:
-        exact = decontaminate_batch(batch_df, eval_docs, n)
+        exact = decontaminate_batch(
+            batch_df, eval_docs, n, eval_grams=ev_grams
+        )
         fuzzy = decontaminate_fuzzy_batch(
-            batch_df, eval_docs, jaccard_threshold
+            batch_df, eval_docs, jaccard_threshold, eval_bands=ev_bands
         )
         keep = exact.join(fuzzy, "doc_id")
         batch_df.join(keep, "doc_id", "left_semi").write.mode(

@@ -168,3 +168,27 @@ def test_prose_comparison_tail_survives():
     assert "<" not in extract_main_text("truncated <div class=")
     # '<' before a digit/space/end is prose everywhere
     assert extract_main_text("a < b and b <") == "a < b and b <"
+
+
+def test_unknown_word_comparison_tail_survives():
+    """Round-5 ADVICE refinement: a tight comparison against an
+    UNKNOWN word ('a<threshold') is prose and must survive — the
+    letter-lookahead alone deleted everything after it. Known element
+    names and attribute-shaped tails still strip; the one ambiguous
+    case, 'a<b ...' ('b' IS the bold element — a crawl cut at '<b' is
+    indistinguishable), is ACCEPTED LOSS, pinned here."""
+    from engine.kernel.html import extract_main_text
+
+    prose = "if a<threshold then the bound holds"
+    assert extract_main_text(prose) == prose
+    assert extract_main_text("cost<price always wins") == \
+        "cost<price always wins"
+    # custom elements betray themselves with attribute assignments
+    assert "<" not in extract_main_text("tail <x-widget data-id=\"3")
+    # closer / comment / PI tails always strip
+    assert "<" not in extract_main_text("done </artic")
+    assert "<" not in extract_main_text("done <!-- cut")
+    # known inline elements strip even without a space ('text<br')
+    assert extract_main_text("text<br") == "text"
+    # the pinned accepted loss: 'b' is the bold element
+    assert extract_main_text("a<b then the bound holds") == "a"
