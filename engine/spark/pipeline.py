@@ -508,6 +508,11 @@ def _gate_and_pack(
         F.sum("et").cast("long").alias("est_tokens"),
         F.sum("emp").alias("n_empty"),
     )
+    # `/` here MUST stay true (double) division: Spark long `/` long and
+    # the DuckDB twins' BIGINT `/` BIGINT both promote to double, so the
+    # exactly-50%-empty boundary row lands identically in both engines
+    # (cross-engine golden: test_gate_boundary_division_identical_both_
+    # engines). An integer-division refactor would admit 3/4-empty rows.
     gated = stats.filter(
         (F.col("est_tokens") >= F.lit(min_conv_tokens))
         & (F.col("n_empty") / F.col("n_turns") <= F.lit(max_empty_frac))

@@ -945,6 +945,69 @@ def test_transcript_prepare_pipeline_semantics(spark):
             off += r.est_tokens
 
 
+def test_gate_boundary_division_identical_both_engines(spark):
+    """r4 verdict task #6: the quality gate `n_empty / n_turns <= 0.5`
+    relies on TRUE (double) division in BOTH engines — Spark's `/` on
+    longs and DuckDB's `/` on BIGINTs each promote to double, and
+    2/4 == 0.5 is exact in IEEE so the boundary row is stable. A
+    refactor to integer division (`//` / `div`) on EITHER side would
+    make 3/4 → 0 and silently ADMIT mostly-empty conversations. Pin
+    it: a conversation at exactly 50% empty is KEPT by both engines,
+    one at 75% is DROPPED by both, including odd denominators (2/3)
+    where the double is not exactly representable."""
+    import duckdb
+    import pandas as pd
+
+    from engine.spark.pipeline import transcript_prepare
+
+    long_text = "w " * 200  # ~100 est tokens per non-empty turn
+    rows = [
+        # exactly 2/4 empty — the boundary: ratio == 0.5, kept
+        ("half", 0, long_text), ("half", 1, long_text + "a"),
+        ("half", 2, ""), ("half", 3, ""),
+        # 3/4 empty — dropped (int division would keep it: 3//4 == 0)
+        ("most", 0, long_text + "b"), ("most", 1, ""),
+        ("most", 2, ""), ("most", 3, ""),
+        # 2/3 empty — dropped; 2/3 is NOT exactly representable, both
+        # engines must round it identically (they do: same double)
+        ("twothirds", 0, long_text + "c"),
+        ("twothirds", 1, ""), ("twothirds", 2, ""),
+        # 1/3 empty — kept
+        ("third", 0, long_text + "d"), ("third", 1, long_text + "e"),
+        ("third", 2, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, cleaned_text string"
+    )
+    spark_kept = {r.conv_id for r in transcript_prepare(df).collect()}
+    assert spark_kept == {"half", "third"}
+
+    # the DuckDB twin's gate expression, verbatim, over the same rows
+    con = duckdb.connect()
+    con.register(
+        "pt", pd.DataFrame(rows, columns=["conv_id", "turn_idx", "cleaned_text"])
+    )
+    oracle_kept = {
+        r[0]
+        for r in con.execute(
+            """
+            SELECT conv_id FROM (
+                SELECT conv_id,
+                       count(*) AS n_turns,
+                       CAST(sum(greatest(1, floor(length(
+                           coalesce(cleaned_text, '')) / 4))) AS BIGINT)
+                           AS est_tokens,
+                       sum(CASE WHEN coalesce(cleaned_text, '') = ''
+                                THEN 1 ELSE 0 END) AS n_empty
+                FROM pt GROUP BY conv_id)
+            WHERE est_tokens >= 64 AND n_empty / n_turns <= 0.5
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert oracle_kept == spark_kept
+
+
 def test_transcript_prepare_driver_non_vacuous(spark):
     """Every stage must fire on the real corpus: planted dups are
     dropped (never packed), the token floor drops some conversations,
