@@ -443,6 +443,57 @@ def _dedup_text_semantic_adaptive(
     )
 
 
+def _quality_weights_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Train the distilled quality classifier once per (pid, sf_dir)
+    and persist its weight vector (one row, array<double> of dim+1) —
+    the served-model artifact the scoring entry and its DuckDB twin
+    both read. Labels distill the c4_clean document gate (keep_doc):
+    the classic pipeline move of replacing a rule cascade with one
+    dense scorer. Training is exact-integer Gram aggregation + a
+    driver-side 65×65 ridge solve (plan-time, outside the
+    cross-engine contract — only the persisted weights are replayed)."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from engine.spark import analytics as A
+
+    hv = _hash_vectors_parquet(spark, sf_dir)
+    path = _per_turn_path(sf_dir) + "_qw"
+    if path not in _TMP_PATHS:
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        vecs = spark.read.parquet(hv)
+        labels = (
+            A.c4_clean(spark, sf_dir)
+            .select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("keep_doc").cast("int").alias("label"),
+            )
+            .join(vecs.select("vec_id"), "vec_id")
+        )
+        wvec = A.quality_train(vecs, labels)
+        spark.createDataFrame(
+            [(wvec,)], "wvec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        _TMP_PATHS.add(path)
+    return path
+
+
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the CCNet/fasttext-lineage
+    component): score every document's hash-embed features with the
+    ridge-trained linear distillation of the c4_clean gate, persisted
+    as a served-weights artifact. Map-only scoring over the vector
+    artifact; the DuckDB twin replays the identical ascending-j left
+    fold + floor-round-5 from the same two parquets."""
+    from engine.spark import analytics as A
+
+    hv = _hash_vectors_parquet(spark, sf_dir)
+    qw = _quality_weights_parquet(spark, sf_dir)
+    return A.quality_score_served(spark, hv, qw)
+
+
 def _planted_conv_turns(spark: SparkSession, with_dup: bool) -> DataFrame:
     """Synthetic multi-turn per-turn rows plus the planted duplicate
     copies the conversation-dedup entries share: md5-prefix-'0'
@@ -906,6 +957,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # persisted vector artifact + adaptive sign width (the pinned
         # sign_dims=6 entry above exists for its fully-static oracle)
         "dedup_text_semantic_adaptive": _dedup_text_semantic_adaptive,
+        # model-based quality filtering: ridge-distilled linear scorer
+        # over hash-embed features (served-weights artifact; map-only
+        # scoring, exact left-fold dot replayed by the twin)
+        "quality_classifier": _quality_classifier,
         # Gopher-style repetition metrics + gate; map-only (sorted-
         # array fold for modes, no explode/groupBy shuffle)
         "repetition_metrics": A.repetition_metrics,
@@ -1088,7 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_text_semantic",
     }
     red_r4 = {"transcript_curate", "transcript_prepare"}
-    new_r5 = {"dedup_text_semantic_adaptive"}
+    new_r5 = {"dedup_text_semantic_adaptive", "quality_classifier"}
     front = never_sampled | red_r4 | new_r5
     return {
         **{k: v for k, v in full.items() if k in front},
@@ -2143,6 +2198,40 @@ def _dedup_text_semantic_adaptive_oracle(
     """
 
 
+def _quality_classifier_oracle(
+    dim: int = 64,
+    threshold: float = 0.5,
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """DuckDB twin of the served quality classifier: reads the SAME
+    two parquets the Spark query reads (vector artifact + trained
+    weights — written when the Spark query runs, the served-artifact
+    run-order contract) and replays scoring verbatim: ascending-j left
+    fold over wⱼ·θⱼ int×double products, + bias, floor-round-5,
+    threshold. Training (the ridge solve) never enters the contract —
+    it happened driver-side at plan time and only its output table is
+    compared."""
+    path = _per_turn_path(sf_dir)
+    return f"""
+        WITH he AS (
+            SELECT vec_id, w FROM read_parquet('{path}_hv/*.parquet')
+        ), wt AS (
+            SELECT wvec FROM read_parquet('{path}_qw/*.parquet')
+        ), scored AS (
+            SELECT vec_id,
+                   floor((list_reduce(
+                       list_prepend(0.0,
+                           list_transform(range(1, {dim + 1}),
+                                          j -> he.w[j] * wt.wvec[j])),
+                       (acc, x) -> acc + x) + wt.wvec[{dim + 1}])
+                       * 100000.0 + 0.5) / 100000.0 AS score
+            FROM he, wt
+        )
+        SELECT vec_id, score, score >= {threshold} AS pred_keep
+        FROM scored
+    """
+
+
 def _dedup_report_oracle() -> str:
     """DuckDB twin of analytics.dedup_report: component stats from the
     recursive-closure reach table (component root = min reachable id —
@@ -3156,6 +3245,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_text_semantic": _dedup_text_semantic_oracle(),
         "dedup_text_semantic_adaptive":
             _dedup_text_semantic_adaptive_oracle(),
+        "quality_classifier": _quality_classifier_oracle(),
         "repetition_metrics": _repetition_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "vocab_top_k": r"""

@@ -271,6 +271,7 @@ BENCH_QUERY_NAMES = [
         "dedup_conversations_near",
         "simsearch_int8",
         "dedup_text_semantic_adaptive",
+        "quality_classifier",
 ]
 
 

@@ -3205,3 +3205,120 @@ def dedup_text_semantic_served(
         params = rp_lsh_params(vecs.count(), threshold, target_recall)
     sign_dims, probes = params
     return rp_pair_sims(vecs, threshold, sign_dims, probes)
+
+
+# ------------------------------------ distilled quality classifier
+
+def quality_train(
+    vecs: "DataFrame",
+    labels: "DataFrame",
+    dim: int = HASH_EMBED_DIM,
+    l2: float = 1e-3,
+) -> list[float]:
+    """Train a LINEAR quality classifier by closed-form ridge
+    regression over hash-embed features — the model-based quality
+    filter of the CCNet/fasttext lineage (distill rule-based gates
+    into a dense scorer that generalizes to documents the rules were
+    never written for), with the training pass expressed as bounded
+    Spark aggregation instead of SGD.
+
+    w = (XᵀX + λ·n·I)⁻¹ Xᵀy over the RAW INTEGER bucket counts ``w``
+    of the (vec_id, v, w) artifact plus a bias column. Using the
+    integer counts (not the unit vectors) makes every Gram entry an
+    EXACT BIGINT sum — aggregation-order-free, so two training runs
+    over the same corpus produce bit-identical normal equations and
+    therefore bit-identical weights (the rp-bucketing lesson applied
+    to model training). The 65×65 solve happens driver-side (numpy,
+    plan-time, outside any cross-engine contract — only the persisted
+    weights are ever replayed by an oracle).
+
+    Scale shape: the Gram build is a sparse self-join of each doc's
+    nonzero entries (≤ dim+1 per doc) followed by ONE groupBy over at
+    most (dim+1)² = 4,225 keys — map-side partial sums collapse every
+    partition to ≤ 4,225 rows before the exchange, so shuffle volume
+    is O(partitions · dim²), independent of corpus size; the driver
+    collects exactly 4,225 + 65 rows. At 10¹²-doc scale the BIGINT
+    Gram can overflow for pathological count magnitudes — counts are
+    per-doc word frequencies (≤ ~10⁴), so Σ w_i·w_j ≤ n·10⁸ holds to
+    n ≈ 10¹⁰ docs per training shard; shard the fit (or cast the
+    partial sums to DECIMAL) past that."""
+    import numpy as np
+
+    nz = (
+        vecs.select("vec_id", F.posexplode("w").alias("j", "wj"))
+        .filter(F.col("wj") != 0)
+        .unionByName(
+            vecs.select(
+                "vec_id",
+                F.lit(dim).alias("j"),
+                F.lit(1).cast("long").alias("wj"),
+            )
+        )
+    )
+    y = labels.select(
+        "vec_id", F.col("label").cast("long").alias("y")
+    )
+    a = nz.select("vec_id", F.col("j").alias("i"), F.col("wj").alias("wi"))
+    gram = (
+        a.join(nz, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("wi") * F.col("wj")).alias("g"))
+        .collect()
+    )
+    xty = (
+        nz.join(y, "vec_id")
+        .groupBy("j")
+        .agg(F.sum(F.col("wj") * F.col("y")).alias("b"))
+        .collect()
+    )
+    n = vecs.count()
+    d = dim + 1
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in gram:
+        G[r["i"], r["j"]] = float(r["g"])
+    b = np.zeros(d, dtype=np.float64)
+    for r in xty:
+        b[r["j"]] = float(r["b"])
+    G += l2 * max(n, 1) * np.eye(d)
+    return [float(x) for x in np.linalg.solve(G, b)]
+
+
+def quality_score_served(
+    spark: "SparkSession",
+    vectors_path: str,
+    weights_path: str,
+    threshold: float = 0.5,
+) -> "DataFrame":
+    """Score every vector in the persisted hash-embed artifact with the
+    persisted linear weights: score = floor-round-5(w_bias + Σⱼ wⱼ·θⱼ)
+    over the raw integer counts, pred_keep = score ≥ threshold.
+
+    Cross-engine exactness contract (same as the cosine chain): the
+    dot is an explicit ASCENDING-j left fold over int×double products
+    (zip_with preserves element order; F.aggregate folds left), the
+    rounding is the floor(x·1e5+0.5)/1e5 formula — both replayed
+    verbatim by the DuckDB twin from the same two parquets. The
+    weights table is ONE row (a dim+1 array); it joins by broadcast
+    crossJoin, so scoring is a map-only pass over the artifact."""
+    vecs = spark.read.parquet(vectors_path).select("vec_id", "w")
+    wt = spark.read.parquet(weights_path)  # one row: wvec array<double>
+    dim = HASH_EMBED_DIM
+    dot = F.aggregate(
+        F.zip_with(
+            "w",
+            F.slice("wvec", 1, dim),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = _floor_round5(dot + F.element_at("wvec", dim + 1))
+    return (
+        vecs.crossJoin(F.broadcast(wt))
+        .select("vec_id", score.alias("score"))
+        .select(
+            "vec_id",
+            "score",
+            (F.col("score") >= F.lit(threshold)).alias("pred_keep"),
+        )
+    )

@@ -1615,6 +1615,76 @@ def test_dedup_text_semantic_served_planted(spark, tmp_path):
     assert {(r.vec_a, r.vec_b): r.cosine for r in explicit} == pairs
 
 
+def test_quality_train_recovers_planted_rule(spark, tmp_path):
+    """Closed-form ridge training must (a) recover a linearly-separable
+    planted rule (docs containing 'alphaword' are good) with high
+    accuracy, and (b) be DETERMINISTIC: the exact-integer Gram makes
+    two training runs bit-identical, so the served-weights artifact is
+    reproducible (the property the oracle contract rests on)."""
+    from engine.spark.analytics import (
+        hash_embed_vectors,
+        quality_score_served,
+        quality_train,
+    )
+
+    rows = []
+    for i in range(200):
+        good = i % 2 == 0
+        filler = f"tok{i % 7} tok{i % 11} tok{i % 13} common words here"
+        rows.append((i, ("alphaword " + filler) if good else filler, good))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, int(g)) for i, _, g in rows], "vec_id long, label int"
+    )
+    vecs = hash_embed_vectors(docs)
+    w1 = quality_train(vecs, labels)
+    w2 = quality_train(vecs, labels)
+    assert w1 == w2  # bit-identical: exact-integer normal equations
+    vp, wp = str(tmp_path / "hv"), str(tmp_path / "qw")
+    vecs.write.parquet(vp)
+    spark.createDataFrame([(w1,)], "wvec array<double>").write.parquet(wp)
+    scored = quality_score_served(spark, vp, wp)
+    truth = {i: g for i, _, g in rows}
+    hits = sum(
+        1 for r in scored.collect() if r.pred_keep == truth[r.vec_id]
+    )
+    assert hits / 200 >= 0.95
+
+
+def test_quality_classifier_entry_beats_baseline(spark):
+    """The distilled classifier must actually track the c4 gate it was
+    trained on — accuracy on the sf0.01 corpus clearly above the
+    majority-class baseline (non-vacuity: the entry isn't a constant
+    predictor)."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as em
+    from engine.spark.analytics import c4_clean
+
+    sdf = em.queries()["quality_classifier"](spark, "/root/testdata/sf0.01")
+    labels = c4_clean(spark, "/root/testdata/sf0.01").select(
+        F.col("doc_id").alias("vec_id"), "keep_doc"
+    )
+    j = sdf.join(labels, "vec_id")
+    n = j.count()
+    acc = j.filter(F.col("pred_keep") == F.col("keep_doc")).count() / n
+    n_all = labels.count()
+    base = (
+        max(
+            labels.filter("keep_doc").count(),
+            labels.filter("not keep_doc").count(),
+        )
+        / n_all
+    )
+    assert n == 500
+    assert acc >= base + 0.1, (acc, base)
+    # both classes predicted (not a constant scorer)
+    kept = sdf.filter("pred_keep").count()
+    assert 0 < kept < n
+
+
 def test_dedup_text_semantic_planted(spark, tmp_path):
     """Text-only semantic near-dups: an exact copy pairs at cosine 1.0,
     a SHUFFLED-WORD rewrite (which MinHash shingles treat as a

@@ -43,6 +43,9 @@ SF_PINNED = {
     # the driver's sf0.01 path; the sf0.1 form is cross-checked by
     # test_text_semantic_adaptive_sf01 below with a per-SF artifact
     "dedup_text_semantic_adaptive",
+    # same artifact + the trained-weights parquet; sf0.1 form is
+    # cross-checked by test_quality_classifier_sf01 below
+    "quality_classifier",
 }
 
 
@@ -115,4 +118,21 @@ def test_text_semantic_adaptive_sf01(spark, ddb):
     assert sorted(cols) == sorted(ocols)
     assert len(spark_rows) == len(orows)
     assert spark_rows, "sf0.1 adaptive form found no near-dup pairs"
+    assert _normalize(spark_rows, cols) == _normalize(orows, ocols)
+
+
+def test_quality_classifier_sf01(spark, ddb):
+    """quality_classifier at sf0.1 with per-SF artifacts: trains on the
+    sf0.1 corpus (5,000 docs — different label balance and count
+    magnitudes than the driver's 500), persists per-SF vectors +
+    weights, and the twin replays scoring from those parquets."""
+    name = "quality_classifier"
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    res = ddb.sql(entry_mod._quality_classifier_oracle(sf_dir=SF_DIR))
+    ocols = res.columns
+    orows = res.fetchall()
+    assert sorted(cols) == sorted(ocols)
+    assert len(spark_rows) == len(orows) > 0
     assert _normalize(spark_rows, cols) == _normalize(orows, ocols)
