@@ -411,18 +411,13 @@ def _hash_vectors_parquet(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _dedup_text_semantic_adaptive(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """dedup_text_semantic at its production operating point (r4
-    verdict task #4): persisted hash-embed vectors + random-hyperplane
-    LSH with rp_lsh_params-derived width/probes, instead of the
-    oracle-pinned coordinate-sign sign_dims=6 whose skewed buckets
-    cost ~60 s at sf0.1 on this same-generator corpus. The chosen
-    (n, sign_dims, probes) are persisted next to the vectors so the
-    DuckDB twin replays the exact plan (transcendentals stay
-    driver-side; the cross-engine contract is md5 + IEEE arithmetic
-    only). This is the form a pipeline actually runs — and benches."""
+def _rp_plan(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """The shared adaptive random-hyperplane plan: materialize the
+    vector artifact, derive (sign_dims, probes) from rp_lsh_params,
+    and persist the chosen plan next to the vectors so any DuckDB twin
+    replays it exactly (transcendentals stay driver-side; the
+    cross-engine contract is md5 + IEEE arithmetic only). Returns
+    (vectors_path, sign_dims, probes)."""
     import atexit
     import shutil
 
@@ -438,7 +433,34 @@ def _dedup_text_semantic_adaptive(
             [(n, sign_dims, probes)], "n long, sign_dims int, probes int"
         ).coalesce(1).write.mode("overwrite").parquet(prm)
         _TMP_PATHS.add(prm)
+    return path, sign_dims, probes
+
+
+def _dedup_text_semantic_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_text_semantic at its production operating point (r4
+    verdict task #4): persisted hash-embed vectors + random-hyperplane
+    LSH with rp_lsh_params-derived width/probes, instead of the
+    oracle-pinned coordinate-sign sign_dims=6 whose skewed buckets
+    cost ~60 s at sf0.1 on this same-generator corpus. This is the
+    form a pipeline actually runs — and benches."""
+    from engine.spark import analytics as A
+
+    path, sign_dims, probes = _rp_plan(spark, sf_dir)
     return A.dedup_text_semantic_served(
+        spark, path, threshold=0.9, params=(sign_dims, probes)
+    )
+
+
+def _dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list tail of the semantic near-dup family: adaptive
+    hyperplane pairs → min-label components → surviving vec_ids (the
+    apply symmetry every other dedup modality has)."""
+    from engine.spark import analytics as A
+
+    path, sign_dims, probes = _rp_plan(spark, sf_dir)
+    return A.dedup_semantic_apply(
         spark, path, threshold=0.9, params=(sign_dims, probes)
     )
 
@@ -957,6 +979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # persisted vector artifact + adaptive sign width (the pinned
         # sign_dims=6 entry above exists for its fully-static oracle)
         "dedup_text_semantic_adaptive": _dedup_text_semantic_adaptive,
+        # keep-list tail of the semantic family (the apply symmetry
+        # every other dedup modality has): pairs -> min-label
+        # components -> surviving vec_ids
+        "dedup_semantic_apply": _dedup_semantic_apply,
         # model-based quality filtering: ridge-distilled linear scorer
         # over hash-embed features (served-weights artifact; map-only
         # scoring, exact left-fold dot replayed by the twin)
@@ -1143,7 +1169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_text_semantic",
     }
     red_r4 = {"transcript_curate", "transcript_prepare"}
-    new_r5 = {"dedup_text_semantic_adaptive", "quality_classifier"}
+    new_r5 = {
+        "dedup_text_semantic_adaptive",
+        "dedup_semantic_apply",
+        "quality_classifier",
+    }
     front = never_sampled | red_r4 | new_r5
     return {
         **{k: v for k, v in full.items() if k in front},
@@ -2127,22 +2157,14 @@ def _dedup_text_semantic_oracle(
     """
 
 
-def _dedup_text_semantic_adaptive_oracle(
-    dim: int = 64,
-    threshold: float = 0.9,
-    sf_dir: str = "/root/testdata/sf0.01",
-) -> str:
-    """DuckDB twin of the SERVED random-hyperplane form: reads the
-    persisted vector artifact AND its plan-params table (both written
-    when the Spark query runs — the IVF-codebook run-order contract),
-    regenerates every hyperplane from the same md5('rp:probe:bit:j')
-    nibble rule, and replays bucketing → distinct candidate id-pairs →
-    vector re-join → floor-round-5 left-fold cosine. No transcendental
-    enters the contract: (sign_dims, probes) come from the params
-    table, signs from md5, dots from explicit IEEE left folds."""
+def _rp_pairs_ctes(dim: int, sf_dir: str) -> str:
+    """The shared adaptive random-hyperplane CTE body (artifact scan →
+    md5-regenerated hyperplanes → exact-integer bucketing → distinct
+    candidate id-pairs → floor-round-5 left-fold cosines in ``hsims``)
+    — composed by the adaptive pair oracle and the semantic-apply
+    oracle."""
     path = _per_turn_path(sf_dir) + "_hv"
-    return f"""
-        WITH he AS (
+    return f"""he AS (
             SELECT vec_id, v, w FROM read_parquet('{path}/*.parquet')
         ), prm AS (
             SELECT sign_dims, probes FROM read_parquet('{path}_prm/*.parquet')
@@ -2193,8 +2215,56 @@ def _dedup_text_semantic_adaptive_oracle(
             FROM hcand hc
             JOIN he x ON hc.vec_a = x.vec_id
             JOIN he y ON hc.vec_b = y.vec_id
-        )
+        )"""
+
+
+def _dedup_text_semantic_adaptive_oracle(
+    dim: int = 64,
+    threshold: float = 0.9,
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """DuckDB twin of the SERVED random-hyperplane form: reads the
+    persisted vector artifact AND its plan-params table (both written
+    when the Spark query runs — the IVF-codebook run-order contract),
+    regenerates every hyperplane from the same md5('rp:probe:bit:j')
+    nibble rule, and replays bucketing → distinct candidate id-pairs →
+    vector re-join → floor-round-5 left-fold cosine. No transcendental
+    enters the contract: (sign_dims, probes) come from the params
+    table, signs from md5, dots from explicit IEEE left folds."""
+    return f"""
+        WITH {_rp_pairs_ctes(dim, sf_dir)}
         SELECT vec_a, vec_b, cosine FROM hsims WHERE cosine >= {threshold}
+    """
+
+
+def _dedup_semantic_apply_oracle(
+    dim: int = 64,
+    threshold: float = 0.9,
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """DuckDB twin of the semantic keep-list: adaptive hyperplane pairs
+    (shared CTE body) → recursive-closure components (root = min
+    reachable id, provably the same labels as min-label propagation) →
+    surviving vec_ids."""
+    path = _per_turn_path(sf_dir) + "_hv"
+    return f"""
+        WITH RECURSIVE {_rp_pairs_ctes(dim, sf_dir)},
+        spairs AS (
+            SELECT vec_a, vec_b FROM hsims WHERE cosine >= {threshold}),
+        sedges AS (
+            SELECT vec_a AS a, vec_b AS b FROM spairs
+            UNION SELECT vec_b, vec_a FROM spairs),
+        snodes AS (SELECT DISTINCT a AS node FROM sedges),
+        sreach(node, r) AS (
+            SELECT node, node FROM snodes
+            UNION
+            SELECT e.a, sreach.r FROM sedges e JOIN sreach ON e.b = sreach.node
+        ),
+        sdrop AS (
+            SELECT node AS vec_id FROM sreach GROUP BY node
+            HAVING node != min(r))
+        SELECT vec_id FROM read_parquet('{path}/*.parquet')
+        WHERE vec_id NOT IN (SELECT vec_id FROM sdrop)
     """
 
 
@@ -3245,6 +3315,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_text_semantic": _dedup_text_semantic_oracle(),
         "dedup_text_semantic_adaptive":
             _dedup_text_semantic_adaptive_oracle(),
+        "dedup_semantic_apply": _dedup_semantic_apply_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
         "repetition_metrics": _repetition_oracle(),
         "pii_scrub": _pii_scrub_oracle(),

@@ -3322,3 +3322,39 @@ def quality_score_served(
             (F.col("score") >= F.lit(threshold)).alias("pred_keep"),
         )
     )
+
+
+def dedup_semantic_apply(
+    spark: "SparkSession",
+    vectors_path: str,
+    threshold: float = 0.9,
+    params: tuple[int, int] | None = None,
+) -> "DataFrame":
+    """The keep-list tail of the SEMANTIC near-dup family — completing
+    the apply symmetry every other dedup modality has (dedup_apply_lsh,
+    dedup_apply_embeddings, dedup_apply_conversations): adaptive
+    random-hyperplane pairs → min-label connected components →
+    anti-join, emitting the surviving vec_ids. Zero-vector documents
+    never enter the artifact, so they survive by construction (they
+    pair with nothing — same contract as the zero-norm sentinel rows
+    of the embedding arm).
+
+    Scale shape inherited whole: the pair stage is rp_pair_sims
+    (bounded buckets, id-only collision shuffle), the component stage
+    is the O(log n)-round min-label propagation over PAIRS (edge count
+    ∝ verified near-dups, not corpus), and the final anti-join is
+    id-only. Nothing text- or vector-sized shuffles past the artifact
+    scan."""
+    pairs = dedup_text_semantic_served(
+        spark, vectors_path, threshold, params=params
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    drop = (
+        dedup_clusters(pairs)
+        .filter(~F.col("is_keeper"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return (
+        spark.read.parquet(vectors_path)
+        .select("vec_id")
+        .join(drop, "vec_id", "left_anti")
+    )

@@ -1614,6 +1614,16 @@ def test_dedup_text_semantic_served_planted(spark, tmp_path):
     ).collect()
     assert {(r.vec_a, r.vec_b): r.cosine for r in explicit} == pairs
 
+    # the apply tail: {1,2,3} form one component (min-id 1 survives),
+    # the unrelated doc 4 survives untouched
+    from engine.spark.analytics import dedup_semantic_apply
+
+    kept = {
+        r.vec_id
+        for r in dedup_semantic_apply(spark, path, threshold=0.9).collect()
+    }
+    assert kept == {1, 4}
+
 
 def test_quality_train_recovers_planted_rule(spark, tmp_path):
     """Closed-form ridge training must (a) recover a linearly-separable

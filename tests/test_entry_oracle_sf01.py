@@ -46,6 +46,8 @@ SF_PINNED = {
     # same artifact + the trained-weights parquet; sf0.1 form is
     # cross-checked by test_quality_classifier_sf01 below
     "quality_classifier",
+    # adaptive pairs + closure over the sf0.01-pinned artifact
+    "dedup_semantic_apply",
 }
 
 
