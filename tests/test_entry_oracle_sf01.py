@@ -123,6 +123,20 @@ def test_text_semantic_adaptive_sf01(spark, ddb):
     assert _normalize(spark_rows, cols) == _normalize(orows, ocols)
 
 
+def test_dedup_semantic_apply_sf01(spark, ddb):
+    """Semantic keep-list at sf0.1 with the per-SF artifact: the
+    adaptive pair stage + recursive-closure components replayed by the
+    twin over the same parquets at 10x the corpus."""
+    name = "dedup_semantic_apply"
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in df.collect()]
+    res = ddb.sql(entry_mod._dedup_semantic_apply_oracle(sf_dir=SF_DIR))
+    orows = res.fetchall()
+    assert sorted(df.columns) == sorted(res.columns)
+    assert 0 < len(spark_rows) == len(orows)
+    assert _normalize(spark_rows, df.columns) == _normalize(orows, res.columns)
+
+
 def test_quality_classifier_sf01(spark, ddb):
     """quality_classifier at sf0.1 with per-SF artifacts: trains on the
     sf0.1 corpus (5,000 docs — different label balance and count
