@@ -3052,6 +3052,8 @@ def rp_lsh_params(
     pr = p**r
     if pr >= 1.0:
         return r, 1
+    if pr <= 0.0:  # threshold ≤ 0 ⇒ p = 0: no probe count can reach
+        return r, max_probes  # the recall target, cap honestly
     b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
     return r, max(1, min(b, max_probes))
 

@@ -1542,6 +1542,9 @@ def test_rp_lsh_params_keyspace_and_recall():
     assert rp_lsh_params(1, 0.9) == (6, 1)
     # identical-vector threshold (p=1) needs exactly one probe
     assert rp_lsh_params(10**6, 1.0)[1] == 1
+    # threshold <= 0 makes p^r == 0 — must cap probes, not divide by 0
+    assert rp_lsh_params(10**6, -1.0)[1] == 32
+    assert rp_lsh_params(10**6, 0.0)[1] >= 1
 
 
 def test_hash_embed_vectors_parity_with_batch(spark):
