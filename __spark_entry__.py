@@ -75,6 +75,9 @@ def _per_turn_path(sf_dir: str) -> str:
 
 
 _TMP_PATHS: set[str] = set()
+# memoized adaptive hyperplane plans keyed by vector-artifact path:
+# (path, sign_dims, probes) — see _rp_plan
+_RP_PLANS: dict[str, tuple[str, int, int]] = {}
 
 
 def _per_turn_parquet(
@@ -417,13 +420,17 @@ def _rp_plan(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
     and persist the chosen plan next to the vectors so any DuckDB twin
     replays it exactly (transcendentals stay driver-side; the
     cross-engine contract is md5 + IEEE arithmetic only). Returns
-    (vectors_path, sign_dims, probes)."""
+    (vectors_path, sign_dims, probes). Memoized per (pid, sf_dir): a
+    bench best-of-K must not pay a redundant count() job per timed
+    iteration (round-5 review finding)."""
     import atexit
     import shutil
 
     from engine.spark import analytics as A
 
     path = _hash_vectors_parquet(spark, sf_dir)
+    if path in _RP_PLANS:
+        return _RP_PLANS[path]
     n = spark.read.parquet(path).count()
     sign_dims, probes = A.rp_lsh_params(n, threshold=0.9)
     prm = path + "_prm"
@@ -433,6 +440,7 @@ def _rp_plan(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
             [(n, sign_dims, probes)], "n long, sign_dims int, probes int"
         ).coalesce(1).write.mode("overwrite").parquet(prm)
         _TMP_PATHS.add(prm)
+    _RP_PLANS[path] = (path, sign_dims, probes)
     return path, sign_dims, probes
 
 
@@ -1152,7 +1160,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_score", "mix_corpus", "corpus_prepare",
         "multimodal_features",
     }
-    # Round-5 rotation (r4 verdict task #3). Front-load, in order:
+    # Round-5 rotation (r4 verdict task #3). Front-load three groups
+    # (WITHIN each group and between the first three the order is
+    # whatever full.items() yields — only the group membership
+    # matters, all front entries land well inside the 50-slot window):
     #   1. the 4 round-4 ops that have NEVER had a driver row (they sat
     #      at positions 50-53 last round, just outside the 50-entry
     #      sample window): source_keywords, dedup_report, hash_embed,
@@ -1160,10 +1171,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the 2 round-4 red driver rows (transcript_prepare /
     #      transcript_curate — oracle-twin HUGEINT cast fixed this
     #      round) so CORRECTNESS_r05 re-records them;
-    #   3. round-5 additions;
-    #   4. the r3-sampled entries (oldest driver evidence, refresh);
-    #      the r4-green entries last (freshest evidence). With 6+|new_r5|
-    #      front slots, ~44 of the 49 r3 entries also land in-window.
+    #   3. the 3 round-5 additions (dedup_text_semantic_adaptive,
+    #      dedup_semantic_apply, quality_classifier);
+    # then the r3-sampled entries (oldest driver evidence, refresh) and
+    # the r4-green entries last (freshest evidence). With 9 front
+    # slots, 41 of the 49 r3 entries also land in the 50-slot window.
     never_sampled = {
         "source_keywords", "dedup_report", "hash_embed",
         "dedup_text_semantic",

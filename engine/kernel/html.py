@@ -71,11 +71,18 @@ _KNOWN_TAGS = frozenset(
 
 def _tail_is_truncated_tag(m: "re.Match[str]") -> bool:
     name = m.group("name")
+    rest = m.group("rest")
     if name in ("/", "!", "?"):
         return True
-    if name.lower() in _KNOWN_TAGS:
+    # a known element name counts only when the name actually ENDS
+    # there (end-of-tail, whitespace, or '/') — 'a<a_threshold' parses
+    # name='a' but the '_' continuation proves it's an identifier, not
+    # the <a> element (round-5 review finding)
+    if name.lower() in _KNOWN_TAGS and (
+        rest == "" or rest[0] in " \t\n\r/"
+    ):
         return True
-    return "=" in m.group("rest")
+    return "=" in rest
 _CLASS_ID = re.compile(r"(?:class|id)\s*=\s*[\"']([^\"']*)[\"']", re.IGNORECASE)
 
 _BAD_HINTS = ("nav", "footer", "sidebar", "comment", "menu", "banner",
@@ -116,10 +123,20 @@ def _strip_tags(fragment: str) -> tuple[str, int]:
     fragment — otherwise markup truncated mid-tag survives into
     "cleaned" text; the stripped tail counts as markup too."""
     stripped, n_tags = _ANY_TAG.subn(" ", fragment)
-    m = _UNTERMINATED_TAIL.search(stripped)
-    if m and _tail_is_truncated_tag(m):
-        stripped = stripped[: m.start()] + " "
-        n_tags += 1
+    # walk every unterminated '<' candidate in the tail: a prose-judged
+    # '<' must not shadow a LATER genuine truncated tag ('cost<price
+    # wins <br' keeps the comparison but still strips '<br' —
+    # round-5 review finding)
+    pos = 0
+    while True:
+        m = _UNTERMINATED_TAIL.search(stripped, pos)
+        if m is None:
+            break
+        if _tail_is_truncated_tag(m):
+            stripped = stripped[: m.start()] + " "
+            n_tags += 1
+            break
+        pos = m.start() + 1
     return stripped, n_tags
 
 

@@ -3054,7 +3054,9 @@ def rp_lsh_params(
         return r, 1
     if pr <= 0.0:  # threshold ≤ 0 ⇒ p = 0: no probe count can reach
         return r, max_probes  # the recall target, cap honestly
-    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+    # log1p: for pr below ~1e-16, log(1.0 - pr) rounds to log(1.0) = 0
+    # and the division crashes; log1p(-pr) keeps the true magnitude
+    b = math.ceil(math.log(1.0 - target_recall) / math.log1p(-pr))
     return r, max(1, min(b, max_probes))
 
 
@@ -3246,19 +3248,23 @@ def quality_train(
     partial sums to DECIMAL) past that."""
     import numpy as np
 
+    y = labels.select(
+        "vec_id", F.col("label").cast("long").alias("y")
+    )
+    # the fit sees ONLY labeled vectors: an unlabeled vector in the
+    # Gram but not in Xᵀy would be silently treated as label 0 and
+    # bias the solve (round-5 review finding) — inner-join first
+    lv = vecs.join(y.select("vec_id"), "vec_id")
     nz = (
-        vecs.select("vec_id", F.posexplode("w").alias("j", "wj"))
+        lv.select("vec_id", F.posexplode("w").alias("j", "wj"))
         .filter(F.col("wj") != 0)
         .unionByName(
-            vecs.select(
+            lv.select(
                 "vec_id",
                 F.lit(dim).alias("j"),
                 F.lit(1).cast("long").alias("wj"),
             )
         )
-    )
-    y = labels.select(
-        "vec_id", F.col("label").cast("long").alias("y")
     )
     a = nz.select("vec_id", F.col("j").alias("i"), F.col("wj").alias("wi"))
     gram = (
@@ -3273,7 +3279,7 @@ def quality_train(
         .agg(F.sum(F.col("wj") * F.col("y")).alias("b"))
         .collect()
     )
-    n = vecs.count()
+    n = lv.count()
     d = dim + 1
     G = np.zeros((d, d), dtype=np.float64)
     for r in gram:

@@ -192,3 +192,25 @@ def test_unknown_word_comparison_tail_survives():
     assert extract_main_text("text<br") == "text"
     # the pinned accepted loss: 'b' is the bold element
     assert extract_main_text("a<b then the bound holds") == "a"
+
+
+def test_tail_review_findings_round5():
+    """Round-5 review regressions pinned: (1) a known tag name must
+    END at the name boundary — 'a<a_threshold' is an identifier
+    comparison, not the <a> element; (2) a prose-judged '<' must not
+    shadow a LATER genuine truncated tag in the same tail."""
+    from engine.kernel.html import extract_main_text
+
+    # (1) name-prefix false positives: the continuation proves prose
+    assert extract_main_text("if x<a_threshold then the bound holds") == \
+        "if x<a_threshold then the bound holds"
+    assert extract_main_text("press<button_count times") == \
+        "press<button_count times"
+    assert extract_main_text("start<time_stamp end") == \
+        "start<time_stamp end"
+    # (2) prose '<' followed by a real truncated tag: strip the tag,
+    # keep the comparison
+    out = extract_main_text("cost<price always wins <br")
+    assert "cost<price" in out and "<br" not in out
+    out = extract_main_text("a<threshold met <div class")
+    assert "a<threshold" in out and "<div" not in out
