@@ -1055,6 +1055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": _embedding_clusters_served,
         "pack_sequences": A.pack_sequences,
         "lang_id": A.lang_id,
+        # tokenizer fertility by language: subword-per-word ratio, the
+        # multilingual-tokenizer diagnostic (one scan, <=5-row groupBy)
+        "tokenizer_fertility": A.tokenizer_fertility,
         "text_quality": A.text_quality,
         "token_count": A.token_count,
         "fingerprint": A.fingerprint,
@@ -1185,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_text_semantic_adaptive",
         "dedup_semantic_apply",
         "quality_classifier",
+        "tokenizer_fertility",
     }
     front = never_sampled | red_r4 | new_r5
     return {
@@ -3762,6 +3766,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, s_en, s_es, s_de, s_fr, {lang_pred_case} AS lang_pred
             FROM (SELECT doc_id, {_lang_scores()} FROM documents)
         """,
+        # fertility: exact BIGINT sums (CAST — DuckDB sum(BIGINT) is
+        # HUGEINT), one round(x/y, 6) division per language row
+        "tokenizer_fertility": (
+            r"""
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                   CAST(sum(bp) AS BIGINT) AS bpeish_tokens,
+                   CAST(sum(et) AS BIGINT) AS est_tokens,
+                   round(CAST(sum(bp) AS BIGINT)
+                         / CAST(sum(ws) AS BIGINT), 6) AS fertility,
+                   round(CAST(sum(et) AS BIGINT)
+                         / CAST(sum(ws) AS BIGINT), 6) AS est_fertility
+            FROM (
+                SELECT {LANG_PRED} AS lang,
+                       CAST(len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS ws,
+                       CAST((length(m) - length(replace(m, chr(1), '')))
+                            + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS bp,
+                       greatest(1, CAST(floor(length(text) / 4) AS BIGINT)) AS et
+                FROM (SELECT doc_id, text,
+                             regexp_replace(text, '[A-Za-z0-9]+', chr(1), 'g') AS m,
+                             {SCORES}
+                      FROM documents))
+            GROUP BY lang
+        """.replace("{LANG_PRED}", lang_pred_case)
+            .replace("{SCORES}", _lang_scores())
+        ),
         "text_quality": r"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars_calc,

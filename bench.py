@@ -272,6 +272,7 @@ BENCH_QUERY_NAMES = [
         "simsearch_int8",
         "dedup_text_semantic_adaptive",
         "quality_classifier",
+        "tokenizer_fertility",
 ]
 
 

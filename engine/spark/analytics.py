@@ -3366,3 +3366,63 @@ def dedup_semantic_apply(
         .select("vec_id")
         .join(drop, "vec_id", "left_anti")
     )
+
+
+def tokenizer_fertility(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Tokenizer FERTILITY by detected language — subword tokens per
+    whitespace word, the standard multilingual-tokenizer diagnostic
+    (the BLOOM/XLM-R analyses): a language with fertility ≫ 1 pays
+    more compute and context budget per content word, which is how a
+    pretraining team decides a tokenizer under-serves a language or a
+    corpus slice needs re-weighting.
+
+    Composes two existing primitives in ONE scan: the BPE-ish subword
+    proxy of token_count (alnum runs + punctuation marks) and the
+    marker-argmax lang-ID. Staged projections (the eb18c00 lesson):
+    the marker scores and token counts materialize as columns before
+    the argmax references them. All sums are exact integers; the one
+    division happens per OUTPUT row (≤ n_langs + 'und') as
+    round(x/y, 6) — the established cross-engine pattern. Scale: the
+    groupBy shuffles ≤ n_langs rows per partition after map-side
+    partial aggregation; nothing else is exchanged."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+    marked = F.regexp_replace("text", "[A-Za-z0-9]+", "\x01")
+    alnum_runs = F.length(marked) - F.length(
+        F.replace(marked, F.lit("\x01"), F.lit(""))
+    )
+    punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    est = F.greatest(F.lit(1), F.floor(F.length("text") / 4)).cast("long")
+    staged = docs.select(
+        F.size(words).cast("long").alias("ws"),
+        (alnum_runs + punct).cast("long").alias("bp"),
+        est.alias("et"),
+        *_lang_score_cols(),
+    )
+    per_doc = staged.select(
+        _lang_pred_from_scores().alias("lang"), "ws", "bp", "et"
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bp").alias("bpeish_tokens"),
+        F.sum("et").alias("est_tokens"),
+    )
+    # two fertilities: the subword proxy (degenerately 1.0 on this
+    # punctuation-free synthetic corpus — real crawls vary; kept
+    # because it is the real-tokenizer shape) and the chars/4 estimator
+    # (varies with each language's word-length distribution, so the
+    # diagnostic is non-vacuous on the test corpus too)
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpeish_tokens",
+        "est_tokens",
+        F.round(F.col("bpeish_tokens") / F.col("ws_tokens"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("est_tokens") / F.col("ws_tokens"), 6).alias(
+            "est_fertility"
+        ),
+    )

@@ -1628,6 +1628,38 @@ def test_dedup_text_semantic_served_planted(spark, tmp_path):
     assert kept == {1, 4}
 
 
+def test_tokenizer_fertility_planted(spark, tmp_path):
+    """Fertility must rise with punctuation/subword density: hyphenated
+    and punctuated text produces more BPE-ish tokens per whitespace
+    word than plain word soup, and the per-language grouping keys off
+    the same marker argmax as lang_id."""
+    import pyspark.sql.functions as F
+
+    from engine.spark.analytics import tokenizer_fertility
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rows = [
+        # plain English soup: fertility exactly 1
+        (1, "the cat and the dog is here to stay", "en", "s", 0),
+        # punctuation-dense English: 'state-of-the-art' is 4 runs +
+        # 3 hyphens = 7 bpeish tokens for 1 whitespace word
+        (2, "the state-of-the-art result, truly!", "en", "s", 0),
+        # marker-free -> 'und'
+        (3, "zz yy xx ww vv", "und", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, bucket int"
+    ).select("doc_id", "text").write.parquet(str(d / "documents.parquet"))
+    out = {r.lang: r for r in tokenizer_fertility(spark, str(d)).collect()}
+    assert set(out) == {"en", "und"}
+    assert out["und"].fertility == 1.0
+    assert out["en"].fertility > 1.0  # punctuation raises the ratio
+    en = out["en"]
+    assert en.bpeish_tokens > en.ws_tokens
+    assert en.est_fertility > 0
+
+
 def test_quality_train_recovers_planted_rule(spark, tmp_path):
     """Closed-form ridge training must (a) recover a linearly-separable
     planted rule (docs containing 'alphaword' are good) with high
