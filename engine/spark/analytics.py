@@ -3332,6 +3332,31 @@ def quality_score_served(
     )
 
 
+def quality_score_vecs(
+    vecs: "DataFrame",
+    wvec: list[float],
+    threshold: float = 0.5,
+    dim: int = HASH_EMBED_DIM,
+) -> "DataFrame":
+    """quality_score_served with the weights inlined as plan literals —
+    the form a STREAMING sink uses (weights load once driver-side at
+    plan time, no per-batch join). Identical arithmetic: ascending-j
+    left fold over int×double products + bias, floor-round-5 — a
+    parity pytest pins the two forms byte-identical."""
+    warr = F.array(*[F.lit(float(x)) for x in wvec[:dim]])
+    dot = F.aggregate(
+        F.zip_with("w", warr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = _floor_round5(dot + F.lit(float(wvec[dim])))
+    return vecs.select("vec_id", score.alias("score")).select(
+        "vec_id",
+        "score",
+        (F.col("score") >= F.lit(threshold)).alias("pred_keep"),
+    )
+
+
 def dedup_semantic_apply(
     spark: "SparkSession",
     vectors_path: str,

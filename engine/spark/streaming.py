@@ -328,3 +328,67 @@ def stream_decontaminate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_quality_filter(
+    spark: "SparkSession",
+    input_dir: str,
+    weights_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> "StreamingQuery":
+    """Ingest-time MODEL-BASED quality filtering: every arriving
+    document is hash-embedded and scored by the persisted linear
+    classifier (quality_train's served-weights artifact) before it
+    lands in the corpus — the streaming twin of quality_classifier,
+    and the third member of the ingest-gate family
+    (stream_dedup_exact, stream_decontaminate).
+
+    Statelessness by construction: keep/drop is a pure function of
+    (document, weights) — no cross-document state — so streamed
+    survivors == the batch run (test-asserted) and the only streaming
+    state is the file-progress checkpoint. The weights load ONCE
+    driver-side before the stream starts and enter every microbatch
+    plan as literals (quality_score_vecs): no per-batch read, no join
+    — each batch pays one embed aggregation + a map-only score.
+    Documents whose embedding is the zero vector (no words, or full
+    sign cancellation) carry no quality signal and are DROPPED —
+    consistent with the batch entry, whose artifact never contains
+    them. Exactly-once: idempotent per-`batch=<id>` overwrite sink +
+    checkpoint (the stream_dedup_exact contract)."""
+    from engine.spark.analytics import hash_embed_vectors, quality_score_vecs
+
+    wvec = [
+        float(x)
+        for x in spark.read.parquet(weights_path).head()["wvec"]
+    ]
+
+    src = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        vecs = hash_embed_vectors(batch_df)
+        keep = (
+            quality_score_vecs(vecs, wvec, threshold)
+            .filter("pred_keep")
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        batch_df.join(keep, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/clean/batch={batch_id}")
+
+    writer = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -243,3 +243,96 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path_factory):
     fuzzy = decontaminate_fuzzy_batch(allrows, ev)
     batch_keep = {r.doc_id for r in exact.join(fuzzy, "doc_id").collect()}
     assert streamed == batch_keep
+
+
+def test_stream_quality_filter_matches_batch(spark, tmp_path_factory):
+    """Ingest-time model-based quality filtering: documents scored by
+    the persisted linear classifier AT ARRIVAL across two drains —
+    good docs (trained-on 'goodword' signal) pass, bad and zero-vector
+    docs drop, and the streamed survivor set equals the batch scoring
+    run over the union (stateless ⇒ microbatch boundaries invisible).
+    Also pins quality_score_vecs == quality_score_served byte-for-byte
+    (the literal-weights streaming form vs the crossJoin serve form)."""
+    import datetime as dt
+
+    from engine.spark.analytics import (
+        hash_embed_vectors,
+        quality_score_served,
+        quality_score_vecs,
+        quality_train,
+    )
+    from engine.spark.streaming import stream_quality_filter
+
+    base = tmp_path_factory.mktemp("squal")
+    in_dir, out_dir, ckpt = (str(base / d) for d in ("in", "out", "ckpt"))
+
+    # train on a planted rule: docs containing 'goodword' are good
+    train_rows = []
+    for i in range(120):
+        good = i % 2 == 0
+        filler = f"tok{i % 5} tok{i % 7} filler words here"
+        train_rows.append(
+            (i, ("goodword " + filler) if good else filler, int(good))
+        )
+    tdocs = spark.createDataFrame(
+        [(i, t) for i, t, _ in train_rows], "doc_id long, text string"
+    )
+    tlabels = spark.createDataFrame(
+        [(i, y) for i, _, y in train_rows], "vec_id long, label int"
+    )
+    tvecs = hash_embed_vectors(tdocs)
+    wvec = quality_train(tvecs, tlabels)
+    wpath = str(base / "qw")
+    spark.createDataFrame([(wvec,)], "wvec array<double>").coalesce(
+        1
+    ).write.parquet(wpath)
+
+    # parity of the two scoring forms over the training vectors
+    vpath = str(base / "hv")
+    tvecs.write.parquet(vpath)
+    served = sorted(
+        tuple(r) for r in quality_score_served(spark, vpath, wpath).collect()
+    )
+    lit = sorted(
+        tuple(r)
+        for r in quality_score_vecs(
+            spark.read.parquet(vpath), wvec
+        ).collect()
+    )
+    assert served == lit
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [
+        (1000, "goodword tok1 tok2 filler words here", t0),   # good
+        (1001, "tok1 tok2 filler words here", t0),            # bad
+    ]
+    rows2 = [
+        (1002, "goodword tok3 tok4 filler words here", t0),   # good
+        (1003, "   ", t0),                                    # zero vector
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = stream_quality_filter(spark, in_dir, wpath, out_dir, ckpt)
+    q.awaitTermination(300)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = stream_quality_filter(spark, in_dir, wpath, out_dir, ckpt)
+    q2.awaitTermination(300)
+
+    streamed = {
+        r.doc_id for r in spark.read.parquet(f"{out_dir}/clean").collect()
+    }
+    assert streamed == {1000, 1002}
+
+    # equivalence with the batch scoring path over the union
+    allrows = spark.createDataFrame(rows1 + rows2, schema).drop("ts")
+    batch_keep = {
+        r.vec_id
+        for r in quality_score_vecs(hash_embed_vectors(allrows), wvec)
+        .filter("pred_keep")
+        .collect()
+    }
+    assert streamed == batch_keep
