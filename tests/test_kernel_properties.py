@@ -92,6 +92,9 @@ htmlish = st.text(
 @example("<div")
 @example("hello <span")
 @example("a <b>ok</b> <div class=")
+@example("cost<price always wins <br")   # prose '<' + later real tag
+@example("if x<a_threshold then fine")   # known-tag name prefix
+@example("a<" * 60 + "span")             # adversarial candidate walk
 @given(htmlish)
 def test_html_extractor_total_and_deterministic(s):
     from engine.kernel.html import extract_main_text
