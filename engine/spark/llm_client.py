@@ -49,8 +49,18 @@ class LLMHttpError(RuntimeError):
 
 @dataclass(frozen=True)
 class ProviderConfig:
-    """One OpenAI-compatible endpoint. ``base_url`` is the API root
-    (the client POSTs to ``{base_url}/chat/completions``)."""
+    """One LLM endpoint. ``wire`` selects the protocol:
+
+    - ``"openai"`` (default): POST ``{base_url}/chat/completions`` with
+      a messages array; content at ``choices[0].message.content``.
+    - ``"ollama"``: the reference's LOCAL provider
+      (ollama_client.py:111-226) — POST ``{base_url}/api/generate``
+      with ``{model, prompt, stream: false, options: {temperature,
+      num_predict}}`` plus optional ``system`` and ``format: "json"``;
+      content at ``response`` (stripped, empty ⇒ error). The
+      remote-primary → local-Ollama-fallback pairing the reference
+      runs is expressed by passing an ollama-wire config as
+      ``fallback``."""
 
     base_url: str
     model: str
@@ -59,6 +69,9 @@ class ProviderConfig:
     max_tokens: int = 1024
     timeout_s: float = 30.0
     extra_headers: dict = field(default_factory=dict)
+    wire: str = "openai"
+    system: str | None = None
+    json_mode: bool = False
 
 
 def _urllib_transport(
@@ -88,9 +101,39 @@ def _call_provider(
     headers = dict(cfg.extra_headers)
     if cfg.api_key:
         headers["Authorization"] = f"Bearer {cfg.api_key}"
+    if cfg.wire == "ollama":
+        # reference wire shape: ollama_client.py:141-160
+        payload = {
+            "model": cfg.model,
+            "prompt": prompt,
+            "stream": False,
+            "options": {
+                "temperature": cfg.temperature,
+                "num_predict": cfg.max_tokens,
+            },
+        }
+        if cfg.system:
+            payload["system"] = cfg.system
+        if cfg.json_mode:
+            payload["format"] = "json"
+        url = cfg.base_url.rstrip("/") + "/api/generate"
+        status, body = transport(url, payload, headers, cfg.timeout_s)
+        if not (200 <= status < 300):
+            raise LLMHttpError(status, body)
+        try:
+            content = json.loads(body).get("response", "").strip()
+        except (TypeError, ValueError) as e:
+            raise LLMHttpError(200, f"malformed ollama body: {e}") from e
+        if not content:
+            # ollama_client.py:198-199 — empty response is an error
+            raise LLMHttpError(200, "empty response from model")
+        return content
+    messages = (
+        [{"role": "system", "content": cfg.system}] if cfg.system else []
+    ) + [{"role": "user", "content": prompt}]
     payload = {
         "model": cfg.model,
-        "messages": [{"role": "user", "content": prompt}],
+        "messages": messages,
         "temperature": cfg.temperature,
         "max_tokens": cfg.max_tokens,
     }

@@ -226,3 +226,88 @@ def test_urllib_transport_maps_httpexception_to_599(monkeypatch):
     )
     assert status == 599
     assert "garbage" in body
+
+
+# ---- ollama wire shape (reference ollama_client.py:111-226) ----
+
+class _JournalTransport:
+    """Like _CannedTransport but payload-shape-agnostic (ollama
+    payloads carry `prompt`, not `messages`)."""
+
+    def __init__(self, script):
+        self.script = {k: list(v) for k, v in script.items()}
+        self.calls = []  # (url, payload)
+
+    def __call__(self, url, payload, headers, timeout_s):
+        self.calls.append((url, payload))
+        for key, seq in self.script.items():
+            if key in url:
+                return seq.pop(0) if seq else (500, "script exhausted")
+        raise AssertionError(f"unexpected url {url}")
+
+
+def test_ollama_wire_shape_and_parse():
+    from engine.spark.llm_client import ProviderConfig, generate_with_retry
+
+    cfg = ProviderConfig(
+        base_url="http://local.test", model="llama3", wire="ollama",
+        system="be terse", json_mode=True, max_tokens=512,
+        temperature=0.1,
+    )
+    tr = _JournalTransport({
+        "local.test": [(200, json.dumps({"response": "  {\"a\": 1} "}))]
+    })
+    out = generate_with_retry(cfg, "extract this", transport=tr,
+                              sleep=lambda s: None)
+    assert out == '{"a": 1}'  # stripped, reference ollama_client.py:196
+    url, payload = tr.calls[0]
+    assert url.endswith("/api/generate")
+    assert payload["prompt"] == "extract this"
+    assert payload["stream"] is False
+    assert payload["options"] == {"temperature": 0.1, "num_predict": 512}
+    assert payload["system"] == "be terse"
+    assert payload["format"] == "json"
+    assert "messages" not in payload
+
+
+def test_ollama_empty_response_is_error():
+    from engine.spark.llm_client import (
+        LLMHttpError,
+        ProviderConfig,
+        generate_with_retry,
+    )
+
+    cfg = ProviderConfig(base_url="http://local.test", model="m",
+                         wire="ollama")
+    tr = _JournalTransport({
+        "local.test": [(200, json.dumps({"response": "   "}))] * 3
+    })
+    try:
+        generate_with_retry(cfg, "p", max_retries=3, transport=tr,
+                            sleep=lambda s: None)
+        raise AssertionError("should have raised")
+    except LLMHttpError as e:
+        # reference ollama_client.py:198-199: empty content is an error
+        assert "empty response" in e.body
+
+
+def test_remote_primary_falls_back_to_local_ollama():
+    """The reference's actual deployment pairing: OpenAI-compatible
+    remote primary, local Ollama daemon as the one-try fallback."""
+    from engine.spark.llm_client import ProviderConfig, generate_with_retry
+
+    primary = ProviderConfig(base_url="http://remote.test/v1",
+                             model="m-remote", api_key="k")
+    local = ProviderConfig(base_url="http://localhost:11434",
+                           model="llama3", wire="ollama")
+    tr = _JournalTransport({
+        "remote.test": [(500, "boom")] * 3,
+        "localhost:11434": [(200, json.dumps({"response": "ok local"}))],
+    })
+    out = generate_with_retry(primary, "p", fallback=local, max_retries=3,
+                              transport=tr, sleep=lambda s: None)
+    assert out == "ok local"
+    # 3 primary attempts (openai shape), then exactly one ollama call
+    assert len(tr.calls) == 4
+    assert all("chat/completions" in u for u, _ in tr.calls[:3])
+    assert tr.calls[3][0].endswith("/api/generate")
