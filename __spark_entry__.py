@@ -926,6 +926,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # O(log n) star algorithm over the same pairs -> same oracle
         "dedup_cluster_assign_star": A.dedup_cluster_assign_star,
         "dedup_apply": A.dedup_apply,
+        # quality-aware survivor selection: cluster keeper = longest
+        # member (ties -> min id), not min id — the canonical-
+        # representative policy; same pair source, twin verifies WHICH
+        # member survives
+        "dedup_keep_best": A.dedup_keep_best,
         # fully oracled since the portable md5 double-hash (DuckDB
         # computes bit-identical signatures/simhashes)
         "dedup_minhash_lsh": A.dedup_minhash_lsh,
@@ -1174,11 +1179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the 2 round-4 red driver rows (transcript_prepare /
     #      transcript_curate — oracle-twin HUGEINT cast fixed this
     #      round) so CORRECTNESS_r05 re-records them;
-    #   3. the 3 round-5 additions (dedup_text_semantic_adaptive,
-    #      dedup_semantic_apply, quality_classifier);
+    #   3. the 5 oracled round-5 additions (dedup_text_semantic_adaptive,
+    #      dedup_semantic_apply, quality_classifier, tokenizer_fertility,
+    #      dedup_keep_best);
     # then the r3-sampled entries (oldest driver evidence, refresh) and
-    # the r4-green entries last (freshest evidence). With 9 front
-    # slots, 41 of the 49 r3 entries also land in the 50-slot window.
+    # the r4-green entries last (freshest evidence). With 11 front
+    # slots, 39 of the 49 r3 entries also land in the 50-slot window.
     never_sampled = {
         "source_keywords", "dedup_report", "hash_embed",
         "dedup_text_semantic",
@@ -1189,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_apply",
         "quality_classifier",
         "tokenizer_fertility",
+        "dedup_keep_best",
     }
     front = never_sampled | red_r4 | new_r5
     return {
@@ -3525,6 +3532,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM near_drop
                                  UNION SELECT doc_id FROM exact_drop)
+        """.replace("__PAIRS__", _NGRAM_JACCARD_SQL),
+        # keep-best variant: cluster keeper = longest member (ties ->
+        # min id); kept_over = cluster-mates the survivor displaced
+        "dedup_keep_best": """
+            WITH RECURSIVE j AS (__PAIRS__),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM j
+                UNION SELECT doc_b, doc_a FROM j),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            clusters AS (
+                SELECT node AS doc_id, min(r) AS cluster_id
+                FROM reach GROUP BY node),
+            ranked AS (
+                SELECT c.doc_id,
+                       row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY length(d.text) DESC, c.doc_id) AS rk,
+                       count(*) OVER (PARTITION BY c.cluster_id) AS csz
+                FROM clusters c JOIN documents d USING (doc_id)),
+            near_drop AS (SELECT doc_id FROM ranked WHERE rk > 1),
+            exact_drop AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                    FROM documents)
+                WHERE doc_id != keep_id),
+            best AS (SELECT doc_id, csz - 1 AS kept_over
+                     FROM ranked WHERE rk = 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(b.kept_over, 0) AS BIGINT) AS kept_over
+            FROM documents d LEFT JOIN best b USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop
+                                   UNION SELECT doc_id FROM exact_drop)
         """.replace("__PAIRS__", _NGRAM_JACCARD_SQL),
         # connected components over the jaccard pairs: recursive-CTE
         # transitive closure labels each node with the min reachable id

@@ -235,6 +235,7 @@ BENCH_QUERY_NAMES = [
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_apply_lsh",
+        "dedup_keep_best",
         "dedup_incremental",
         "stratified_sample",
         "decontaminate",

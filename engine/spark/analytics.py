@@ -641,6 +641,77 @@ def dedup_apply(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return _apply_drops(spark, sf_dir, dedup_ngram_jaccard(spark, sf_dir))
 
 
+def dedup_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Quality-aware dedup survivor selection: each near-dup cluster
+    keeps its LONGEST member (ties → min doc_id) instead of the min-id
+    member — the "canonical representative" policy production corpora
+    use when duplicates differ by truncation or stripped boilerplate
+    (the longest copy is usually the un-clipped original; the mirrors
+    are its prefixes). Exact-content groups still keep the min id:
+    identical text ⇒ identical length ⇒ the tie-break IS min id, so
+    the two rules can never crown conflicting keepers (a cluster-best
+    doc is never exact-dropped — its lower-id identical twin would
+    have out-ranked it inside the cluster first).
+
+    Same SQL-expressible pair source as dedup_apply (bounded-id n-gram
+    Jaccard) so the recursive-closure DuckDB twin verifies WHICH member
+    survives, not just how many. Emits (doc_id, kept_over): kept_over =
+    near-dup cluster-mates this survivor displaced (0 for docs without
+    near-dups; exact-only twins are dropped but not counted — they
+    carried no independent text to displace).
+
+    Scale shape: identical to dedup_apply plus one length projection
+    and one ≤cluster-count aggregate — the corpus is scanned once for
+    lengths (a column already in flight for the quality gate), and the
+    argmax shuffle carries (cluster_id, length, id) triples only for
+    clustered docs, a vanishing fraction of a 100 TB corpus."""
+    docs = _docs(spark, sf_dir)
+    clusters = dedup_clusters(dedup_ngram_jaccard(spark, sf_dir)).select(
+        "doc_id", "cluster_id"
+    )
+    members = clusters.join(
+        docs.select("doc_id", F.length("text").alias("tlen")), "doc_id"
+    )
+    best = (
+        members.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("tlen"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("m"),
+            F.count("*").alias("csz"),
+        )
+        .select(
+            (-F.col("m.neg_id")).alias("doc_id"),
+            (F.col("csz") - F.lit(1)).cast("long").alias("kept_over"),
+        )
+    )
+    near_drop = members.join(
+        best.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id")
+    exact_drop = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.collect_list("doc_id").alias("ids"),
+        )
+        .select(F.explode("ids").alias("doc_id"), "keep_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    drop = near_drop.unionByName(exact_drop).distinct()
+    return (
+        docs.select("doc_id")
+        .join(drop, "doc_id", "left_anti")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("kept_over", F.lit(0).cast("long")).alias("kept_over"),
+        )
+    )
+
+
 def dedup_apply_lsh(
     spark: "SparkSession",
     sf_dir: str,

@@ -817,6 +817,34 @@ def test_lm_unigram_score_planted(spark, tmp_path):
     assert out[2].bits_per_word == b2 and not out[2].keep_doc
 
 
+def test_dedup_keep_best_policy(spark, tmp_path):
+    """Hand-computed keep-best selection: the cluster keeper is the
+    LONGEST member (not the min id — doc 2 beats docs 1/3), equal
+    lengths tie-break to min id (doc 20 beats 21), exact twins are
+    dropped without double-crediting kept_over, and isolated docs
+    survive with kept_over 0. Pins the policy so a refactor back to
+    min-id keepers can't pass silently."""
+    from engine.spark.analytics import dedup_keep_best
+
+    base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " a11 a12 a13 a14"),   # longest cluster member
+            (3, base),                         # exact twin of doc 1
+            (10, "zz yy xx ww vv"),            # isolated
+            (20, "p1 p2 p3 p4 p5 p6 p7 p8 p9 pA"),
+            (21, "p1 p2 p3 p4 p5 p6 p7 p8 p9 pB"),  # same length as 20
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(d / "documents.parquet"))
+    out = {r.doc_id: r.kept_over for r in dedup_keep_best(spark, str(d)).collect()}
+    # cluster {1,2,3}: keeper 2 (longest), displaced 2 mates;
+    # cluster {20,21}: equal length -> min id 20; doc 10 untouched
+    assert out == {2: 2, 10: 0, 20: 1}
+
+
 def test_lm_unigram_driver_form_non_vacuous(spark):
     """keep_doc must split and OOV must fire at sf0.01 — the corpus
     has 31 distinct words, so vocab_k=16 leaves real OOV mass."""
