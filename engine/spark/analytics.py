@@ -672,6 +672,11 @@ def dedup_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     members = clusters.join(
         docs.select("doc_id", F.length("text").alias("tlen")), "doc_id"
     )
+    # localCheckpoint: `best` feeds BOTH the near-drop anti-join and the
+    # final kept_over join — without it the argmax subtree (members join
+    # + aggregate) executes twice (plan-verified; the dedup_incremental/
+    # source_keywords/hash_embed compute-once lesson applied at design
+    # time). Bounded: one row per near-dup cluster.
     best = (
         members.groupBy("cluster_id")
         .agg(
@@ -686,6 +691,7 @@ def dedup_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             (-F.col("m.neg_id")).alias("doc_id"),
             (F.col("csz") - F.lit(1)).cast("long").alias("kept_over"),
         )
+        .localCheckpoint()
     )
     near_drop = members.join(
         best.select("doc_id"), "doc_id", "left_anti"
