@@ -931,6 +931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # representative policy; same pair source, twin verifies WHICH
         # member survives
         "dedup_keep_best": A.dedup_keep_best,
+        # budget-bounded corpus selection without a global sort (two-
+        # pass histogram cutoff; only the boundary score group pays a
+        # running-sum window) — twin replays the prefix rule exactly
+        "token_budget_select": A.token_budget_select,
         # fully oracled since the portable md5 double-hash (DuckDB
         # computes bit-identical signatures/simhashes)
         "dedup_minhash_lsh": A.dedup_minhash_lsh,
@@ -1179,12 +1183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the 2 round-4 red driver rows (transcript_prepare /
     #      transcript_curate — oracle-twin HUGEINT cast fixed this
     #      round) so CORRECTNESS_r05 re-records them;
-    #   3. the 5 oracled round-5 additions (dedup_text_semantic_adaptive,
+    #   3. the 6 oracled round-5 additions (dedup_text_semantic_adaptive,
     #      dedup_semantic_apply, quality_classifier, tokenizer_fertility,
-    #      dedup_keep_best);
+    #      dedup_keep_best, token_budget_select);
     # then the r3-sampled entries (oldest driver evidence, refresh) and
-    # the r4-green entries last (freshest evidence). With 11 front
-    # slots, 39 of the 49 r3 entries also land in the 50-slot window.
+    # the r4-green entries last (freshest evidence). With 12 front
+    # slots, 38 of the 49 r3 entries also land in the 50-slot window.
     never_sampled = {
         "source_keywords", "dedup_report", "hash_embed",
         "dedup_text_semantic",
@@ -1196,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier",
         "tokenizer_fertility",
         "dedup_keep_best",
+        "token_budget_select",
     }
     front = never_sampled | red_r4 | new_r5
     return {
@@ -3533,6 +3538,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT doc_id FROM near_drop
                                  UNION SELECT doc_id FROM exact_drop)
         """.replace("__PAIRS__", _NGRAM_JACCARD_SQL),
+        # maximal (score DESC, doc_id) prefix whose running est_tokens
+        # sum stays <= 20k (splits the corpus at BOTH gate SFs) — est >= 1
+        # makes {cum <= B} a true prefix;
+        # cum itself is never emitted (HUGEINT window sum stays inside
+        # the WHERE)
+        "token_budget_select": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       CAST(floor(length(text) / 4) + 1 AS BIGINT)
+                           AS est_tokens,
+                       CAST(len(list_distinct(string_split(
+                           regexp_replace(lower(text), '\s+', ' ', 'g'),
+                           ' '))) AS BIGINT) AS score
+                FROM documents),
+            r AS (
+                SELECT *,
+                       sum(est_tokens) OVER (
+                           ORDER BY score DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM w)
+            SELECT doc_id, score, est_tokens FROM r WHERE cum <= 20000
+        """,
         # keep-best variant: cluster keeper = longest member (ties ->
         # min id); kept_over = cluster-mates the survivor displaced
         "dedup_keep_best": """

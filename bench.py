@@ -238,6 +238,7 @@ BENCH_QUERY_NAMES = [
         "dedup_keep_best",
         "dedup_incremental",
         "stratified_sample",
+        "token_budget_select",
         "decontaminate",
         "decontaminate_fuzzy",
         "boilerplate_ngrams",

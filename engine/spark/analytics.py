@@ -718,6 +718,93 @@ def dedup_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
+def token_budget_select(
+    spark: "SparkSession", sf_dir: str, budget: int = 20_000
+) -> "DataFrame":
+    """Quality-ranked corpus selection under a global token budget —
+    "take the best documents until B tokens" (the pretraining-mix
+    sizing step) WITHOUT the global sort the naive plan needs. The
+    selection rule is exact and total-order deterministic: docs ranked
+    by (score DESC, doc_id ASC), keep the maximal prefix whose running
+    est_tokens sum stays ≤ budget (est ≥ 1 ⇒ the kept set IS a
+    prefix). Score = distinct-word count (vocabulary richness): an
+    integer both engines compute identically — no FP ordering hazard.
+
+    Scale shape (the point of the operator): a naive running-sum
+    window is a TOTAL ORDERING of 10^11 docs on one task. Here:
+    pass 1 aggregates a per-score histogram (shuffle rows = distinct
+    score values, ≤ max words/doc — thousands, not corpus-sized); the
+    cutoff score s* and the boundary group's remaining budget R are
+    computed driver-side from that tiny table (bounded collect, the
+    BPE-merge-table class); pass 2 re-scans the pruned projection and
+    keeps score > s* with a plain filter. Only the boundary score
+    group (score == s*) needs a running sum, and with an integer
+    score that group is NOT guaranteed small (the synthetic corpus
+    puts 270 docs in it at sf0.1; a coarse score at 100 TB could put
+    10^9 there), so it runs as a DISTRIBUTED prefix-sum — range-
+    partition by doc_id, per-partition running sums, per-partition
+    totals collected (#partitions rows) and turned into broadcast
+    offsets — the ordered_export pattern, no single-task window
+    anywhere. Emits survivors (doc_id, score, est_tokens)."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        (F.floor(F.length("text") / 4) + 1).cast("long").alias("est_tokens"),
+        F.size(
+            F.array_distinct(
+                F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " ")
+            )
+        ).cast("long").alias("score"),
+    )
+    hist = sorted(
+        scored.groupBy("score").agg(F.sum("est_tokens").alias("grp_est")).collect(),
+        key=lambda r: -r.score,
+    )
+    acc = 0
+    s_star, remaining = None, 0
+    for row in hist:
+        if acc + row.grp_est <= budget:
+            acc += row.grp_est
+        else:
+            s_star, remaining = row.score, budget - acc
+            break
+    if s_star is None:
+        return scored  # whole corpus fits the budget
+    full = scored.filter(F.col("score") > F.lit(s_star))
+    # distributed prefix-sum over the boundary group: partition i's
+    # doc_ids all sort before partition i+1's (range partitioning), so
+    # global cum = per-partition running sum + the sum of all earlier
+    # partitions' totals. localCheckpoint pins ONE materialization so
+    # the pid seen by the totals collect and by the final join is the
+    # same row-to-partition assignment.
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    b = (
+        scored.filter(F.col("score") == F.lit(s_star))
+        .repartitionByRange(nparts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = {
+        r.pid: r.t
+        for r in b.groupBy("pid").agg(F.sum("est_tokens").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    boundary = (
+        b.join(F.broadcast(off_df), "pid")
+        .withColumn("cum", F.col("off") + F.sum("est_tokens").over(w))
+        .filter(F.col("cum") <= F.lit(remaining))
+        .select("doc_id", "est_tokens", "score")
+    )
+    return full.unionByName(boundary)
+
+
 def dedup_apply_lsh(
     spark: "SparkSession",
     sf_dir: str,

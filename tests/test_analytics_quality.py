@@ -845,6 +845,59 @@ def test_dedup_keep_best_policy(spark, tmp_path):
     assert out == {2: 2, 10: 0, 20: 1}
 
 
+def test_token_budget_select_prefix_rule(spark, tmp_path):
+    """Hand-simulated budget selection: ranked by (distinct-word score
+    DESC, doc_id), keep the maximal prefix with running est ≤ budget —
+    including a PARTIAL boundary group (two docs share the cutoff
+    score; only the lower-id one fits the remaining budget) and the
+    all-fits fast path."""
+    from engine.spark.analytics import token_budget_select
+
+    rows = [
+        (1, "a b c d e f g h"),            # 8 distinct
+        (2, "a a a a a a a a"),            # 1 distinct
+        (3, "x y z p q r s t u v"),        # 10 distinct
+        (4, "m n o"),                      # 3 distinct
+        (5, "aa bb cc dd ee ff gg hh ii jj kk ll"),  # 12 distinct
+        (6, "p2 q2 r2 s2 t2 u2 v2 w2"),    # 8 distinct (ties doc 1)
+    ]
+    d = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    def expect(budget):
+        scored = sorted(
+            ((len(set(t.split())), len(t) // 4 + 1, i) for i, t in rows),
+            key=lambda x: (-x[0], x[2]),
+        )
+        out, acc = set(), 0
+        for score, est, i in scored:
+            if acc + est > budget:
+                break
+            acc += est
+            out.add(i)
+        return out
+
+    for budget in (18, 5, 10_000):
+        got = {r.doc_id for r in token_budget_select(spark, str(d), budget).collect()}
+        assert got == expect(budget), budget
+    # budget 18 specifically exercises the partial boundary group:
+    # docs 1 and 6 tie at score 8; only doc 1 fits the remainder
+    assert expect(18) == {5, 3, 1}
+
+
+def test_token_budget_select_non_vacuous_sf001(spark):
+    """At the oracle-pinned budget (20k) the sf0.01 corpus must split —
+    some selected, some dropped — so the driver row checks a real
+    decision, not a copy of the corpus."""
+    from engine.spark.analytics import token_budget_select
+
+    n = token_budget_select(spark, "/root/testdata/sf0.01").count()
+    total = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").count()
+    assert 0 < n < total
+
+
 def test_lm_unigram_driver_form_non_vacuous(spark):
     """keep_doc must split and OOV must fire at sf0.01 — the corpus
     has 31 distinct words, so vocab_k=16 leaves real OOV mass."""
