@@ -1031,6 +1031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RefinedWeb-style cross-document line dedup: corpus-global
         # line frequency -> boilerplate strike-out -> exact rebuild
         "line_dedup": A.line_dedup,
+        # within-doc first-occurrence line dedup: map-only, zero shuffle
+        "line_dedup_intra": A.line_dedup_intra,
         # ExactSubstr-style repeated-span signal: fraction of a doc's
         # n-grams also present in other docs (hashed before shuffle)
         "internal_ngram_overlap": A.internal_ngram_overlap,
@@ -1183,12 +1185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the 2 round-4 red driver rows (transcript_prepare /
     #      transcript_curate — oracle-twin HUGEINT cast fixed this
     #      round) so CORRECTNESS_r05 re-records them;
-    #   3. the 6 oracled round-5 additions (dedup_text_semantic_adaptive,
+    #   3. the 7 oracled round-5 additions (dedup_text_semantic_adaptive,
     #      dedup_semantic_apply, quality_classifier, tokenizer_fertility,
-    #      dedup_keep_best, token_budget_select);
+    #      dedup_keep_best, token_budget_select, line_dedup_intra);
     # then the r3-sampled entries (oldest driver evidence, refresh) and
-    # the r4-green entries last (freshest evidence). With 12 front
-    # slots, 38 of the 49 r3 entries also land in the 50-slot window.
+    # the r4-green entries last (freshest evidence). With 13 front
+    # slots, 37 of the 49 r3 entries also land in the 50-slot window.
     never_sampled = {
         "source_keywords", "dedup_report", "hash_embed",
         "dedup_text_semantic",
@@ -1201,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility",
         "dedup_keep_best",
         "token_budget_select",
+        "line_dedup_intra",
     }
     front = never_sampled | red_r4 | new_r5
     return {
@@ -3448,6 +3451,35 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(s.ns, 0) / t.n_grams, 6) >= 0.2
                        AS has_repeated_spans
             FROM tot t LEFT JOIN sh s USING (doc_id)
+        """,
+        # within-doc first-occurrence line dedup over the same
+        # synthesized line structure; keep iff pos == min(pos) over
+        # (doc_id, normalized line)
+        "line_dedup_intra": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(text,
+                           ' (table|window|join) ', ' \1.' || chr(10), 'g'),
+                           ' (data|value|scan) ', ' \1' || chr(10), 'g') AS t
+                FROM documents),
+            l AS (
+                SELECT doc_id,
+                       generate_subscripts(ls, 1) - 1 AS pos,
+                       unnest(ls) AS line
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM s)),
+            k AS (SELECT *,
+                         min(pos) OVER (
+                             PARTITION BY doc_id, trim(lower(line))) AS fp
+                  FROM l)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN pos != fp THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_repeat,
+                   round(sum(CASE WHEN pos != fp THEN 1 ELSE 0 END)
+                         / count(*), 6) AS repeat_frac,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE pos = fp), '') AS cleaned_text
+            FROM k GROUP BY doc_id
         """,
         "line_dedup": r"""
             WITH s AS (

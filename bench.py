@@ -252,6 +252,7 @@ BENCH_QUERY_NAMES = [
         "vocab_top_k",
         "corpus_stats",
         "c4_clean",
+        "line_dedup_intra",
         "lm_unigram_score",
         "mix_corpus",
         "corpus_prepare",

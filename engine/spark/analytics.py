@@ -2078,6 +2078,48 @@ def line_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return line_dedup_batch(_c4_synthesize_lines(_docs(spark, sf_dir)))
 
 
+def line_dedup_intra_batch(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """WITHIN-document repeated-line removal: keep each line's FIRST
+    occurrence, strike later verbatim repeats (trim+lower normalized)
+    — the intra-document complement of line_dedup_batch's corpus-wide
+    boilerplate threshold (MassiveText's repetition gates and C4's
+    dedup operate inside the document too: scraped pages repeat their
+    own nav/footer blocks between sections).
+
+    Scale shape: map-ONLY — every output column derives from the
+    document's own line array via higher-order functions (array_position
+    against the normalized array gives first-occurrence in one codegen'd
+    expression); zero shuffles, zero joins, zero Python at any corpus
+    size."""
+    lines = F.split(F.col(text_col), "\n")
+    norm = F.transform(lines, lambda x: F.trim(F.lower(x)))
+    idx = F.sequence(F.lit(1), F.size(lines))
+    kept_idx = F.filter(
+        idx, lambda i: F.array_position(norm, F.element_at(norm, i)) == i
+    )
+    kept = F.transform(kept_idx, lambda i: F.element_at(lines, i))
+    n_lines = F.size(lines)
+    n_repeat = F.size(lines) - F.size(kept_idx)
+    return df.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        n_repeat.cast("long").alias("n_repeat"),
+        F.round(n_repeat / n_lines, 6).alias("repeat_frac"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+    )
+
+
+def line_dedup_intra(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Driver-query form over the same synthesized line structure as
+    line_dedup / c4_clean. The word soup repeats a full line inside
+    the same document occasionally (24 lines across 23 docs at
+    sf0.01) — thin but real; the planted pytest covers the dense
+    case."""
+    return line_dedup_intra_batch(_c4_synthesize_lines(_docs(spark, sf_dir)))
+
+
 DEFAULT_SAMPLE_RATES = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.5, "und": 0.25}
 
 

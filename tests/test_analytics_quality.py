@@ -845,6 +845,38 @@ def test_dedup_keep_best_policy(spark, tmp_path):
     assert out == {2: 2, 10: 0, 20: 1}
 
 
+def test_line_dedup_intra_first_occurrence(spark):
+    """Hand-computed within-doc line dedup: later verbatim repeats
+    (trim+lower normalized) are struck, first occurrences keep their
+    ORIGINAL casing/spacing and order; a repeat-free doc passes
+    through unchanged."""
+    from engine.spark.analytics import line_dedup_intra_batch
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello\nworld\nhello \nHELLO\nworld"),
+            (2, "a\nb\nc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup_intra_batch(df).collect()}
+    assert out[1].cleaned_text == "Hello\nworld"
+    assert (out[1].n_lines, out[1].n_repeat, out[1].repeat_frac) == (5, 3, 0.6)
+    assert out[2].cleaned_text == "a\nb\nc" and out[2].n_repeat == 0
+
+
+def test_line_dedup_intra_driver_form_non_vacuous(spark):
+    """The synthesized corpus repeats a full line inside the same doc
+    occasionally — the driver form must catch some (24 at sf0.01) and
+    must not strike everything."""
+    from engine.spark.analytics import line_dedup_intra
+
+    rows = line_dedup_intra(spark, "/root/testdata/sf0.01").collect()
+    total_rep = sum(r.n_repeat for r in rows)
+    assert total_rep > 0
+    assert all(r.n_repeat < r.n_lines for r in rows)
+
+
 def test_token_budget_select_prefix_rule(spark, tmp_path):
     """Hand-simulated budget selection: ranked by (distinct-word score
     DESC, doc_id), keep the maximal prefix with running est ≤ budget —
