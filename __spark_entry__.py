@@ -2892,6 +2892,23 @@ def _ats_oracles() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from engine.spark.analytics import C4_SYN_BARE_WORDS, C4_SYN_DOT_WORDS
+
+    # Shared line-synthesis CTE — single source of truth with
+    # _c4_synthesize_lines' word lists (the Spark side reads the same
+    # constants), spliced into the c4_clean / line_dedup /
+    # line_dedup_intra twins via __LINES__ so the fixture cannot drift
+    # between the engines or between the three SQL copies.
+    line_synth_cte = (
+        "s AS (\n"
+        "                SELECT doc_id,\n"
+        "                       regexp_replace(regexp_replace(text,\n"
+        f"                           ' ({C4_SYN_DOT_WORDS}) ', "
+        "' \\1.' || chr(10), 'g'),\n"
+        f"                           ' ({C4_SYN_BARE_WORDS}) ', "
+        "' \\1' || chr(10), 'g') AS t\n"
+        "                FROM documents)"
+    )
     lang_pred_case = (
         "CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und' "
         + " ".join(
@@ -3456,12 +3473,7 @@ def oracle_sql() -> dict[str, str]:
         # synthesized line structure; keep iff pos == min(pos) over
         # (doc_id, normalized line)
         "line_dedup_intra": r"""
-            WITH s AS (
-                SELECT doc_id,
-                       regexp_replace(regexp_replace(text,
-                           ' (table|window|join) ', ' \1.' || chr(10), 'g'),
-                           ' (data|value|scan) ', ' \1' || chr(10), 'g') AS t
-                FROM documents),
+            WITH __LINES__,
             l AS (
                 SELECT doc_id,
                        generate_subscripts(ls, 1) - 1 AS pos,
@@ -3480,14 +3492,9 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(line, chr(10) ORDER BY pos)
                             FILTER (WHERE pos = fp), '') AS cleaned_text
             FROM k GROUP BY doc_id
-        """,
+        """.replace("__LINES__", line_synth_cte),
         "line_dedup": r"""
-            WITH s AS (
-                SELECT doc_id,
-                       regexp_replace(regexp_replace(text,
-                           ' (table|window|join) ', ' \1.' || chr(10), 'g'),
-                           ' (data|value|scan) ', ' \1' || chr(10), 'g') AS t
-                FROM documents),
+            WITH __LINES__,
             l AS (
                 SELECT doc_id,
                        generate_subscripts(ls, 1) - 1 AS pos,
@@ -3506,14 +3513,9 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(line, chr(10) ORDER BY pos)
                             FILTER (WHERE NOT is_b), '') AS cleaned_text
             FROM j GROUP BY doc_id
-        """,
+        """.replace("__LINES__", line_synth_cte),
         "c4_clean": r"""
-            WITH s AS (
-                SELECT doc_id,
-                       regexp_replace(regexp_replace(text,
-                           ' (table|window|join) ', ' \1.' || chr(10), 'g'),
-                           ' (data|value|scan) ', ' \1' || chr(10), 'g') AS t
-                FROM documents),
+            WITH __LINES__,
             l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM s),
             k AS (SELECT doc_id, t, lines,
                          list_filter(lines, x ->
@@ -3530,7 +3532,7 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT (contains(t, '{') OR contains(t, '}'))
                     AND NOT contains(lower(t), 'lorem ipsum')) AS keep_doc
             FROM k
-        """,
+        """.replace("__LINES__", line_synth_cte),
         "stratified_sample": f"""
             WITH langs AS (
                 SELECT doc_id, {lang_pred_case} AS lang_pred

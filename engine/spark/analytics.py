@@ -2092,7 +2092,11 @@ def line_dedup_intra_batch(
     document's own line array via higher-order functions (array_position
     against the normalized array gives first-occurrence in one codegen'd
     expression); zero shuffles, zero joins, zero Python at any corpus
-    size."""
+    size. NULL-text docs are dropped, matching the family's semantics
+    (line_dedup/c4_clean drop them via their explode paths; without
+    this filter the map-only select would emit an all-NULL row the
+    DuckDB twin never produces)."""
+    df = df.filter(F.col(text_col).isNotNull())
     lines = F.split(F.col(text_col), "\n")
     norm = F.transform(lines, lambda x: F.trim(F.lower(x)))
     idx = F.sequence(F.lit(1), F.size(lines))

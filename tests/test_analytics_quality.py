@@ -856,10 +856,12 @@ def test_line_dedup_intra_first_occurrence(spark):
         [
             (1, "Hello\nworld\nhello \nHELLO\nworld"),
             (2, "a\nb\nc"),
+            (3, None),  # dropped — the family's NULL-text semantics
         ],
         "doc_id long, text string",
     )
     out = {r.doc_id: r for r in line_dedup_intra_batch(df).collect()}
+    assert set(out) == {1, 2}
     assert out[1].cleaned_text == "Hello\nworld"
     assert (out[1].n_lines, out[1].n_repeat, out[1].repeat_frac) == (5, 3, 0.6)
     assert out[2].cleaned_text == "a\nb\nc" and out[2].n_repeat == 0
