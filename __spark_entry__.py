@@ -877,6 +877,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _cw(src.unionByName(bad))
 
+    def agent_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # stuck-agent gate: longest consecutive identical-action run
+        # per conversation. The generator never repeats an identical
+        # (role, tool, text) triple back-to-back, so both engines plant
+        # looping copies identically: md5-prefix-'1' conversations are
+        # re-added under '~loop' with every turn tripled at
+        # turn_idx*4+{0,1,2} — each original turn becomes a 3-run.
+        from engine.spark.agent import loop_detect
+
+        src = spark.read.parquet(_agent_turns_parquet(spark))
+        looped = (
+            src.filter(F.substring(F.md5("conv_id"), 1, 1) == "1")
+            .withColumn("r", F.explode(F.array(*[F.lit(i) for i in range(3)])))
+            .select(
+                F.concat("conv_id", F.lit("~loop")).alias("conv_id"),
+                (F.col("turn_idx") * F.lit(4) + F.col("r"))
+                .cast("int")
+                .alias("turn_idx"),
+                "role",
+                "text",
+                "tool",
+                "ts",
+            )
+        )
+        return loop_detect(src.unionByName(looped))
+
     full = {
         # relational / reference-semantics operators (SURVEY.md §2.4-2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1119,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trainable — all pure Catalyst, conv-keyed or map-side-reduced
         "agent_tool_stats": agent_tool_stats,
         "agent_tool_transitions": agent_tool_transitions,
+        # stuck-agent loop gate (consecutive identical-action runs)
+        "agent_loop_detect": agent_loop_detect,
         "conversation_timing": conversation_timing,
         "conversation_wellformed": conversation_wellformed,
         # per-conversation language vote (turn scores summed conv-side)
@@ -1185,12 +1213,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the 2 round-4 red driver rows (transcript_prepare /
     #      transcript_curate — oracle-twin HUGEINT cast fixed this
     #      round) so CORRECTNESS_r05 re-records them;
-    #   3. the 7 oracled round-5 additions (dedup_text_semantic_adaptive,
+    #   3. the 8 oracled round-5 additions (dedup_text_semantic_adaptive,
     #      dedup_semantic_apply, quality_classifier, tokenizer_fertility,
-    #      dedup_keep_best, token_budget_select, line_dedup_intra);
+    #      dedup_keep_best, token_budget_select, line_dedup_intra,
+    #      agent_loop_detect);
     # then the r3-sampled entries (oldest driver evidence, refresh) and
-    # the r4-green entries last (freshest evidence). With 13 front
-    # slots, 37 of the 49 r3 entries also land in the 50-slot window.
+    # the r4-green entries last (freshest evidence). With 14 front
+    # slots, 36 of the 49 r3 entries also land in the 50-slot window.
     never_sampled = {
         "source_keywords", "dedup_report", "hash_embed",
         "dedup_text_semantic",
@@ -1204,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best",
         "token_budget_select",
         "line_dedup_intra",
+        "agent_loop_detect",
     }
     front = never_sampled | red_r4 | new_r5
     return {
@@ -4167,6 +4197,50 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(count(*)) OVER (
                                PARTITION BY prev_tool) AS DOUBLE), 6) AS p
             FROM seq GROUP BY prev_tool, tool
+        """,
+        "agent_loop_detect": f"""
+            WITH src AS (
+                SELECT conv_id, turn_idx, ts, role, tool, text
+                FROM read_parquet('{_agent_synth_path()}/*.parquet')),
+            planted AS (
+                SELECT conv_id, turn_idx, ts, role, tool, text FROM src
+                UNION ALL
+                SELECT conv_id || '~loop', turn_idx * 4 + r.r, ts,
+                       role, tool, text
+                FROM src CROSS JOIN (VALUES (0), (1), (2)) AS r(r)
+                WHERE substr(md5(conv_id), 1, 1) = '1'),
+            sigd AS (
+                -- same action signature Spark hashes: role/tool/text
+                -- joined with the 0x1f unit separator
+                SELECT conv_id, turn_idx, ts,
+                       md5(role || chr(31) || coalesce(tool, '')
+                           || chr(31) || coalesce(text, '')) AS sig
+                FROM planted),
+            rn AS (
+                SELECT conv_id, sig,
+                       row_number() OVER (
+                           PARTITION BY conv_id
+                           ORDER BY turn_idx, ts) AS rn,
+                       row_number() OVER (
+                           PARTITION BY conv_id, sig
+                           ORDER BY turn_idx, ts) AS rs
+                FROM sigd),
+            runs AS (
+                SELECT conv_id, sig, rn - rs AS grp,
+                       count(*) AS run_len,
+                       min(rn) AS run_start
+                FROM rn GROUP BY conv_id, sig, rn - rs)
+            SELECT conv_id,
+                   CAST(sum(run_len) AS BIGINT) AS n_turns,
+                   CAST(max(run_len) AS BIGINT) AS max_run,
+                   CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_loops,
+                   CAST(sum(CASE WHEN run_len >= 3 THEN run_len ELSE 0 END)
+                        AS BIGINT) AS n_loop_turns,
+                   CAST(min(CASE WHEN run_len >= 3 THEN run_start END)
+                        AS BIGINT) AS first_loop_at,
+                   max(run_len) >= 3 AS is_looping
+            FROM runs GROUP BY conv_id
         """,
         "conversation_timing": f"""
             WITH g AS (

@@ -168,6 +168,63 @@ def conversation_wellformed(turns: "DataFrame") -> "DataFrame":
     )
 
 
+def loop_detect(turns: "DataFrame", min_run: int = 3) -> "DataFrame":
+    """Agent-loop detector: per conversation, find maximal runs of
+    CONSECUTIVE identical actions — same (role, tool, text) — under
+    the stable order, and flag conversations whose longest run reaches
+    ``min_run``. Repeated identical tool calls / assistant turns are
+    the classic stuck-agent failure mode; trajectories that loop are
+    filtered (or down-weighted) before SFT/RL training, so this gate
+    runs corpus-wide right after well-formedness.
+
+    Runs via gaps-and-islands: two conv-keyed ``row_number`` windows
+    (overall vs per-signature) whose difference is constant exactly
+    along a consecutive identical-signature run. The signature is an
+    md5 of the action triple, so the one shuffle carries 32-char
+    hashes, never turn text — and it IS one: hash-partitioning on
+    conv_id clusters every finer key this plan needs, so Catalyst
+    satisfies the (conv_id, sig) window, the (conv_id, sig, grp) run
+    aggregate, and the final conv_id rollup off the SAME Exchange
+    (plan-verified: 1 Exchange, 2 Windows, 4 HashAggregates, zero
+    re-shuffles). conv_id is high-cardinality, so no funnel.
+
+    Output per conversation: n_turns, max_run (longest identical run),
+    n_loops (runs ≥ min_run), n_loop_turns (turns inside such runs),
+    first_loop_at (1-based stable-order position where the first loop
+    run starts; null when none), is_looping.
+    """
+    sig = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.col("role"),
+            F.coalesce(F.col("tool"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
+    base = turns.select(
+        "conv_id", "turn_idx", "ts", sig.alias("sig")
+    ).withColumn("rn", F.row_number().over(_w_conv()))
+    w_sig = Window.partitionBy("conv_id", "sig").orderBy("turn_idx", "ts")
+    runs = (
+        base.withColumn("grp", F.col("rn") - F.row_number().over(w_sig))
+        .groupBy("conv_id", "sig", "grp")
+        .agg(F.count("*").alias("run_len"), F.min("rn").alias("run_start"))
+    )
+    is_loop = F.col("run_len") >= min_run
+    return runs.groupBy("conv_id").agg(
+        F.sum("run_len").cast("long").alias("n_turns"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum(is_loop.cast("long")).alias("n_loops"),
+        F.sum(F.when(is_loop, F.col("run_len")).otherwise(0))
+        .cast("long")
+        .alias("n_loop_turns"),
+        F.min(F.when(is_loop, F.col("run_start")))
+        .cast("long")
+        .alias("first_loop_at"),
+        (F.max("run_len") >= min_run).alias("is_looping"),
+    )
+
+
 def conversation_language(per_turn: "DataFrame") -> "DataFrame":
     """Per-conversation language ID: marker scores computed per turn
     (map-only), summed per conversation (one conv-keyed map-side-

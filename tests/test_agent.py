@@ -127,6 +127,78 @@ def test_entry_planting_not_vacuous(spark):
     assert 0 < agg["ok"] < agg["n"]  # gate splits the corpus
 
 
+def test_loop_detect(spark):
+    """Golden loop semantics: a 4-run of identical tool calls is one
+    loop; interleaving breaks the run; distinct texts under the same
+    tool never loop; single-action conversations report no loop."""
+    from engine.spark.agent import loop_detect
+
+    rows = [
+        # conv L: user, then the SAME search call 4x in a row, then a
+        # distinct wrap-up -> max_run 4, one loop starting at pos 2
+        ("L", 0, "user", "find it", None, _ts(0)),
+        ("L", 1, "assistant", "searching", "search", _ts(1)),
+        ("L", 2, "assistant", "searching", "search", _ts(2)),
+        ("L", 3, "assistant", "searching", "search", _ts(3)),
+        ("L", 4, "assistant", "searching", "search", _ts(4)),
+        ("L", 5, "assistant", "done", None, _ts(5)),
+        # conv M: same call repeated but INTERLEAVED with tool output
+        # -> every run has length 1, no loop
+        ("M", 0, "assistant", "searching", "search", _ts(0)),
+        ("M", 1, "tool", "out 1", "search", _ts(1)),
+        ("M", 2, "assistant", "searching", "search", _ts(2)),
+        ("M", 3, "tool", "out 2", "search", _ts(3)),
+        # conv N: same tool, DIFFERENT texts -> no identical run
+        ("N", 0, "assistant", "q one", "sql", _ts(0)),
+        ("N", 1, "assistant", "q two", "sql", _ts(1)),
+        ("N", 2, "assistant", "q three", "sql", _ts(2)),
+        # conv O: exactly at threshold (3 identical null-tool turns)
+        ("O", 0, "assistant", "ok", None, _ts(0)),
+        ("O", 1, "assistant", "ok", None, _ts(1)),
+        ("O", 2, "assistant", "ok", None, _ts(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r for r in loop_detect(df).collect()}
+    L = got["L"]
+    assert (L["n_turns"], L["max_run"], L["n_loops"]) == (6, 4, 1)
+    assert L["n_loop_turns"] == 4 and L["first_loop_at"] == 2
+    assert L["is_looping"]
+    for cid in ("M", "N"):
+        assert got[cid]["max_run"] == 1 and not got[cid]["is_looping"]
+        assert got[cid]["first_loop_at"] is None
+    O = got["O"]
+    assert O["max_run"] == 3 and O["is_looping"] and O["first_loop_at"] == 1
+
+
+def test_loop_entry_planting_not_vacuous(spark):
+    """The contract entry's '~loop' plants must split the corpus: every
+    planted conversation loops (each turn tripled), the pristine
+    generator corpus never does."""
+    import __spark_entry__ as em
+
+    df = em.queries()["agent_loop_detect"](spark, "/root/testdata/sf0.01")
+    agg = df.agg(
+        F.sum(F.col("is_looping").cast("long")).alias("looping"),
+        F.sum(
+            (F.col("conv_id").endswith("~loop") & ~F.col("is_looping")).cast(
+                "long"
+            )
+        ).alias("planted_missed"),
+        F.sum(
+            (~F.col("conv_id").endswith("~loop") & F.col("is_looping")).cast(
+                "long"
+            )
+        ).alias("natural_loops"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert 0 < agg["looping"] < agg["n"]
+    assert agg["planted_missed"] == 0
+    assert agg["natural_loops"] == 0
+
+
 def test_transitions_order_is_stable_under_shuffle(spark):
     """Scattering input rows must not change the transition table —
     the window orders on (turn_idx, ts), never on arrival order."""
