@@ -195,6 +195,14 @@ def _agent_turns_parquet(spark: SparkSession) -> str:
     return path
 
 
+# canned template text both engines plant for canned_responses —
+# ASCII-only so substring/substr previews agree byte-for-byte
+_CANNED_TEXT = (
+    "I am sorry, I cannot help with that request. Please rephrase or "
+    "contact support for further assistance with this issue."
+)
+
+
 def _agent_synth_path() -> str:
     import os
     import tempfile
@@ -903,6 +911,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return loop_detect(src.unionByName(looped))
 
+    def canned_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # template-turn detector. The generator derives every text from
+        # (conv_id, turn_idx), so verbatim cross-conversation repeats
+        # are planted identically by both engines: md5-prefix-'2'
+        # conversations each get ONE extra assistant turn with the same
+        # canned refusal text (turn_idx 9999, past the generator range).
+        from engine.spark.agent import canned_responses as _cr
+
+        src = spark.read.parquet(_agent_turns_parquet(spark))
+        planted = (
+            src.filter(F.substring(F.md5("conv_id"), 1, 1) == "2")
+            .select("conv_id")
+            .distinct()
+            .select(
+                "conv_id",
+                F.lit(9999).cast("int").alias("turn_idx"),
+                F.lit("assistant").alias("role"),
+                F.lit(_CANNED_TEXT).alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+            )
+        )
+        return _cr(src.unionByName(planted))
+
+    def context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # context-window prefix fit (512-token limit) per conversation
+        from engine.spark.agent import context_fit as _cf
+
+        return _cf(spark.read.parquet(_agent_turns_parquet(spark)))
+
     full = {
         # relational / reference-semantics operators (SURVEY.md §2.4-2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1147,6 +1185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_tool_transitions": agent_tool_transitions,
         # stuck-agent loop gate (consecutive identical-action runs)
         "agent_loop_detect": agent_loop_detect,
+        # verbatim cross-conversation template turns (canned refusals)
+        "canned_responses": canned_responses,
+        # context-window prefix fit per conversation
+        "context_fit": context_fit,
         "conversation_timing": conversation_timing,
         "conversation_wellformed": conversation_wellformed,
         # per-conversation language vote (turn scores summed conv-side)
@@ -1213,13 +1255,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the 2 round-4 red driver rows (transcript_prepare /
     #      transcript_curate — oracle-twin HUGEINT cast fixed this
     #      round) so CORRECTNESS_r05 re-records them;
-    #   3. the 8 oracled round-5 additions (dedup_text_semantic_adaptive,
+    #   3. the 10 oracled round-5 additions (dedup_text_semantic_adaptive,
     #      dedup_semantic_apply, quality_classifier, tokenizer_fertility,
     #      dedup_keep_best, token_budget_select, line_dedup_intra,
-    #      agent_loop_detect);
+    #      agent_loop_detect, canned_responses, context_fit);
     # then the r3-sampled entries (oldest driver evidence, refresh) and
-    # the r4-green entries last (freshest evidence). With 14 front
-    # slots, 36 of the 49 r3 entries also land in the 50-slot window.
+    # the r4-green entries last (freshest evidence). With 16 front
+    # slots, 34 of the 49 r3 entries also land in the 50-slot window.
     never_sampled = {
         "source_keywords", "dedup_report", "hash_embed",
         "dedup_text_semantic",
@@ -1234,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select",
         "line_dedup_intra",
         "agent_loop_detect",
+        "canned_responses",
+        "context_fit",
     }
     front = never_sampled | red_r4 | new_r5
     return {
@@ -4241,6 +4285,51 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS first_loop_at,
                    max(run_len) >= 3 AS is_looping
             FROM runs GROUP BY conv_id
+        """,
+        "canned_responses": f"""
+            WITH src AS (
+                SELECT conv_id, role, text
+                FROM read_parquet('{_agent_synth_path()}/*.parquet')),
+            planted AS (
+                SELECT conv_id, role, text FROM src
+                UNION ALL
+                SELECT DISTINCT conv_id, 'assistant',
+                       '{_CANNED_TEXT}'
+                FROM src WHERE substr(md5(conv_id), 1, 1) = '2'),
+            base AS (
+                SELECT md5(coalesce(text, '')) AS h, conv_id,
+                       substr(coalesce(text, ''), 1, 80) AS preview
+                FROM planted WHERE role = 'assistant'),
+            per_conv AS (
+                SELECT h, conv_id,
+                       count(*) AS n, min(preview) AS preview
+                FROM base GROUP BY h, conv_id)
+            SELECT min(preview) AS preview,
+                   CAST(count(*) AS BIGINT) AS n_convs,
+                   CAST(sum(n) AS BIGINT) AS n_uses
+            FROM per_conv GROUP BY h
+            HAVING count(*) >= 3
+        """,
+        "context_fit": f"""
+            WITH cum AS (
+                SELECT conv_id,
+                       CAST(floor(length(coalesce(text, '')) / 4) + 1
+                            AS BIGINT) AS est,
+                       CAST(sum(CAST(floor(length(coalesce(text, '')) / 4)
+                                     + 1 AS BIGINT)) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx, ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum
+                FROM read_parquet('{_agent_synth_path()}/*.parquet'))
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(est) AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN cum <= 512 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_turns_fit,
+                   CAST(coalesce(max(CASE WHEN cum <= 512 THEN cum END), 0)
+                        AS BIGINT) AS tokens_fit,
+                   max(cum) <= 512 AS fits
+            FROM cum GROUP BY conv_id
         """,
         "conversation_timing": f"""
             WITH g AS (

@@ -225,6 +225,81 @@ def loop_detect(turns: "DataFrame", min_run: int = 3) -> "DataFrame":
     )
 
 
+def canned_responses(
+    turns: "DataFrame", role: str = "assistant", min_convs: int = 3
+) -> "DataFrame":
+    """Template/canned-turn detector: texts a given role repeats
+    VERBATIM across many conversations ("I'm sorry, I can't help with
+    that.", tool-failure apologies, greeting templates). The transcript
+    analogue of boilerplate_ngrams — canned turns carry no training
+    signal and over-represent refusal phrasing, so curation either
+    drops or caps them before SFT.
+
+    Scale shape: the first aggregate keys on (text_hash, conv_id) —
+    high cardinality, map-side combined — so a canned text appearing
+    once per conversation in 10^9 conversations reaches the hash-level
+    pass as one pre-reduced row per conversation, and the hash-level
+    groupBy's plain count(*) IS the distinct-conversation count (no
+    count-distinct shuffle; the boilerplate_ngrams per-doc
+    array_distinct lesson at turn granularity). Previews are cut to 80
+    chars BEFORE the shuffle, so nothing turn-sized moves.
+
+    Output per canned text (≥ min_convs conversations): preview,
+    n_convs, n_uses."""
+    base = turns.filter(F.col("role") == role).select(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+        "conv_id",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80).alias(
+            "preview"
+        ),
+    )
+    per_conv = base.groupBy("h", "conv_id").agg(
+        F.count("*").alias("n"), F.min("preview").alias("preview")
+    )
+    return (
+        per_conv.groupBy("h")
+        .agg(
+            F.min("preview").alias("preview"),
+            F.count("*").cast("long").alias("n_convs"),
+            F.sum("n").cast("long").alias("n_uses"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+        .select("preview", "n_convs", "n_uses")
+    )
+
+
+def context_fit(turns: "DataFrame", limit: int = 512) -> "DataFrame":
+    """Context-window fit: how much of each conversation's stable-order
+    prefix fits a ``limit``-token context — the planning signal for
+    truncation/packing policy (what fraction of trajectories train
+    whole, where the cut lands when they don't). Token estimate is the
+    corpus convention: floor(len(text)/4) + 1 per turn.
+
+    One conv-keyed running-sum window + one conv-keyed aggregate;
+    text never leaves the first projection (only its length does).
+
+    Output per conversation: n_turns, total_tokens, n_turns_fit
+    (longest prefix whose running sum stays ≤ limit), tokens_fit
+    (that prefix's token count), fits (whole conversation fits)."""
+    est = (
+        F.floor(F.length(F.coalesce(F.col("text"), F.lit(""))) / 4) + 1
+    ).cast("long")
+    w = _w_conv().rowsBetween(Window.unboundedPreceding, 0)
+    cum = turns.select(
+        "conv_id", "turn_idx", "ts", est.alias("est")
+    ).withColumn("cum", F.sum("est").over(w))
+    in_fit = F.col("cum") <= limit
+    return cum.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum("est").cast("long").alias("total_tokens"),
+        F.sum(in_fit.cast("long")).alias("n_turns_fit"),
+        F.coalesce(
+            F.max(F.when(in_fit, F.col("cum"))), F.lit(0)
+        ).cast("long").alias("tokens_fit"),
+        (F.max("cum") <= limit).alias("fits"),
+    )
+
+
 def conversation_language(per_turn: "DataFrame") -> "DataFrame":
     """Per-conversation language ID: marker scores computed per turn
     (map-only), summed per conversation (one conv-keyed map-side-

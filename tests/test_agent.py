@@ -199,6 +199,87 @@ def test_loop_entry_planting_not_vacuous(spark):
     assert agg["natural_loops"] == 0
 
 
+def test_canned_responses(spark):
+    """Golden template semantics: a text must span ≥ min_convs
+    DISTINCT conversations (within-conversation repeats alone never
+    qualify, but do count toward n_uses), only the requested role is
+    scanned, and the preview is cut to 80 chars."""
+    from engine.spark.agent import canned_responses
+
+    canned = "Sorry, I cannot do that. " * 5  # 125 chars -> 80-char preview
+    rows = [
+        # canned text in 3 conversations, twice in conv a
+        ("a", 0, "assistant", canned, None, _ts(0)),
+        ("a", 1, "assistant", canned, None, _ts(1)),
+        ("b", 0, "assistant", canned, None, _ts(0)),
+        ("c", 0, "assistant", canned, None, _ts(0)),
+        # repeated 5x but only ever in conv a -> below min_convs
+        ("a", 2, "assistant", "ditto", None, _ts(2)),
+        ("a", 3, "assistant", "ditto", None, _ts(3)),
+        ("a", 4, "assistant", "ditto", None, _ts(4)),
+        ("a", 5, "assistant", "ditto", None, _ts(5)),
+        ("a", 6, "assistant", "ditto", None, _ts(6)),
+        # same text 3 convs but USER role -> out of scope
+        ("a", 7, "user", "hello there", None, _ts(7)),
+        ("b", 1, "user", "hello there", None, _ts(1)),
+        ("c", 1, "user", "hello there", None, _ts(1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = canned_responses(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["preview"] == canned[:80]
+    assert r["n_convs"] == 3 and r["n_uses"] == 4
+
+
+def test_canned_entry_planting_not_vacuous(spark):
+    """The contract entry's planted canned turn must be detected, and
+    (the generator never repeats verbatim across conversations) must
+    be the ONLY detection — so the twin verifies the exact counts."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["canned_responses"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["preview"] == em._CANNED_TEXT[:80]
+    assert rows[0]["n_convs"] == rows[0]["n_uses"] >= 3
+
+
+def test_context_fit(spark):
+    """Golden prefix-fit: est = floor(len/4)+1, the fit is the longest
+    stable-order prefix whose running sum stays within the limit, and
+    a first turn that alone exceeds the limit reports a zero fit."""
+    from engine.spark.agent import context_fit
+
+    rows = [
+        # ests 2,2,2 -> cum 2,4,6; limit 5 keeps 2 turns (4 tokens)
+        ("a", 0, "user", "aaaa", None, _ts(0)),
+        ("a", 1, "assistant", "bbbb", None, _ts(1)),
+        ("a", 2, "user", "cccc", None, _ts(2)),
+        # ests 1,1 -> cum 1,2; fits whole
+        ("b", 0, "user", "", None, _ts(0)),
+        ("b", 1, "assistant", "xy", None, _ts(1)),
+        # first turn est 11 > 5 -> nothing fits
+        ("c", 0, "user", "z" * 40, None, _ts(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r for r in context_fit(df, limit=5).collect()}
+    a = got["a"]
+    assert (a["n_turns"], a["total_tokens"]) == (3, 6)
+    assert (a["n_turns_fit"], a["tokens_fit"], a["fits"]) == (2, 4, False)
+    b = got["b"]
+    assert (b["n_turns_fit"], b["tokens_fit"], b["fits"]) == (2, 2, True)
+    c = got["c"]
+    assert (c["n_turns_fit"], c["tokens_fit"], c["fits"]) == (0, 0, False)
+
+
 def test_transitions_order_is_stable_under_shuffle(spark):
     """Scattering input rows must not change the transition table —
     the window orders on (turn_idx, ts), never on arrival order."""
