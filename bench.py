@@ -227,6 +227,36 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
     return out, spins
 
 
+def _bench_trajectory(
+    spark, path: str
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Trajectory-curation gates timed at bench scale. The contract
+    entries run these over the tiny 120-conversation oracle fixture;
+    here they run over the same ~206k-turn materialized table the
+    extraction headline reads, so the recorded walls are the sf-scale
+    cost of each gate (best-of-3 + spin probe, like _bench_queries).
+    The first run pays codegen; best-of-3 absorbs it."""
+    from engine.spark.agent import canned_responses, context_fit, loop_detect
+
+    t = spark.read.parquet(path)
+    out: dict[str, float] = {}
+    spins: dict[str, float] = {}
+    for name, fn in (
+        ("traj_loop_detect", loop_detect),
+        ("traj_context_fit", context_fit),
+        ("traj_canned_responses", canned_responses),
+    ):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            fn(t).write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        out[name] = round(best, 3)
+        spins[name] = round(_spin_probe(), 2)
+    return out, spins
+
+
 BENCH_QUERY_NAMES = [
         "q1_pricing_summary",
         "top_orders_per_segment",
@@ -549,6 +579,11 @@ def main() -> None:
             spark, _materialize_inputs(spark, sf_dir, n_convs)
         )
         queries, query_spins = _bench_queries(spark, sf_dir)
+        traj, traj_spins = _bench_trajectory(
+            spark, _materialize_inputs(spark, sf_dir, n_convs)
+        )
+        queries.update(traj)
+        query_spins.update(traj_spins)
         queries["extract_pipeline"] = round(extract_wall, 3)
         queries["extract_pipeline_salted"] = round(salted_wall, 3)
         spark.stop()
