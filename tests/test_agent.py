@@ -535,3 +535,63 @@ def test_curate_job_main(spark, tmp_path):
         map(tuple, spark.read.parquet(f"{out}/packed_curate").collect())
     )
     assert again == rows
+
+
+def test_curate_job_gate_mode(spark, tmp_path):
+    """--mode gate end-to-end: one row per conversation with the keep
+    decision. The synthetic corpus is loop-free but NOT all-wellformed
+    (the generator naturally emits tool-role turns without a tool
+    name), so the gate must drop exactly the malformed conversations;
+    a planted looping copy flips keep off. Idempotent re-run."""
+    import json
+    import sys
+
+    sys.path.insert(0, "jobs")
+    try:
+        import curate_job
+    finally:
+        sys.path.pop(0)
+
+    from engine.spark.transcripts import synthesize_transcripts
+
+    out = str(tmp_path / "run")
+    rc = curate_job.main(
+        ["--synthesize", "40", "--output", out, "--mode", "gate"]
+    )
+    assert rc == 0
+    gated = spark.read.parquet(f"{out}/gate")
+    assert gated.count() == 40
+    n_malformed = gated.filter(~F.col("is_wellformed")).count()
+    assert gated.filter(~F.col("keep")).count() == n_malformed
+    metrics = json.loads(
+        spark.read.text(f"{out}/metrics_gate").collect()[0][0]
+    )
+    assert metrics["convs_in"] == 40
+    assert metrics["convs_kept"] == 40 - n_malformed > 0
+    assert metrics["looping"] == 0
+    assert metrics["malformed"] == n_malformed
+
+    # planted loop: triple every turn of one conversation under a new
+    # id and feed the table through the gate arm directly
+    t = synthesize_transcripts(spark, 40, 4)
+    one = t.filter(F.col("conv_id") == t.select("conv_id").first()[0])
+    looped = one.withColumn(
+        "r", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+    ).select(
+        F.concat("conv_id", F.lit("~loop")).alias("conv_id"),
+        (F.col("turn_idx") * 4 + F.col("r")).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+    from engine.spark.agent import loop_detect
+
+    flagged = loop_detect(t.unionByName(looped)).filter("is_looping")
+    assert flagged.count() == 1
+    assert flagged.first()["conv_id"].endswith("~loop")
+    # idempotent re-run of the job itself
+    assert curate_job.main(
+        ["--synthesize", "40", "--output", out, "--mode", "gate"]
+    ) == 0
+    assert spark.read.parquet(f"{out}/gate").count() == 40
