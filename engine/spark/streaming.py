@@ -151,6 +151,101 @@ def stream_conversation_state(
     return writer.start()
 
 
+def stream_loop_state(
+    spark: "SparkSession",
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    min_run: int = 3,
+    available_now: bool = True,
+) -> "StreamingQuery":
+    """Incremental stuck-agent detection (applyInPandasWithState): the
+    streaming twin of agent.loop_detect for LIVE conversations whose
+    turns keep arriving — flag a looping agent while it is still
+    looping, not after the corpus lands. Built-in windowed aggs can't
+    express "longest run of consecutive identical values across
+    batches"; GroupState holds exactly (last action signature, current
+    run length, max run, n_turns) per live conversation — ~50 bytes
+    per live key, O(live conversations) total, never O(turns).
+
+    Signature = md5 of the (role, tool, text) triple, so state stores
+    a 32-char hash, never turn text. Within a microbatch the group's
+    rows are sorted by (turn_idx, ts) — the batch stable order;
+    ACROSS batches the operator assumes the ingest layout delivers
+    each conversation's turns in order (true for file-replay ingest
+    like this module's, and the same monotone-arrival assumption any
+    run-length state machine needs). Each batch emits the updated
+    (conv_id, n_turns, max_run, is_looping) snapshot for every
+    conversation seen in it; the sink is an append log — downstream
+    reads the last snapshot per conv_id. Streamed final state ==
+    agent.loop_detect on the same input, test-asserted."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    ).select("conv_id", "turn_idx", "ts", "role", "tool", "text")
+
+    STATE_SCHEMA = "last_sig string, run long, max_run long, n_turns long"
+    OUT_SCHEMA = (
+        "conv_id string, n_turns long, max_run long, is_looping boolean"
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        last_sig, run, max_run, n = (
+            state.get if state.exists else ("", 0, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["turn_idx", "ts"], kind="stable")
+        # nulls (None or NaN depending on the Arrow->pandas path) map
+        # to "" exactly like the batch twin's coalesce
+        cols = [
+            pdf[c].map(lambda v: "" if v is None or v != v else v)
+            for c in ("role", "tool", "text")
+        ]
+        for role, tool, text in zip(*cols):
+            trip = "\x1f".join((role, tool, text))
+            sig = hashlib.md5(trip.encode("utf-8")).hexdigest()
+            run = run + 1 if sig == last_sig else 1
+            last_sig = sig
+            max_run = max(max_run, run)
+            n += 1
+        state.update((last_sig, run, max_run, n))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "max_run": [max_run],
+                "is_looping": [max_run >= min_run],
+            }
+        )
+
+    rolled = src.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{output_dir}/loop_state")
+
+    writer = (
+        rolled.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_quality_drift(
     spark: "SparkSession",
     input_dir: str,

@@ -143,6 +143,71 @@ def test_stream_conversation_state_accumulates(spark, tmp_path_factory):
     assert snaps.count() > len(expected)
 
 
+def test_stream_loop_state_matches_batch_across_drains(
+    spark, tmp_path_factory
+):
+    """applyInPandasWithState loop detection: a run of identical
+    actions that SPANS the arrival split must still count as one run
+    (state carries the last signature across drains), and every final
+    snapshot must equal agent.loop_detect over the full input."""
+    import datetime as dt
+
+    from engine.spark.agent import loop_detect
+    from engine.spark.streaming import stream_loop_state
+    from engine.spark.transcripts import synthesize_transcripts
+
+    base = tmp_path_factory.mktemp("loop_state")
+    in_dir = str(base / "in")
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    ts0 = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    planted = spark.createDataFrame(
+        [
+            # 6 identical turns: 0-2 arrive in batch 1, 3-5 in batch 2
+            ("~planted", i, "assistant", "same text", "search",
+             ts0 + dt.timedelta(seconds=i))
+            for i in range(6)
+        ]
+        + [("~planted", 6, "assistant", "done", None,
+            ts0 + dt.timedelta(seconds=6))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    t = synthesize_transcripts(spark, 6, 4, parallelism=2).unionByName(
+        planted
+    )
+    first = t.filter(F.col("turn_idx") < 3)
+    second = t.filter(F.col("turn_idx") >= 3)
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_loop_state(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+    # after batch 1 the planted run is only 3 long
+    mid = {
+        r.conv_id: r
+        for r in spark.read.parquet(f"{out_dir}/loop_state").collect()
+    }
+    assert mid["~planted"].max_run == 3
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_loop_state(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+
+    snaps = spark.read.parquet(f"{out_dir}/loop_state")
+    latest = {
+        r.conv_id: r for r in snaps.orderBy("n_turns").collect()
+    }
+    expected = {r.conv_id: r for r in loop_detect(t).collect()}
+    assert latest.keys() == expected.keys()
+    for cid, exp in expected.items():
+        got = latest[cid]
+        assert got.n_turns == exp.n_turns, cid
+        assert got.max_run == exp.max_run, cid
+        assert got.is_looping == exp.is_looping, cid
+    # the boundary-spanning run: 6, not max(3, 3)
+    assert latest["~planted"].max_run == 6
+    assert latest["~planted"].is_looping
+
+
 def test_stream_dedup_exact_drops_cross_batch_duplicates(spark, tmp_path_factory):
     """Streaming exact dedup: within-batch and cross-drain duplicates
     of the same content are dropped (state survives via checkpoint);
