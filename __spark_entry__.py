@@ -941,6 +941,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _cf(spark.read.parquet(_agent_turns_parquet(spark)))
 
+    def tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-tool execution latency (gap preceding each tool-result
+        # turn, exact integer-µs two-level aggregation)
+        from engine.spark.agent import tool_latency as _tl
+
+        return _tl(spark.read.parquet(_agent_turns_parquet(spark)))
+
     full = {
         # relational / reference-semantics operators (SURVEY.md §2.4-2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1189,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canned_responses": canned_responses,
         # context-window prefix fit per conversation
         "context_fit": context_fit,
+        # per-tool execution-latency profile
+        "tool_latency": tool_latency,
         "conversation_timing": conversation_timing,
         "conversation_wellformed": conversation_wellformed,
         # per-conversation language vote (turn scores summed conv-side)
@@ -1255,13 +1264,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the 2 round-4 red driver rows (transcript_prepare /
     #      transcript_curate — oracle-twin HUGEINT cast fixed this
     #      round) so CORRECTNESS_r05 re-records them;
-    #   3. the 10 oracled round-5 additions (dedup_text_semantic_adaptive,
+    #   3. the 11 oracled round-5 additions (dedup_text_semantic_adaptive,
     #      dedup_semantic_apply, quality_classifier, tokenizer_fertility,
     #      dedup_keep_best, token_budget_select, line_dedup_intra,
-    #      agent_loop_detect, canned_responses, context_fit);
+    #      agent_loop_detect, canned_responses, context_fit,
+    #      tool_latency);
     # then the r3-sampled entries (oldest driver evidence, refresh) and
-    # the r4-green entries last (freshest evidence). With 16 front
-    # slots, 34 of the 49 r3 entries also land in the 50-slot window.
+    # the r4-green entries last (freshest evidence). With 17 front
+    # slots, 33 of the 49 r3 entries also land in the 50-slot window.
     never_sampled = {
         "source_keywords", "dedup_report", "hash_embed",
         "dedup_text_semantic",
@@ -1278,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_loop_detect",
         "canned_responses",
         "context_fit",
+        "tool_latency",
     }
     front = never_sampled | red_r4 | new_r5
     return {
@@ -4330,6 +4341,31 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS tokens_fit,
                    max(cum) <= 512 AS fits
             FROM cum GROUP BY conv_id
+        """,
+        "tool_latency": f"""
+            WITH g AS (
+                SELECT role, tool, conv_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx, ts)
+                           AS gap_us
+                FROM read_parquet('{_agent_synth_path()}/*.parquet')),
+            calls AS (
+                SELECT tool, conv_id, gap_us FROM g
+                WHERE role = 'tool' AND tool IS NOT NULL
+                  AND gap_us IS NOT NULL),
+            per_conv AS (
+                SELECT tool, conv_id,
+                       count(*) AS n,
+                       sum(gap_us) AS s,
+                       max(gap_us) AS mx
+                FROM calls GROUP BY tool, conv_id)
+            SELECT tool,
+                   CAST(sum(n) AS BIGINT) AS n_results,
+                   round(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                         / 1e6, 6) AS avg_latency_s,
+                   round(CAST(max(mx) AS DOUBLE) / 1e6, 6)
+                       AS max_latency_s
+            FROM per_conv GROUP BY tool
         """,
         "conversation_timing": f"""
             WITH g AS (

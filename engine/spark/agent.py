@@ -134,6 +134,49 @@ def conversation_timing(turns: "DataFrame") -> "DataFrame":
     )
 
 
+def tool_latency(turns: "DataFrame") -> "DataFrame":
+    """Per-tool execution-latency profile: for every tool-RESULT turn
+    (role='tool' with a tool name), the latency is the stable-order
+    gap from the preceding turn — the time between the agent issuing
+    the call and its result landing. The "which tools are slow"
+    telemetry an agent platform reads next to tool_usage_stats.
+
+    Scale shape: one conv-keyed lag window, then the tool_usage_stats
+    two-level aggregate — (tool, conv_id) first with exact integer-µs
+    sums, so the handful-of-tools key receives one pre-reduced row per
+    conversation, never raw turns, and the means are one exact integer
+    sum divided once (bit-identical to the DuckDB twin). A
+    conversation-opening tool turn has no preceding turn and is
+    excluded (null gap), like conversation_timing's single-turn case.
+
+    Output per tool: n_results, avg_latency_s, max_latency_s."""
+    g = turns.select(
+        "role",
+        "tool",
+        "conv_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(_w_conv())
+        ).alias("gap_us"),
+    )
+    calls = g.filter(
+        (F.col("role") == "tool")
+        & F.col("tool").isNotNull()
+        & F.col("gap_us").isNotNull()
+    )
+    per_conv = calls.groupBy("tool", "conv_id").agg(
+        F.count("*").alias("n"),
+        F.sum("gap_us").alias("s"),
+        F.max("gap_us").alias("mx"),
+    )
+    return per_conv.groupBy("tool").agg(
+        F.sum("n").cast("long").alias("n_results"),
+        F.round(F.sum("s") / F.sum("n") / F.lit(1e6), 6).alias(
+            "avg_latency_s"
+        ),
+        F.round(F.max("mx") / F.lit(1e6), 6).alias("max_latency_s"),
+    )
+
+
 def conversation_wellformed(turns: "DataFrame") -> "DataFrame":
     """Structural SFT-gate per conversation: does it start with a user
     turn, are there adjacent same-role repeats, and does every

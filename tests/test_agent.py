@@ -92,6 +92,24 @@ def test_conversation_timing(turns):
     assert got["c"]["avg_gap_s"] == pytest.approx(3.0)
 
 
+def test_tool_latency(turns):
+    """Latency = stable-order gap preceding each tool-RESULT turn:
+    conv a's search result lands at the same ts as its call (0 s, the
+    duplicate-ts case), its sql result 60 s after the call; conv b's
+    tool turn has no tool name (excluded); conv c has no tool-role
+    turns at all."""
+    from engine.spark.agent import tool_latency
+
+    got = {r["tool"]: r for r in tool_latency(turns).collect()}
+    assert set(got) == {"search", "sql"}
+    assert got["search"]["n_results"] == 1
+    assert got["search"]["avg_latency_s"] == 0.0
+    assert got["search"]["max_latency_s"] == 0.0
+    assert got["sql"]["n_results"] == 1
+    assert got["sql"]["avg_latency_s"] == 60.0
+    assert got["sql"]["max_latency_s"] == 60.0
+
+
 def test_conversation_wellformed(turns):
     got = {
         r["conv_id"]: r for r in conversation_wellformed(turns).collect()
