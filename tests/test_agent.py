@@ -217,6 +217,89 @@ def test_loop_entry_planting_not_vacuous(spark):
     assert agg["natural_loops"] == 0
 
 
+def test_loop_and_fit_match_python_reference_randomized(spark):
+    """Seeded randomized equivalence: 200 conversations of random
+    small-alphabet actions and lengths, checked turn-for-turn against
+    a direct Python run-length / prefix-sum reference. One DataFrame
+    round-trip for all conversations (not per-example) so the breadth
+    costs one Spark job."""
+    import random
+
+    from engine.spark.agent import context_fit, loop_detect
+
+    rng = random.Random(0xA6E27)
+    rows, ref_loop, ref_fit = [], {}, {}
+    limit = 40
+    for c in range(200):
+        cid = f"r{c:03d}"
+        n = rng.randint(1, 12)
+        actions = [
+            (
+                rng.choice(("user", "assistant", "tool")),
+                rng.choice((None, "search", "sql")),
+                rng.choice(("x", "yy", "zzz", "wwww")) * rng.randint(1, 8),
+            )
+            for _ in range(n)
+        ]
+        # sprinkle guaranteed runs: repeat a random prefix action
+        if rng.random() < 0.5:
+            actions += [actions[rng.randrange(len(actions))]] * rng.randint(
+                2, 4
+            )
+        rows += [
+            (cid, i, r, t, tl, _ts(i)) for i, (r, tl, t) in enumerate(actions)
+        ]
+        # python reference: run lengths over consecutive identical triples
+        runs, cur = [], 1
+        for i in range(1, len(actions)):
+            if actions[i] == actions[i - 1]:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        starts = [1 + sum(runs[:i]) for i in range(len(runs))]
+        loops = [(ln, st) for ln, st in zip(runs, starts) if ln >= 3]
+        ref_loop[cid] = (
+            len(actions),
+            max(runs),
+            len(loops),
+            sum(ln for ln, _ in loops),
+            min((st for _, st in loops), default=None),
+            max(runs) >= 3,
+        )
+        # python reference: prefix fit under est = len(text)//4 + 1
+        ests = [len(t) // 4 + 1 for _, _, t in actions]
+        cum, fit_n, fit_tok = 0, 0, 0
+        for e in ests:
+            cum += e
+            if cum <= limit:
+                fit_n, fit_tok = fit_n + 1, cum
+        ref_fit[cid] = (
+            len(ests), sum(ests), fit_n, fit_tok, sum(ests) <= limit
+        )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["max_run"], r["n_loops"], r["n_loop_turns"],
+            r["first_loop_at"], r["is_looping"],
+        )
+        for r in loop_detect(df).collect()
+    }
+    assert got == ref_loop
+    gotf = {
+        r["conv_id"]: (
+            r["n_turns"], r["total_tokens"], r["n_turns_fit"],
+            r["tokens_fit"], r["fits"],
+        )
+        for r in context_fit(df, limit=limit).collect()
+    }
+    assert gotf == ref_fit
+
+
 def test_canned_responses(spark):
     """Golden template semantics: a text must span ≥ min_convs
     DISTINCT conversations (within-conversation repeats alone never
