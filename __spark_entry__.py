@@ -4268,8 +4268,9 @@ def oracle_sql() -> dict[str, str]:
                 -- same action signature Spark hashes: role/tool/text
                 -- joined with the 0x1f unit separator
                 SELECT conv_id, turn_idx, ts,
-                       md5(role || chr(31) || coalesce(tool, '')
-                           || chr(31) || coalesce(text, '')) AS sig
+                       md5(coalesce(role, '') || chr(31)
+                           || coalesce(tool, '') || chr(31)
+                           || coalesce(text, '')) AS sig
                 FROM planted),
             rn AS (
                 SELECT conv_id, sig,

@@ -204,6 +204,20 @@ def _equality_pass_rate(spark, path: str, sample_n: int = 2000) -> tuple[float, 
     return (passes / n if n else 0.0), n
 
 
+def _time_noop_best_of_3(make_df) -> float:
+    """THE per-query timing discipline, in one place: best-of-3 walls
+    around a full-column noop sink (best-of-K because of host steal,
+    see _run_extraction; noop because count()-driven plans prune the
+    work, see docs/PLANS.md census note)."""
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        make_df().write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        best = wall if best is None else min(best, wall)
+    return round(best, 3)
+
+
 def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Per-query best-of-3 walls plus a spin-probe reading taken right
     after each query's timed runs — so any slow per-query number in a
@@ -216,13 +230,9 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
     out: dict[str, float] = {}
     spins: dict[str, float] = {}
     for name in names:
-        best = None
-        for _ in range(3):  # best-of-3: host steal noise (see _run_extraction)
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            wall = time.time() - t0
-            best = wall if best is None else min(best, wall)
-        out[name] = round(best, 3)
+        out[name] = _time_noop_best_of_3(
+            lambda name=name: qs[name](spark, sf_dir)
+        )
         spins[name] = round(_spin_probe(), 2)
     return out, spins
 
@@ -234,7 +244,7 @@ def _bench_trajectory(
     entries run these over the tiny 120-conversation oracle fixture;
     here they run over the same ~206k-turn materialized table the
     extraction headline reads, so the recorded walls are the sf-scale
-    cost of each gate (best-of-3 + spin probe, like _bench_queries).
+    cost of each gate (same timing discipline as _bench_queries).
     The first run pays codegen; best-of-3 absorbs it."""
     from engine.spark.agent import canned_responses, context_fit, loop_detect
 
@@ -246,13 +256,7 @@ def _bench_trajectory(
         ("traj_context_fit", context_fit),
         ("traj_canned_responses", canned_responses),
     ):
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            fn(t).write.format("noop").mode("overwrite").save()
-            wall = time.time() - t0
-            best = wall if best is None else min(best, wall)
-        out[name] = round(best, 3)
+        out[name] = _time_noop_best_of_3(lambda fn=fn: fn(t))
         spins[name] = round(_spin_probe(), 2)
     return out, spins
 

@@ -236,10 +236,14 @@ def loop_detect(turns: "DataFrame", min_run: int = 3) -> "DataFrame":
     first_loop_at (1-based stable-order position where the first loop
     run starts; null when none), is_looping.
     """
+    # every field coalesced: concat_ws SKIPS nulls (a null role would
+    # collapse the field count and let '(null, "a\\x1fb")' collide with
+    # '("a", "b")'), and the DuckDB twin / stream_loop_state must see
+    # the identical null→'' mapping
     sig = F.md5(
         F.concat_ws(
             "\x1f",
-            F.col("role"),
+            F.coalesce(F.col("role"), F.lit("")),
             F.coalesce(F.col("tool"), F.lit("")),
             F.coalesce(F.col("text"), F.lit("")),
         )

@@ -6,8 +6,9 @@ Usage (local sandbox):
     scripts/package.sh   # builds dist/engine.zip
     spark-submit --py-files dist/engine.zip jobs/curate_job.py \
         --input /path/with/transcripts.parquet --output /path/out \
-        [--mode prepare|curate] [--min-conv-tokens 64] \
+        [--mode prepare|curate|gate] [--min-conv-tokens 64] \
         [--seq-len 4096] [--shards 16] [--min-jaccard 0.5] \
+        [--min-run 3] [--context-limit 4096] \
         [--synthesize N]   # N conversations instead of --input
 
 Pipeline: extraction (the fused mapInPandas stage — HTML/PDF
@@ -148,6 +149,12 @@ def _gate_mode(spark, t, n_turns: int, args, owns_session: bool) -> int:
     )
     from pyspark.sql import functions as F
 
+    # NOTE: with the full (role, tool, text) action signature a loop of
+    # k>=2 identical actions necessarily contains adjacent same-role
+    # repeats, so is_looping implies NOT is_wellformed and the
+    # ~is_looping conjunct is a defensive guard (it becomes load-
+    # bearing only for signature variants that exclude role); the loop
+    # columns are the diagnostic payload either way.
     out = (
         wf.join(loops, "conv_id")
         .join(fit, "conv_id")
@@ -165,15 +172,18 @@ def _gate_mode(spark, t, n_turns: int, args, owns_session: bool) -> int:
         F.sum((~F.col("is_wellformed")).cast("long")).alias("malformed"),
         F.sum(F.col("fits").cast("long")).alias("fits"),
     ).collect()[0]
+    # empty input: count is 0 but every sum() is NULL — coalesce so an
+    # upstream stage that produced nothing still gets its metrics line
     metrics = {
         "mode": "gate",
         "turns_in": n_turns,
         "convs_in": int(agg["n"]),
-        "convs_kept": int(agg["kept"]),
-        "looping": int(agg["looping"]),
-        "malformed": int(agg["malformed"]),
-        "fits_context": int(agg["fits"]),
-        "drop_rate": round(1 - agg["kept"] / agg["n"], 6) if agg["n"] else None,
+        "convs_kept": int(agg["kept"] or 0),
+        "looping": int(agg["looping"] or 0),
+        "malformed": int(agg["malformed"] or 0),
+        "fits_context": int(agg["fits"] or 0),
+        "drop_rate": round(1 - (agg["kept"] or 0) / agg["n"], 6)
+        if agg["n"] else None,
         "output": dest,
     }
     spark.createDataFrame([(json.dumps(metrics),)], "v string").coalesce(

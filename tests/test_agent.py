@@ -235,7 +235,11 @@ def test_loop_and_fit_match_python_reference_randomized(spark):
         n = rng.randint(1, 12)
         actions = [
             (
-                rng.choice(("user", "assistant", "tool")),
+                # None role included: concat_ws skips nulls, so an
+                # uncoalesced signature would collapse the field count
+                # (the review-found divergence) — the reference's tuple
+                # equality is the ground truth
+                rng.choice(("user", "assistant", "tool", None)),
                 rng.choice((None, "search", "sql")),
                 rng.choice(("x", "yy", "zzz", "wwww")) * rng.randint(1, 8),
             )
@@ -696,3 +700,18 @@ def test_curate_job_gate_mode(spark, tmp_path):
         ["--synthesize", "40", "--output", out, "--mode", "gate"]
     ) == 0
     assert spark.read.parquet(f"{out}/gate").count() == 40
+
+    # empty input (an upstream stage produced nothing): rc 0 and a
+    # zeroed metrics line, not a TypeError on the NULL sums
+    empty_dir = str(tmp_path / "empty_in")
+    spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    ).write.mode("overwrite").parquet(f"{empty_dir}/transcripts.parquet")
+    out2 = str(tmp_path / "empty_out")
+    assert curate_job.main(
+        ["--input", empty_dir, "--output", out2, "--mode", "gate"]
+    ) == 0
+    m = json.loads(spark.read.text(f"{out2}/metrics_gate").collect()[0][0])
+    assert m["convs_in"] == 0 and m["convs_kept"] == 0
+    assert m["drop_rate"] is None
