@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
 ``decode_stub=True`` (default) runs a deterministic fake decoder that
-parses our synthetic header format; ``decode_stub=False`` raises
-NotImplementedError where a real libjpeg/ffmpeg call would go. The
-Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — is real and tested (tests/test_multimodal.py).
+parses our synthetic header format. ``decode_stub=False`` is the REAL
+arm: PNG decodes for real via the pure-stdlib codec in
+engine/kernel/png.py (zlib inflate + CRC verification + all five
+scanline filters — no external libs needed), and the resize path
+resamples/re-encodes actual PNG pixels; JPEG and audio/video still
+raise NotImplementedError where a libjpeg/ffmpeg call would go on a
+real cluster. The Spark-side plumbing — schema, partitioning, UDF
+signature, batch shape — is identical in both arms and tested
+(tests/test_multimodal.py).
 
 Synthetic payload format (deterministic, produced by make_media_table):
     b"IMG1" + width:4 bytes BE + height:4 bytes BE + pixel bytes
@@ -69,10 +73,27 @@ def make_media_table(spark: "SparkSession", n: int = 64) -> "DataFrame":
     return df.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
 
 
-def _decode_real(payload: bytes, kind: str):
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_real(payload: bytes, kind: str) -> dict:
+    """The REAL decode arm. PNG images decode for real via the
+    pure-stdlib codec (engine/kernel/png.py — zlib inflate, CRC
+    verification, all five scanline filters); JPEG and audio/video
+    still require external codecs this container lacks and raise
+    honestly."""
+    if kind == "image" and payload[:8] == _PNG_SIG:
+        from engine.kernel.png import decode_png
+
+        w, h, _channels, _pixels = decode_png(payload)
+        return {
+            "width": int(w), "height": int(h), "sample_rate": None,
+            "n_samples": None, "frame_count": 1, "ok": True,
+        }
     raise NotImplementedError(
-        "real media decode requires image/audio libs not present in this "
-        "container; wire libjpeg/PIL/ffmpeg here on a real cluster"
+        "real decode implemented for PNG only (pure-stdlib codec); "
+        "JPEG/audio/video require libjpeg/ffmpeg not present in this "
+        "container — wire them here on a real cluster"
     )
 
 
@@ -138,11 +159,16 @@ def resize_images(
     df: "DataFrame", out_w: int = 8, out_h: int = 8, decode_stub: bool = True
 ) -> "DataFrame":
     """Image resize over Arrow batches: nearest-neighbor resampling to
-    (out_w, out_h), emitting a re-headered payload. The resample math
-    (index arithmetic, output assembly) is real; only the pixel source
-    is the stub codec's view of the body bytes as a row-major w×h grid
-    (cyclic when the body is shorter). decode_stub=False is the same
-    plumbing with a real decoder wired in."""
+    (out_w, out_h). The resample math (index arithmetic, output
+    assembly) is shared by both arms; the PIXEL SOURCE differs:
+
+    - decode_stub=True (default): the stub codec's view of the body
+      bytes as a row-major w×h grid (cyclic when the body is shorter),
+      emitting a re-headered IMG1 payload;
+    - decode_stub=False: REAL PNG decode (engine/kernel/png.py) →
+      per-channel nearest-neighbor over the actual pixel grid →
+      re-encoded PNG payload. Non-PNG images raise the honest
+      NotImplementedError from _decode_real."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -156,7 +182,28 @@ def resize_images(
                     continue
                 b = bytes(payload)
                 if not decode_stub:
-                    _decode_real(b, kind)
+                    from engine.kernel.png import decode_png, encode_png
+
+                    if b[:8] != _PNG_SIG:
+                        _decode_real(b, kind)  # honest raise for non-PNG
+                    w, h, ch, pixels = decode_png(b)
+                    out_px = bytearray()
+                    for y in range(out_h):
+                        sy = (y * h) // out_h
+                        for x in range(out_w):
+                            sx = (x * w) // out_w
+                            base = (sy * w + sx) * ch
+                            out_px += pixels[base : base + ch]
+                    recs.append(
+                        {"media_id": int(media_id), "width": int(w),
+                         "height": int(h), "out_width": out_w,
+                         "out_height": out_h,
+                         "payload": encode_png(
+                             out_w, out_h, bytes(out_px), channels=ch
+                         ),
+                         "ok": True}
+                    )
+                    continue
                 ok = b[:4] == b"IMG1" and len(b) >= 12
                 if not ok:
                     recs.append(

@@ -44,9 +44,87 @@ def test_feature_extraction_deterministic(media):
     assert a == b
 
 
-def test_real_decode_path_gated(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|not present"):
+def test_real_decode_path_gated_for_non_png(spark, media):
+    # IMG1/AUD1 synthetic payloads are not PNGs: the real arm must
+    # still raise honestly for them (JPEG/audio/video remain stubbed)
+    with pytest.raises(Exception, match="NotImplementedError|PNG only"):
         extract_media_features(media, decode_stub=False).collect()
+
+
+def _png_media(spark, n=12):
+    """Media table whose image payloads are REAL PNGs (pure-stdlib
+    encoder), deterministic pixels keyed on media_id."""
+    import datetime as dt
+
+    from engine.kernel.png import encode_png
+
+    rows = []
+    for i in range(n):
+        w, h, ch = 4 + i % 5, 3 + i % 4, (1, 3, 4)[i % 3]
+        px = bytes(
+            (x * 11 + y * 17 + c * 71 + i) & 0xFF
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        )
+        rows.append(
+            (i, "image", bytearray(encode_png(w, h, px, channels=ch)),
+             f"src{i % 3}",
+             dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)),
+        )
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, source string, "
+        "ts timestamp",
+    )
+
+
+def test_real_png_decode_through_spark(spark):
+    """decode_stub=False over REAL PNG payloads: the Arrow-batched UDF
+    decodes every image and reports its true dimensions."""
+    media = _png_media(spark, n=12)
+    rows = {
+        r.media_id: r
+        for r in extract_media_features(media, decode_stub=False).collect()
+    }
+    assert len(rows) == 12
+    for i, r in rows.items():
+        assert r.ok and r.kind == "image"
+        assert r.width == 4 + i % 5 and r.height == 3 + i % 4
+        assert r.frame_count == 1
+
+
+def test_real_png_resize_roundtrip(spark):
+    """Real-arm resize: decoded output PNGs must equal an
+    independently-computed nearest-neighbor resample of the true
+    source pixels, per channel."""
+    from engine.kernel.png import decode_png
+    from engine.spark.multimodal import resize_images
+
+    media = _png_media(spark, n=9)
+    srcs = {
+        r.media_id: decode_png(bytes(r.payload)) for r in media.collect()
+    }
+    out = {
+        r.media_id: r
+        for r in resize_images(
+            media, out_w=3, out_h=2, decode_stub=False
+        ).collect()
+    }
+    assert set(out) == set(srcs)
+    for mid, r in out.items():
+        w, h, ch, px = srcs[mid]
+        assert r.ok and r.width == w and r.height == h
+        gw, gh, gch, gpx = decode_png(bytes(r.payload))
+        assert (gw, gh, gch) == (3, 2, ch)
+        expect = bytearray()
+        for y in range(2):
+            sy = (y * h) // 2
+            for x in range(3):
+                sx = (x * w) // 3
+                base = (sy * w + sx) * ch
+                expect += px[base : base + ch]
+        assert gpx == bytes(expect), mid
 
 
 def test_frame_sample_offsets(media):
