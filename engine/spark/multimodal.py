@@ -236,6 +236,124 @@ def resize_images(
     )
 
 
+def _ahash64(payload: bytes) -> int | None:
+    """Perceptual average-hash over REAL decoded pixels: grayscale →
+    8×8 nearest-neighbor grid → bit i set iff cell i > grid mean. The
+    classic near-duplicate image signature (uniform brightness shifts
+    preserve it exactly; small local edits flip few bits). None for
+    payloads the real codec can't decode."""
+    from engine.kernel.png import decode_png
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    try:
+        w, h, ch, px = decode_png(payload)
+    except ValueError:
+        return None
+    grid = []
+    for y in range(8):
+        sy = (y * h) // 8
+        for x in range(8):
+            sx = (x * w) // 8
+            base = (sy * w + sx) * ch
+            grid.append(sum(px[base : base + ch]) // ch)
+    mean = sum(grid) / 64.0
+    bits = 0
+    for i, v in enumerate(grid):
+        if v > mean:
+            bits |= 1 << i
+    # two's-complement into SIGNED int64: bit 63 set would overflow the
+    # Arrow long column; Spark's bitwiseXOR/bit_count operate on the
+    # raw 64-bit pattern, so the signed view is lossless
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_hashes(df: "DataFrame") -> "DataFrame":
+    """(media_id, ahash) for every decodable PNG image — the map-only
+    signature pass image dedup banks on. One Arrow-batched hop; the
+    output is 16 bytes/row no matter how large the images are, so
+    everything downstream (exact groups, banded near-dup joins) runs
+    on a vanishing fraction of the corpus bytes."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs = [], []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                h = _ahash64(bytes(payload))
+                if h is not None:
+                    ids.append(int(media_id))
+                    hs.append(h)
+            yield pd.DataFrame({"media_id": ids, "ahash": hs})
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        run, "media_id long, ahash long"
+    )
+
+
+def image_dedup_near(
+    df: "DataFrame", max_hamming: int = 3
+) -> "DataFrame":
+    """Near-duplicate image pairs: banded LSH over the 64-bit ahash —
+    the dedup_simhash pattern applied to pixels. Four 16-bit bands: by
+    pigeonhole, hashes differing in ≤ 3 bits ALWAYS share an intact
+    band (the default is exact recall); ≥ 4 differing bits can split
+    one per band and be missed, so a caller raising max_hamming above
+    3 accepts probabilistic recall, same trade the text simhash
+    documents. Band-equality joins propose candidates and an exact
+    popcount(xor) verifies — never an all-pairs comparison. Shuffle
+    keys are (band_idx, band_value): high-cardinality for real image
+    corpora; a pathological constant-band corpus degrades exactly like
+    simhash's documented boilerplate case.
+
+    Emits verified pairs (media_id_a < media_id_b, hamming)."""
+    hashes = image_hashes(df)
+    bands = hashes.select(
+        "media_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("ahash"), i * 16).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_id_a"),
+        F.col("ahash").alias("ha"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_id_b"),
+        F.col("ahash").alias("hb"),
+        "band",
+        "band_val",
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select("media_id_a", "media_id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).alias("hamming")
+    return pairs.select("media_id_a", "media_id_b", ham).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def frame_sample(df: "DataFrame", every_n: int = 32) -> "DataFrame":
     """Frame-sampling plumbing: explode fixed-stride byte offsets per
     media row (native sequence/explode — the real variant would slice

@@ -94,6 +94,59 @@ def test_real_png_decode_through_spark(spark):
         assert r.frame_count == 1
 
 
+def test_image_dedup_near_real_pixels(spark):
+    """Perceptual image dedup over REAL decoded pixels: an exact copy
+    and a uniformly brightened copy hash identically (hamming 0), a
+    few-pixel edit lands within the banded-LSH guarantee (hamming ≤ 3
+    always recalled), and an unrelated image pairs with nothing."""
+    import datetime as dt
+
+    from engine.kernel.png import encode_png
+    from engine.spark.multimodal import image_dedup_near, image_hashes
+
+    w, h = 32, 24
+    base = bytearray(
+        ((x // 4 + y // 3) % 2) * 200 + 20 for y in range(h) for x in range(w)
+    )  # checkerboard: strong structure, stable ahash
+    bright = bytes(min(255, v + 7) for v in base)  # uniform shift
+    edited = bytearray(base)
+    for i in range(0, 4):  # flip a couple of cells' worth of pixels
+        edited[i * (w * 3) + 5] = 255 - edited[i * (w * 3) + 5]
+    unrelated = bytes(
+        (x * 37 + y * 91 + (x * y) % 53) & 0xFF
+        for y in range(h)
+        for x in range(w)
+    )
+    ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (i, "image", bytearray(encode_png(w, h, bytes(px), channels=1)),
+         "s", ts)
+        for i, px in enumerate((base, bytes(base), bright, edited, unrelated))
+    ] + [(99, "audio", bytearray(b"AUD1" + b"\x00" * 16), "s", ts)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, source string, "
+        "ts timestamp",
+    )
+    hs = {r.media_id: r.ahash for r in image_hashes(media).collect()}
+    assert set(hs) == {0, 1, 2, 3, 4}  # audio row never hashed
+    assert hs[0] == hs[1] == hs[2]  # copy + uniform brightness
+
+    def ham(a, b):  # signed int64 view -> raw 64-bit pattern popcount
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hs[0], hs[3]) <= 3  # local edit: few bits
+    assert ham(hs[0], hs[4]) > 3  # unrelated: far away
+
+    pairs = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in image_dedup_near(media).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0 and pairs[(1, 2)] == 0
+    assert (0, 3) in pairs and pairs[(0, 3)] <= 3
+    assert not any(4 in p for p in pairs)  # unrelated never pairs
+
+
 def test_real_png_resize_roundtrip(spark):
     """Real-arm resize: decoded output PNGs must equal an
     independently-computed nearest-neighbor resample of the true
