@@ -79,9 +79,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def _decode_real(payload: bytes, kind: str) -> dict:
     """The REAL decode arm. PNG images decode for real via the
     pure-stdlib codec (engine/kernel/png.py — zlib inflate, CRC
-    verification, all five scanline filters); JPEG and audio/video
-    still require external codecs this container lacks and raise
-    honestly."""
+    verification, all five scanline filters) and integer-PCM WAV audio
+    via engine/kernel/wav.py (stdlib ``wave`` container parse + struct
+    sample statistics); JPEG and video/compressed-audio still require
+    external codecs this container lacks and raise honestly."""
     if kind == "image" and payload[:8] == _PNG_SIG:
         from engine.kernel.png import decode_png
 
@@ -90,10 +91,21 @@ def _decode_real(payload: bytes, kind: str) -> dict:
             "width": int(w), "height": int(h), "sample_rate": None,
             "n_samples": None, "frame_count": 1, "ok": True,
         }
+    if kind == "audio" and payload[:4] == b"RIFF":
+        from engine.kernel.wav import decode_wav
+
+        meta = decode_wav(payload)
+        return {
+            "width": None, "height": None,
+            "sample_rate": meta["sample_rate"],
+            "n_samples": meta["n_samples"],
+            "frame_count": meta["n_samples"] // 64, "ok": True,
+        }
     raise NotImplementedError(
-        "real decode implemented for PNG only (pure-stdlib codec); "
-        "JPEG/audio/video require libjpeg/ffmpeg not present in this "
-        "container — wire them here on a real cluster"
+        "real decode implemented for PNG and integer-PCM WAV (pure "
+        "stdlib); JPEG/video/compressed audio require libjpeg/ffmpeg "
+        "not present in this container — wire them here on a real "
+        "cluster"
     )
 
 

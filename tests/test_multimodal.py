@@ -94,6 +94,54 @@ def test_real_png_decode_through_spark(spark):
         assert r.frame_count == 1
 
 
+def test_real_mixed_png_wav_decode_through_spark(spark):
+    """decode_stub=False over a MIXED corpus of real PNGs and real
+    WAVs: images report true dimensions, audio reports true
+    sample-rate/frame counts, in one Arrow-batched pass."""
+    import datetime as dt
+
+    from engine.kernel.png import encode_png
+    from engine.kernel.wav import encode_wav
+
+    ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for i in range(6):
+        if i % 2 == 0:
+            w, h = 5 + i, 4 + i
+            px = bytes((x + y + i) & 0xFF for y in range(h) for x in range(w))
+            rows.append(
+                (i, "image", bytearray(encode_png(w, h, px, channels=1)),
+                 "s", ts)
+            )
+        else:
+            n = 64 + 32 * i
+            rows.append(
+                (i, "audio",
+                 bytearray(encode_wav([j % 100 - 50 for j in range(n)],
+                                      sample_rate=8000 + 1000 * i)),
+                 "s", ts)
+            )
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, source string, "
+        "ts timestamp",
+    )
+    got = {
+        r.media_id: r
+        for r in extract_media_features(media, decode_stub=False).collect()
+    }
+    assert len(got) == 6 and all(r.ok for r in got.values())
+    for i, r in got.items():
+        if i % 2 == 0:
+            assert (r.width, r.height, r.frame_count) == (5 + i, 4 + i, 1)
+            assert r.sample_rate is None
+        else:
+            n = 64 + 32 * i
+            assert r.sample_rate == 8000 + 1000 * i
+            assert r.n_samples == n and r.frame_count == n // 64
+            assert r.width is None
+
+
 def test_image_dedup_near_real_pixels(spark):
     """Perceptual image dedup over REAL decoded pixels: an exact copy
     and a uniformly brightened copy hash identically (hamming 0), a
