@@ -104,3 +104,54 @@ def transcripts_from_documents(spark: "SparkSession", sf_dir: str) -> "DataFrame
             + F.col("turn_idx").cast("long") * 30_000_000
         ).alias("ts"),
     )
+
+
+def transcripts_from_jsonl(
+    spark: "SparkSession", path: str
+) -> tuple["DataFrame", "DataFrame"]:
+    """JSONL transcript source — the wild-format ingestion path (one
+    turn object per line, ISO-8601 ``ts``). Schema-ENFORCED read, not
+    inference: at 100 TB a schema-inference pass is a full extra scan,
+    and silent type drift (a producer emitting turn_idx as a string)
+    must surface as a routed error row, not a corrupted column.
+
+    Returns ``(valid, errors)``, the source-level twin of
+    pipeline.split_valid's validate-then-route contract: PERMISSIVE
+    mode captures every malformed or schema-violating line verbatim in
+    ``_corrupt_record``; ``errors`` carries (raw_line) for the errors
+    table, ``valid`` is exactly TRANSCRIPT_SCHEMA. A null conv_id or
+    turn_idx (present but wrong-typed field) also routes to errors —
+    the downstream stable-order window keys on both. Wrong-typed lines
+    arrive verbatim (PERMISSIVE puts the whole line in the corrupt
+    column); parse-clean lines with a null key are reconstructed via
+    to_json (null fields omitted — the parser consumed the original).
+    """
+    from pyspark.sql import types as T
+
+    read_schema = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(read_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # No cache: each returned frame scans the (compressed) source once.
+    # Spark's corrupt-column query restriction only bites when a query
+    # references ONLY _corrupt_record; both splits here reference data
+    # columns too (tested). Caching 100 TB of raw input to save the
+    # errors-side scan would cost far more than the scan.
+    bad_shape = F.col("_corrupt_record").isNotNull()
+    bad_keys = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
+    errors = raw.filter(bad_shape | bad_keys).select(
+        F.coalesce(
+            F.col("_corrupt_record"),
+            F.to_json(F.struct(*[f.name for f in TRANSCRIPT_SCHEMA.fields])),
+        ).alias("raw_line")
+    )
+    valid = raw.filter(~bad_shape & ~bad_keys).select(
+        *[f.name for f in TRANSCRIPT_SCHEMA.fields]
+    )
+    return valid, errors

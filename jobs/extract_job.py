@@ -21,7 +21,11 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="checkpointed transcript extraction")
-    ap.add_argument("--input", help="parquet dir with TRANSCRIPT_SCHEMA rows")
+    ap.add_argument("--input", help="dir with TRANSCRIPT_SCHEMA rows")
+    ap.add_argument("--input-format", choices=["parquet", "jsonl"],
+                    default="parquet",
+                    help="jsonl = schema-enforced read; malformed lines "
+                         "route to <output>/source_errors")
     ap.add_argument("--synthesize", type=int, default=0,
                     help="instead of --input: generate N deterministic conversations")
     ap.add_argument("--output", required=True)
@@ -34,12 +38,26 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     from engine.spark.job import run_checkpointed
-    from engine.spark.transcripts import synthesize_transcripts
+    from engine.spark.transcripts import (
+        synthesize_transcripts,
+        transcripts_from_jsonl,
+    )
 
     # spark-submit provides the session config (master, executors, ...)
     spark = SparkSession.builder.appName("extract-transcripts").getOrCreate()
 
-    if args.input:
+    n_source_errors = 0
+    if args.input and args.input_format == "jsonl":
+        transcripts, source_errors = transcripts_from_jsonl(spark, args.input)
+        # route malformed lines to the errors table before extraction
+        # pays per-byte; count via the written table (single job each)
+        source_errors.write.mode("overwrite").parquet(
+            f"{args.output}/source_errors"
+        )
+        n_source_errors = (
+            spark.read.parquet(f"{args.output}/source_errors").count()
+        )
+    elif args.input:
         transcripts = spark.read.parquet(args.input)
     else:
         transcripts = synthesize_transcripts(spark, args.synthesize)
@@ -61,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         "turns_processed": int(agg[0] or 0),
         "bytes_parsed": int(agg[1] or 0),
         "empty_extractions": int(agg[2] or 0),
+        "source_errors": n_source_errors,
     }))
     spark.stop()
     return 0
