@@ -532,38 +532,38 @@ def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.quality_score_served(spark, hv, qw)
 
 
-def _planted_conv_turns(spark: SparkSession, with_dup: bool) -> DataFrame:
+def _planted_conv_turns(
+    spark: SparkSession, with_dup: bool, with_role: bool = False
+) -> DataFrame:
     """Synthetic multi-turn per-turn rows plus the planted duplicate
     copies the conversation-dedup entries share: md5-prefix-'0'
     conversations re-added as '~near' truncated copies (last turn
     dropped) and, when ``with_dup``, also as '~dup' exact copies.
+    ``with_role`` keeps the role column (preference_pairs needs it).
     Single source of truth — the DuckDB side mirrors it in
-    _conv_apply_drop_ctes / _conv_near_oracle."""
+    _conv_apply_drop_ctes / _conv_near_oracle / _planted_sql."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    src = spark.read.parquet(_sft_turns_parquet(spark)).select(
-        "conv_id", "turn_idx", "cleaned_text"
-    )
+    cols = ["conv_id", "turn_idx"] + (["role"] if with_role else []) + [
+        "cleaned_text"
+    ]
+    src = spark.read.parquet(_sft_turns_parquet(spark)).select(*cols)
     base = src.withColumn(
         "mx", F.max("turn_idx").over(W.partitionBy("conv_id"))
     )
     sel = F.substring(F.md5("conv_id"), 1, 1) == "0"
+    copy_cols = [F.concat("conv_id", F.lit("~dup")).alias("conv_id")] + [
+        F.col(c) for c in cols[1:]
+    ]
+    near_cols = [F.concat("conv_id", F.lit("~near")).alias("conv_id")] + [
+        F.col(c) for c in cols[1:]
+    ]
     out = src
     if with_dup:
-        out = out.unionByName(
-            base.filter(sel).select(
-                F.concat("conv_id", F.lit("~dup")).alias("conv_id"),
-                "turn_idx",
-                "cleaned_text",
-            )
-        )
+        out = out.unionByName(base.filter(sel).select(*copy_cols))
     return out.unionByName(
-        base.filter(sel & (F.col("turn_idx") < F.col("mx"))).select(
-            F.concat("conv_id", F.lit("~near")).alias("conv_id"),
-            "turn_idx",
-            "cleaned_text",
-        )
+        base.filter(sel & (F.col("turn_idx") < F.col("mx"))).select(*near_cols)
     )
 
 
@@ -1168,6 +1168,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_prepare": transcript_prepare,
         # SFT context-window construction: pointers, not copied text
         "sft_examples": sft_examples,
+        # DPO/RLHF preference pairs: same first-user-turn prompt,
+        # different responses -> (chosen, rejected) by assistant-token
+        # count; identical-response groups (pure re-runs) excluded
+        "preference_pairs": _preference_pairs,
+        # retry-tree detection: deepest turn-prefix shared by >=2
+        # conversations (the prefix duplication whole-conv dedup
+        # misses), capped at 32 turns — the scale bound
+        "conversation_branches": _conversation_branches,
         "validate_invoice_fields": validate_invoice_fields,
         "validate_invoice_extracted": validate_invoice_extracted,
         "doc_token_estimate": doc_token_estimate,
@@ -1264,14 +1272,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the 2 round-4 red driver rows (transcript_prepare /
     #      transcript_curate — oracle-twin HUGEINT cast fixed this
     #      round) so CORRECTNESS_r05 re-records them;
-    #   3. the 11 oracled round-5 additions (dedup_text_semantic_adaptive,
+    #   3. the 13 oracled round-5 additions (dedup_text_semantic_adaptive,
     #      dedup_semantic_apply, quality_classifier, tokenizer_fertility,
     #      dedup_keep_best, token_budget_select, line_dedup_intra,
     #      agent_loop_detect, canned_responses, context_fit,
-    #      tool_latency);
+    #      tool_latency, preference_pairs, conversation_branches);
     # then the r3-sampled entries (oldest driver evidence, refresh) and
-    # the r4-green entries last (freshest evidence). With 17 front
-    # slots, 33 of the 49 r3 entries also land in the 50-slot window.
+    # the r4-green entries last (freshest evidence). With 19 front
+    # slots, 31 of the 49 r3 entries also land in the 50-slot window.
     never_sampled = {
         "source_keywords", "dedup_report", "hash_embed",
         "dedup_text_semantic",
@@ -1289,6 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canned_responses",
         "context_fit",
         "tool_latency",
+        "preference_pairs",
+        "conversation_branches",
     }
     front = never_sampled | red_r4 | new_r5
     return {
@@ -1321,6 +1331,54 @@ def _lang_scores() -> str:
         "(" + " + ".join(_hits(w) for w in words) + f") AS s_{lang}"
         for lang, words in _LANGS.items()
     )
+
+
+def _preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DPO pair construction over the synthetic multi-turn transcripts
+    # with the shared planted copies: '~near' truncated copies answer
+    # the same prompt with a shorter response (real pairs), '~dup'
+    # exact copies carry no preference signal and must be excluded by
+    # the identical-response-fingerprint gate — both arms exercised.
+    from pyspark.sql import functions as F
+
+    from engine.spark.pipeline import preference_pairs as _pp
+
+    # third planted arm: '~alt' copies whose assistant turns are
+    # halved — same prompt, strictly DIFFERENT response. The shared
+    # '~dup'/'~near' copies alone are vacuous here: '~near' drops the
+    # LAST turn, which in this corpus is never a mid-response
+    # assistant turn (2-turn convs lose their only assistant turn and
+    # are filtered; 4-turn convs end in a system turn), so every
+    # response fingerprint in a group would tie and no pair forms.
+    base = _planted_conv_turns(spark, with_dup=True, with_role=True)
+    src = spark.read.parquet(_sft_turns_parquet(spark)).select(
+        "conv_id", "turn_idx", "role", "cleaned_text"
+    )
+    alt = src.filter(F.substring(F.md5("conv_id"), 1, 1) == "0").select(
+        F.concat("conv_id", F.lit("~alt")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(
+            F.col("role") == "assistant",
+            F.expr(
+                "substring(cleaned_text, 1,"
+                " cast(floor(length(cleaned_text) / 2) as int))"
+            ),
+        )
+        .otherwise(F.col("cleaned_text"))
+        .alias("cleaned_text"),
+    )
+    return _pp(base.unionByName(alt))
+
+
+def _conversation_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # retry-tree detection over the same planted corpus: '~dup' full
+    # copies share every depth (deepest = full length), '~near'
+    # truncated copies share exactly len-1 turns with a family of 3 —
+    # the deepest-shared-prefix pick is verified per conversation.
+    from engine.spark.pipeline import conversation_branches as _cb
+
+    return _cb(_planted_conv_turns(spark, with_dup=True))
 
 
 def _career_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1742,6 +1800,147 @@ def _conv_apply_drop_ctes() -> str:
         near_drop AS (
             SELECT node AS conv_id FROM reach GROUP BY node
             HAVING node != min(r))"""
+
+
+def _planted_role_ctes() -> str:
+    """Planted multi-turn base CTEs WITH the role column — the
+    preference_pairs twin's mirror of _planted_conv_turns(with_dup=
+    True, with_role=True) plus the '~alt' halved-assistant arm (the
+    one that actually produces pairs; see _preference_pairs). Kept
+    textually parallel to _conv_apply_drop_ctes' base/pt pair so a
+    planting-scheme change is a two-site edit caught by the shared
+    non-vacuity pytest."""
+    return f"""base AS (
+            SELECT conv_id, turn_idx, role, cleaned_text,
+                   max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+            FROM read_parquet('{_sft_synth_path()}/*.parquet')),
+        pt AS (
+            SELECT conv_id, turn_idx, role, cleaned_text FROM base
+            UNION ALL
+            SELECT conv_id || '~dup', turn_idx, role, cleaned_text FROM base
+            WHERE substr(md5(conv_id), 1, 1) = '0'
+            UNION ALL
+            SELECT conv_id || '~near', turn_idx, role, cleaned_text FROM base
+            WHERE substr(md5(conv_id), 1, 1) = '0' AND turn_idx < mx
+            UNION ALL
+            SELECT conv_id || '~alt', turn_idx, role,
+                   CASE WHEN role = 'assistant'
+                        THEN substr(cleaned_text, 1, CAST(floor(
+                            length(cleaned_text) / 2) AS INTEGER))
+                        ELSE cleaned_text END
+            FROM base WHERE substr(md5(conv_id), 1, 1) = '0')"""
+
+
+def _preference_pairs_oracle() -> str:
+    """DuckDB twin of pipeline.preference_pairs over the planted
+    corpus: per-turn md5/token scalars -> SKEW_BLOCK block hashes ->
+    conversation (prompt_h, resp_tokens, resp_fp) -> two row_number
+    ranks -> one pair per prompt with distinct response fingerprints.
+    Every sum is CAST AS BIGINT (the r4 HUGEINT lesson)."""
+    return f"""
+        WITH {_planted_role_ctes()},
+        per AS (
+            SELECT conv_id, turn_idx,
+                   CAST(floor(turn_idx / 10000) AS BIGINT) AS blk,
+                   role = 'assistant' AS ia, role = 'user' AS iu,
+                   md5(turn_idx::VARCHAR || ':'
+                       || coalesce(cleaned_text, '')) AS h,
+                   greatest(1, CAST(floor(
+                       length(coalesce(cleaned_text, '')) / 4) AS BIGINT))
+                       AS toks
+            FROM pt),
+        blocks AS (
+            SELECT conv_id, blk,
+                   sum(CASE WHEN ia THEN toks ELSE 0 END) AS atoks,
+                   sum(CASE WHEN ia THEN 1 ELSE 0 END) AS n_asst,
+                   md5(string_agg(CASE WHEN ia THEN h END, chr(1)
+                                  ORDER BY turn_idx)) AS bh
+            FROM per GROUP BY conv_id, blk),
+        prompt AS (
+            SELECT conv_id,
+                   arg_min(coalesce(cleaned_text, ''), turn_idx)
+                       FILTER (WHERE role = 'user') AS ptext,
+                   sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user
+            FROM pt GROUP BY conv_id),
+        conv AS (
+            SELECT conv_id,
+                   CAST(sum(atoks) AS BIGINT) AS resp_tokens,
+                   CAST(sum(n_asst) AS BIGINT) AS n_asst,
+                   md5(string_agg(bh, chr(1) ORDER BY blk)) AS resp_fp
+            FROM blocks GROUP BY conv_id),
+        convq AS (
+            SELECT c.conv_id, md5(p.ptext) AS prompt_h,
+                   c.resp_tokens, c.resp_fp
+            FROM conv c JOIN prompt p USING (conv_id)
+            WHERE c.n_asst > 0 AND p.n_user > 0),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY prompt_h
+                       ORDER BY resp_tokens DESC, conv_id ASC) AS rc,
+                   row_number() OVER (PARTITION BY prompt_h
+                       ORDER BY resp_tokens ASC, conv_id DESC) AS rr,
+                   CAST(count(*) OVER (PARTITION BY prompt_h) AS BIGINT)
+                       AS n_candidates
+            FROM convq)
+        SELECT c.prompt_h, c.n_candidates,
+               c.conv_id AS chosen_conv, c.resp_tokens AS chosen_tokens,
+               r.conv_id AS rejected_conv, r.resp_tokens AS rejected_tokens
+        FROM ranked c JOIN ranked r
+          ON c.prompt_h = r.prompt_h AND r.rr = 1
+        WHERE c.rc = 1 AND c.resp_fp <> r.resp_fp
+    """
+
+
+def _conversation_branches_oracle() -> str:
+    """DuckDB twin of pipeline.conversation_branches over the planted
+    corpus: cumulative-prefix md5 per (conversation, depth<=32) via a
+    windowed string_agg (positionally identical to the Spark side's
+    sorted-array slice hashes), family counts, deepest-shared pick."""
+    return f"""
+        WITH base AS (
+            SELECT conv_id, turn_idx, cleaned_text,
+                   max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+            FROM read_parquet('{_sft_synth_path()}/*.parquet')),
+        pt AS (
+            SELECT conv_id, turn_idx, cleaned_text FROM base
+            UNION ALL
+            SELECT conv_id || '~dup', turn_idx, cleaned_text FROM base
+            WHERE substr(md5(conv_id), 1, 1) = '0'
+            UNION ALL
+            SELECT conv_id || '~near', turn_idx, cleaned_text FROM base
+            WHERE substr(md5(conv_id), 1, 1) = '0' AND turn_idx < mx),
+        per AS (
+            SELECT conv_id, turn_idx,
+                   md5(turn_idx::VARCHAR || ':'
+                       || coalesce(cleaned_text, '')) AS h,
+                   greatest(1, CAST(floor(
+                       length(coalesce(cleaned_text, '')) / 4) AS BIGINT))
+                       AS toks
+            FROM pt WHERE turn_idx < 32),
+        pref AS (
+            SELECT conv_id,
+                   CAST(row_number() OVER w AS INTEGER) AS d,
+                   md5(string_agg(h, chr(1)) OVER (PARTITION BY conv_id
+                       ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)) AS sig,
+                   CAST(sum(toks) OVER (PARTITION BY conv_id
+                       ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS ctoks
+            FROM per WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        fam AS (
+            SELECT d, sig, CAST(count(*) AS BIGINT) AS family_size
+            FROM pref GROUP BY d, sig HAVING count(*) >= 2),
+        shared AS (
+            SELECT p.conv_id, p.d, p.sig, p.ctoks, f.family_size
+            FROM pref p JOIN fam f USING (d, sig)),
+        deep AS (
+            SELECT *, row_number() OVER (PARTITION BY conv_id
+                ORDER BY d DESC) AS rn
+            FROM shared)
+        SELECT conv_id, d AS shared_turns, sig AS family_id,
+               family_size, ctoks AS shared_tokens
+        FROM deep WHERE rn = 1
+    """
 
 
 def _conv_apply_oracle() -> str:
@@ -4116,6 +4315,13 @@ def oracle_sql() -> dict[str, str]:
             FROM tgt g LEFT JOIN agg a
               ON a.conv_id = g.conv_id AND a.target_idx = g.turn_idx
         """,
+        # DPO pairs: same planted corpus as the conversation-dedup
+        # twins; DuckDB recomputes block-hashed response fingerprints,
+        # prompt hashes, and both rank windows independently
+        "preference_pairs": _preference_pairs_oracle(),
+        # retry-tree prefixes: cumulative windowed string_agg replays
+        # the Spark side's positional slice hashes exactly
+        "conversation_branches": _conversation_branches_oracle(),
         # the transcript pipeline: DuckDB re-runs the full chain —
         # planted dups -> fingerprint dedup -> token/empty gate ->
         # per-shard running-offset packing — from the same parquet

@@ -623,3 +623,199 @@ def dedup_apply_conversations(
         .join(exact_drop, "conv_id", "left_anti")
         .join(near_drop, "conv_id", "left_anti")
     )
+
+
+def preference_pairs(per_turn: "DataFrame") -> "DataFrame":
+    """DPO/RLHF preference-pair construction from transcripts: among
+    conversations that answered the SAME prompt (identical first user
+    turn) with DIFFERENT responses, pick one (chosen, rejected) pair
+    per prompt — chosen = the response with the most assistant tokens
+    (tie → min conv_id), rejected = the fewest (tie → max conv_id, so
+    a two-way token tie still yields two distinct conversations).
+    Groups whose responses are all identical (pure re-runs) carry no
+    preference signal and are dropped — exact-duplicate conversations
+    never fabricate a pair.
+
+    Input: (conv_id, turn_idx, role, cleaned_text). Conversations with
+    no user turn (no prompt) or no assistant turn (no response) are
+    skipped.
+
+    10^12-turn path: per-turn text reduces to md5/token scalars
+    immediately; the response fingerprint uses the same two-phase
+    SKEW_BLOCK ordered-hash scheme as dedup_conversations (block state
+    is bounded, a mega-thread never pins one reducer), and the prompt
+    is found with a null-skipping struct-min — no collect of user
+    turns. The pair pick runs on the one-row-per-conversation table
+    via two row_number windows keyed by prompt hash.
+    """
+    text = F.coalesce(F.col("cleaned_text"), F.lit(""))
+    h = F.md5(
+        F.concat(F.col("turn_idx").cast("string"), F.lit(":"), text)
+    )
+    toks = F.greatest(F.lit(1), F.floor(F.length(text) / 4)).cast("long")
+    is_asst = F.col("role") == "assistant"
+    is_user = F.col("role") == "user"
+    per = per_turn.select(
+        "conv_id",
+        (F.col("turn_idx") / F.lit(SKEW_BLOCK)).cast("long").alias("blk"),
+        F.when(is_asst, F.struct(F.col("turn_idx").alias("i"), h.alias("h")))
+        .alias("a"),
+        F.when(is_asst, toks).otherwise(F.lit(0)).cast("long").alias("atoks"),
+        F.when(is_user, F.struct(F.col("turn_idx").alias("i"), text.alias("t")))
+        .alias("u"),
+    )
+
+    def _ordered_md5(pairs_col: "Column", val: str) -> "Column":
+        return F.md5(
+            F.array_join(
+                F.transform(F.array_sort(pairs_col), lambda s: s[val]), "\x01"
+            )
+        )
+
+    blocks = per.groupBy("conv_id", "blk").agg(
+        F.sum("atoks").alias("atoks"),
+        F.sum(F.col("a").isNotNull().cast("long")).alias("n_asst"),
+        _ordered_md5(F.collect_list("a"), "h").alias("bh"),
+        F.min("u").alias("u"),
+    )
+    conv = (
+        blocks.groupBy("conv_id")
+        .agg(
+            F.sum("atoks").cast("long").alias("resp_tokens"),
+            F.sum("n_asst").cast("long").alias("n_asst"),
+            _ordered_md5(
+                F.collect_list(
+                    F.when(
+                        F.col("n_asst") > 0,
+                        F.struct(F.col("blk").alias("i"), F.col("bh").alias("h")),
+                    )
+                ),
+                "h",
+            ).alias("resp_fp"),
+            F.min("u").alias("u"),
+        )
+        .filter((F.col("n_asst") > 0) & F.col("u").isNotNull())
+        .select(
+            "conv_id",
+            F.md5(F.col("u.t")).alias("prompt_h"),
+            "resp_tokens",
+            "resp_fp",
+        )
+    )
+    w_chosen = Window.partitionBy("prompt_h").orderBy(
+        F.desc("resp_tokens"), F.asc("conv_id")
+    )
+    w_reject = Window.partitionBy("prompt_h").orderBy(
+        F.asc("resp_tokens"), F.desc("conv_id")
+    )
+    ranked = conv.select(
+        "prompt_h", "conv_id", "resp_tokens", "resp_fp",
+        F.row_number().over(w_chosen).alias("rc"),
+        F.row_number().over(w_reject).alias("rr"),
+    )
+    # single flow, no self-join: both window ranks land in one pass
+    # (one Exchange on prompt_h serves both sorts), and the pair is
+    # assembled by a null-skipping struct-max in the same partitioning
+    # — the upstream block aggregation is never computed twice
+    side = F.struct("conv_id", "resp_tokens", "resp_fp")
+    pairs = ranked.groupBy("prompt_h").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.max(F.when(F.col("rc") == 1, side)).alias("c"),
+        F.max(F.when(F.col("rr") == 1, side)).alias("r"),
+    )
+    return pairs.filter(
+        F.col("c.resp_fp") != F.col("r.resp_fp")
+    ).select(
+        "prompt_h", "n_candidates",
+        F.col("c.conv_id").alias("chosen_conv"),
+        F.col("c.resp_tokens").alias("chosen_tokens"),
+        F.col("r.conv_id").alias("rejected_conv"),
+        F.col("r.resp_tokens").alias("rejected_tokens"),
+    )
+
+
+def conversation_branches(
+    per_turn: "DataFrame", max_depth: int = 32
+) -> "DataFrame":
+    """Retry-tree detection: conversations sharing an identical turn
+    PREFIX (resampled responses, edited continuations, branched
+    sessions) — the transcript-native prefix duplication that inflates
+    training token counts without tripping whole-conversation dedup.
+
+    For each conversation, emits its DEEPEST prefix shared with at
+    least one other conversation: (conv_id, shared_turns, family_id =
+    md5 of that prefix, family_size = how many conversations share it,
+    shared_tokens = T7 tokens inside the shared prefix). Conversations
+    sharing nothing produce no row.
+
+    Prefixes are positional over the first ``max_depth`` turns in
+    stable turn order (retry trees diverge early; the cap is the scale
+    bound — a mega-thread contributes ≤max_depth rows to the
+    per-conversation collect, never its whole length). Per-turn hashes
+    cover (turn_idx, text), so a prefix match means the positional
+    turn mapping matches. Shuffle shape: one bounded groupBy per
+    conversation, one groupBy on (depth, sig) whose values are 32-byte
+    hashes, one max_by back-reduce — nothing text-sized moves after
+    the first projection.
+    """
+    text = F.coalesce(F.col("cleaned_text"), F.lit(""))
+    h = F.md5(
+        F.concat(F.col("turn_idx").cast("string"), F.lit(":"), text)
+    )
+    toks = F.greatest(F.lit(1), F.floor(F.length(text) / 4)).cast("long")
+    t = per_turn.filter(F.col("turn_idx") < max_depth).select(
+        "conv_id", "turn_idx", h.alias("h"), toks.alias("toks")
+    )
+    conv = t.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "h", "toks"))).alias(
+            "arr"
+        )
+    )
+    # prefix d = first d elements (positional): sig = md5 of the joined
+    # per-turn hashes, ctoks = token sum; O(max_depth^2) expression
+    # work per conversation, all inside one codegen'd projection
+    prefixes = F.transform(
+        F.col("arr"),
+        lambda x, i: F.struct(
+            (i + F.lit(1)).cast("int").alias("d"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("arr"), F.lit(1), i + F.lit(1)),
+                        lambda s: s["h"],
+                    ),
+                    "\x01",
+                )
+            ).alias("sig"),
+            F.aggregate(
+                F.slice(F.col("arr"), F.lit(1), i + F.lit(1)),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s["toks"],
+            ).alias("ctoks"),
+        ),
+    )
+    pref = conv.select(
+        "conv_id", F.explode(prefixes).alias("p")
+    ).select("conv_id", "p.d", "p.sig", "p.ctoks")
+    # family size as a count window over (d, sig) — one Exchange,
+    # no groupBy+self-join back onto pref (which would recompute the
+    # per-conversation collect+explode upstream twice)
+    shared = pref.select(
+        "conv_id", "d", "sig", "ctoks",
+        F.count("*")
+        .over(Window.partitionBy("d", "sig"))
+        .cast("long")
+        .alias("family_size"),
+    ).filter(F.col("family_size") >= 2)
+    deepest = shared.groupBy("conv_id").agg(
+        F.max_by(
+            F.struct("d", "sig", "ctoks", "family_size"), F.col("d")
+        ).alias("m")
+    )
+    return deepest.select(
+        "conv_id",
+        F.col("m.d").cast("int").alias("shared_turns"),
+        F.col("m.sig").alias("family_id"),
+        F.col("m.family_size").alias("family_size"),
+        F.col("m.ctoks").alias("shared_tokens"),
+    )
