@@ -246,17 +246,27 @@ def _bench_trajectory(
     extraction headline reads, so the recorded walls are the sf-scale
     cost of each gate (same timing discipline as _bench_queries).
     The first run pays codegen; best-of-3 absorbs it."""
+    from pyspark.sql import functions as F
+
     from engine.spark.agent import canned_responses, context_fit, loop_detect
+    from engine.spark.pipeline import conversation_branches, preference_pairs
 
     t = spark.read.parquet(path)
+    # the curation ops consume post-extraction column names; for the
+    # gate-cost bench the raw text stands in (identical cost shape)
+    pt = t.select(
+        "conv_id", "turn_idx", "role", F.col("text").alias("cleaned_text")
+    )
     out: dict[str, float] = {}
     spins: dict[str, float] = {}
-    for name, fn in (
-        ("traj_loop_detect", loop_detect),
-        ("traj_context_fit", context_fit),
-        ("traj_canned_responses", canned_responses),
+    for name, fn, frame in (
+        ("traj_loop_detect", loop_detect, t),
+        ("traj_context_fit", context_fit, t),
+        ("traj_canned_responses", canned_responses, t),
+        ("traj_preference_pairs", preference_pairs, pt),
+        ("traj_conversation_branches", conversation_branches, pt),
     ):
-        out[name] = _time_noop_best_of_3(lambda fn=fn: fn(t))
+        out[name] = _time_noop_best_of_3(lambda fn=fn, frame=frame: fn(frame))
         spins[name] = round(_spin_probe(), 2)
     return out, spins
 
