@@ -3,13 +3,15 @@ columns with typed metadata, processed by Arrow-batched mapInPandas.
 
 ``decode_stub=True`` (default) runs a deterministic fake decoder that
 parses our synthetic header format. ``decode_stub=False`` is the REAL
-arm: PNG decodes for real via the pure-stdlib codec in
-engine/kernel/png.py (zlib inflate + CRC verification + all five
-scanline filters — no external libs needed), and the resize path
-resamples/re-encodes actual PNG pixels; JPEG and audio/video still
-raise NotImplementedError where a libjpeg/ffmpeg call would go on a
-real cluster. The Spark-side plumbing — schema, partitioning, UDF
-signature, batch shape — is identical in both arms and tested
+arm: PNG decodes via the pure-stdlib codec in engine/kernel/png.py
+(zlib inflate + CRC verification + all five scanline filters), JPEG
+via the pure-stdlib baseline codec in engine/kernel/jpeg.py (marker
+parse, Huffman entropy decode, dequant + IDCT, 4:2:0 upsampling,
+restart markers), integer-PCM WAV via engine/kernel/wav.py, and the
+resize path resamples actual decoded pixels; video and compressed
+audio still raise NotImplementedError where an ffmpeg call would go
+on a real cluster. The Spark-side plumbing — schema, partitioning,
+UDF signature, batch shape — is identical in both arms and tested
 (tests/test_multimodal.py).
 
 Synthetic payload format (deterministic, produced by make_media_table):
@@ -76,17 +78,30 @@ def make_media_table(spark: "SparkSession", n: int = 64) -> "DataFrame":
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+_JPEG_SIG = b"\xff\xd8\xff"
+
+
 def _decode_real(payload: bytes, kind: str) -> dict:
-    """The REAL decode arm. PNG images decode for real via the
-    pure-stdlib codec (engine/kernel/png.py — zlib inflate, CRC
-    verification, all five scanline filters) and integer-PCM WAV audio
-    via engine/kernel/wav.py (stdlib ``wave`` container parse + struct
-    sample statistics); JPEG and video/compressed-audio still require
-    external codecs this container lacks and raise honestly."""
+    """The REAL decode arm. PNG images decode via the pure-stdlib
+    codec (engine/kernel/png.py — zlib inflate, CRC verification, all
+    five scanline filters), baseline JPEG via engine/kernel/jpeg.py
+    (Huffman entropy decode + dequant + IDCT + chroma upsampling),
+    and integer-PCM WAV audio via engine/kernel/wav.py (stdlib
+    ``wave`` container parse + struct sample statistics); video and
+    compressed audio still require external codecs this container
+    lacks and raise honestly."""
     if kind == "image" and payload[:8] == _PNG_SIG:
         from engine.kernel.png import decode_png
 
         w, h, _channels, _pixels = decode_png(payload)
+        return {
+            "width": int(w), "height": int(h), "sample_rate": None,
+            "n_samples": None, "frame_count": 1, "ok": True,
+        }
+    if kind == "image" and payload[:3] == _JPEG_SIG:
+        from engine.kernel.jpeg import decode_jpeg
+
+        w, h, _channels, _pixels = decode_jpeg(payload)
         return {
             "width": int(w), "height": int(h), "sample_rate": None,
             "n_samples": None, "frame_count": 1, "ok": True,
@@ -102,10 +117,10 @@ def _decode_real(payload: bytes, kind: str) -> dict:
             "frame_count": meta["n_samples"] // 64, "ok": True,
         }
     raise NotImplementedError(
-        "real decode implemented for PNG and integer-PCM WAV (pure "
-        "stdlib); JPEG/video/compressed audio require libjpeg/ffmpeg "
-        "not present in this container — wire them here on a real "
-        "cluster"
+        "real decode implemented for PNG, baseline JPEG and "
+        "integer-PCM WAV (pure stdlib); video/compressed audio "
+        "require ffmpeg not present in this container — wire them "
+        "here on a real cluster"
     )
 
 
@@ -177,9 +192,11 @@ def resize_images(
     - decode_stub=True (default): the stub codec's view of the body
       bytes as a row-major w×h grid (cyclic when the body is shorter),
       emitting a re-headered IMG1 payload;
-    - decode_stub=False: REAL PNG decode (engine/kernel/png.py) →
-      per-channel nearest-neighbor over the actual pixel grid →
-      re-encoded PNG payload. Non-PNG images raise the honest
+    - decode_stub=False: REAL decode (PNG via engine/kernel/png.py,
+      baseline JPEG via engine/kernel/jpeg.py) → per-channel
+      nearest-neighbor over the actual pixel grid → re-encoded PNG
+      payload (the resize SINK is always lossless PNG, whatever the
+      source codec). Undecodable images raise the honest
       NotImplementedError from _decode_real."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -196,9 +213,14 @@ def resize_images(
                 if not decode_stub:
                     from engine.kernel.png import decode_png, encode_png
 
-                    if b[:8] != _PNG_SIG:
-                        _decode_real(b, kind)  # honest raise for non-PNG
-                    w, h, ch, pixels = decode_png(b)
+                    if b[:8] == _PNG_SIG:
+                        w, h, ch, pixels = decode_png(b)
+                    elif b[:3] == _JPEG_SIG:
+                        from engine.kernel.jpeg import decode_jpeg
+
+                        w, h, ch, pixels = decode_jpeg(b)
+                    else:
+                        _decode_real(b, kind)  # honest raise
                     out_px = bytearray()
                     for y in range(out_h):
                         sy = (y * h) // out_h
@@ -252,14 +274,21 @@ def _ahash64(payload: bytes) -> int | None:
     """Perceptual average-hash over REAL decoded pixels: grayscale →
     8×8 nearest-neighbor grid → bit i set iff cell i > grid mean. The
     classic near-duplicate image signature (uniform brightness shifts
-    preserve it exactly; small local edits flip few bits). None for
-    payloads the real codec can't decode."""
+    preserve it exactly; small local edits flip few bits — which is
+    also what makes it the cross-CODEC dedup key: a PNG and a JPEG
+    re-encode of the same picture land within a few bits). None for
+    payloads the real codecs can't decode."""
     from engine.kernel.png import decode_png
 
-    if payload[:8] != _PNG_SIG:
-        return None
     try:
-        w, h, ch, px = decode_png(payload)
+        if payload[:8] == _PNG_SIG:
+            w, h, ch, px = decode_png(payload)
+        elif payload[:3] == _JPEG_SIG:
+            from engine.kernel.jpeg import decode_jpeg
+
+            w, h, ch, px = decode_jpeg(payload)
+        else:
+            return None
     except ValueError:
         return None
     grid = []

@@ -270,3 +270,136 @@ def test_resize_images_nearest_neighbor(spark):
     again = {r.media_id: bytes(r.payload)
              for r in resize_images(media, out_w=4, out_h=3).collect()}
     assert again == {k: bytes(v.payload) for k, v in out.items()}
+
+
+def _jpeg_media(spark, n=8):
+    """Media table whose image payloads are REAL baseline JPEGs
+    (pure-stdlib encoder), deterministic smooth pixels per media_id."""
+    import datetime as dt
+
+    from engine.kernel.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 3) * 8, 8 + (i % 4) * 8
+        px = bytes(
+            min(255, (x * 255 // max(1, w - 1) + y * 3 + i * 5) % 256)
+            for y in range(h)
+            for x in range(w)
+            for _ in range(3)
+        )
+        rows.append(
+            (i, "image",
+             bytearray(encode_jpeg(w, h, px, channels=3, quality=90,
+                                   subsample=(i % 2 == 1))),
+             f"src{i % 3}",
+             dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)),
+        )
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, source string, "
+        "ts timestamp",
+    )
+
+
+def test_real_jpeg_decode_through_spark(spark):
+    """decode_stub=False over REAL baseline-JPEG payloads (both 4:4:4
+    and 4:2:0): the Arrow-batched UDF entropy-decodes every image and
+    reports its true dimensions."""
+    media = _jpeg_media(spark, n=8)
+    rows = {
+        r.media_id: r
+        for r in extract_media_features(media, decode_stub=False).collect()
+    }
+    assert len(rows) == 8
+    for i, r in rows.items():
+        assert r.ok and r.kind == "image"
+        assert r.width == 16 + (i % 3) * 8
+        assert r.height == 8 + (i % 4) * 8
+        assert r.frame_count == 1
+
+
+def test_real_jpeg_resize_emits_png(spark):
+    """Real-arm resize FROM a JPEG source: pixels come from the real
+    entropy decode, the sink is lossless PNG, and the output equals an
+    independently-computed nearest-neighbor resample of the decoded
+    source pixels."""
+    from engine.kernel.jpeg import decode_jpeg
+    from engine.kernel.png import decode_png
+    from engine.spark.multimodal import resize_images
+
+    media = _jpeg_media(spark, n=6)
+    srcs = {
+        r.media_id: decode_jpeg(bytes(r.payload)) for r in media.collect()
+    }
+    out = {
+        r.media_id: r
+        for r in resize_images(
+            media, out_w=4, out_h=3, decode_stub=False
+        ).collect()
+    }
+    assert set(out) == set(srcs)
+    for mid, r in out.items():
+        w, h, ch, px = srcs[mid]
+        assert r.ok and r.width == w and r.height == h
+        gw, gh, gch, gpx = decode_png(bytes(r.payload))
+        assert (gw, gh, gch) == (4, 3, ch)
+        expect = bytearray()
+        for y in range(3):
+            sy = (y * h) // 3
+            for x in range(4):
+                sx = (x * w) // 4
+                base = (sy * w + sx) * ch
+                expect += px[base : base + ch]
+        assert gpx == bytes(expect), mid
+
+
+def test_cross_codec_image_dedup(spark):
+    """The SAME picture stored once as PNG and once as JPEG must land
+    within the perceptual near-dup radius: ahash is computed over
+    DECODED pixels, so codec choice only contributes quantization
+    noise. This is the property that makes image dedup work on a real
+    crawl corpus, where duplicates arrive re-encoded."""
+    import datetime as dt
+
+    from engine.kernel.jpeg import encode_jpeg
+    from engine.kernel.png import encode_png
+    from engine.spark.multimodal import image_dedup_near, image_hashes
+
+    w, h = 32, 24
+    base = bytes(
+        ((x // 4 + y // 3) % 2) * 200 + 20 for y in range(h) for x in range(w)
+    )  # strong checkerboard structure: ahash robust to DCT noise
+    unrelated = bytes(
+        (x * 37 + y * 91 + (x * y) % 53) & 0xFF
+        for y in range(h)
+        for x in range(w)
+    )
+    ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (0, "image", bytearray(encode_png(w, h, base, channels=1)), "s", ts),
+        (1, "image",
+         bytearray(encode_jpeg(w, h, base, channels=1, quality=92)), "s", ts),
+        (2, "image", bytearray(encode_png(w, h, unrelated, channels=1)),
+         "s", ts),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, source string, "
+        "ts timestamp",
+    )
+    hs = {r.media_id: r.ahash for r in image_hashes(media).collect()}
+    assert set(hs) == {0, 1, 2}  # the JPEG row hashed for real
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hs[0], hs[1]) <= 3  # PNG vs JPEG re-encode: near-dup
+    assert ham(hs[0], hs[2]) > 3
+
+    pairs = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in image_dedup_near(media).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert not any(2 in p for p in pairs)
