@@ -202,6 +202,13 @@ _CANNED_TEXT = (
     "contact support for further assistance with this issue."
 )
 
+# planted truncation-artifact turns both engines add for
+# truncation_detect — ASCII, no apostrophes (SQL-literal safe); the
+# first trails off in an ellipsis, the second opens a ``` fence it
+# never closes and stops mid-signature
+_TRUNC_ELLIPSIS_TEXT = "Let me walk through the remaining steps..."
+_TRUNC_FENCE_TEXT = "Here is the fix:\n```python\ndef handler(event):"
+
 
 def _agent_synth_path() -> str:
     import os
@@ -948,6 +955,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _tl(spark.read.parquet(_agent_turns_parquet(spark)))
 
+    def refusal_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # refusal-boilerplate gate. The generator's prose never
+        # contains a refusal marker, so both engines plant identically:
+        # md5-prefix-'3' conversations get ONE extra assistant turn
+        # with the canned refusal text (which opens "I am sorry, I
+        # cannot help..." — containing the 'i cannot' marker).
+        from engine.spark.agent import refusal_detect as _rd
+
+        src = spark.read.parquet(_agent_turns_parquet(spark))
+        planted = (
+            src.filter(F.substring(F.md5("conv_id"), 1, 1) == "3")
+            .select("conv_id")
+            .distinct()
+            .select(
+                "conv_id",
+                F.lit(9999).cast("int").alias("turn_idx"),
+                F.lit("assistant").alias("role"),
+                F.lit(_CANNED_TEXT).alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+            )
+        )
+        return _rd(src.unionByName(planted))
+
+    def truncation_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # mid-generation-truncation gate. mid_cut fires naturally (the
+        # generator's invoices/plain docs end on digits); the fence and
+        # ellipsis arms never occur naturally, so both engines plant
+        # identically: md5-prefix-'4' conversations get TWO extra
+        # assistant turns — one trailing off in '...', one with an
+        # unterminated ``` code fence.
+        from engine.spark.agent import truncation_detect as _td
+
+        src = spark.read.parquet(_agent_turns_parquet(spark))
+        convs = (
+            src.filter(F.substring(F.md5("conv_id"), 1, 1) == "4")
+            .select("conv_id")
+            .distinct()
+        )
+
+        def _turn(idx: int, text: str):
+            return convs.select(
+                "conv_id",
+                F.lit(idx).cast("int").alias("turn_idx"),
+                F.lit("assistant").alias("role"),
+                F.lit(text).alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+            )
+
+        planted = _turn(9998, _TRUNC_ELLIPSIS_TEXT).unionByName(
+            _turn(9999, _TRUNC_FENCE_TEXT)
+        )
+        return _td(src.unionByName(planted))
+
     full = {
         # relational / reference-semantics operators (SURVEY.md §2.4-2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1206,6 +1268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_fit": context_fit,
         # per-tool execution-latency profile
         "tool_latency": tool_latency,
+        # refusal-boilerplate rate per conversation (marker contains()
+        # chain, map-only; one conv-keyed aggregate)
+        "refusal_detect": refusal_detect,
+        # mid-generation truncation gate (mid-sentence cut / unclosed
+        # ``` fence / trailing ellipsis), map-only flags
+        "truncation_detect": truncation_detect,
         "conversation_timing": conversation_timing,
         "conversation_wellformed": conversation_wellformed,
         # per-conversation language vote (turn scores summed conv-side)
@@ -1272,14 +1340,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the 2 round-4 red driver rows (transcript_prepare /
     #      transcript_curate — oracle-twin HUGEINT cast fixed this
     #      round) so CORRECTNESS_r05 re-records them;
-    #   3. the 13 oracled round-5 additions (dedup_text_semantic_adaptive,
+    #   3. the 15 oracled round-5 additions (dedup_text_semantic_adaptive,
     #      dedup_semantic_apply, quality_classifier, tokenizer_fertility,
     #      dedup_keep_best, token_budget_select, line_dedup_intra,
     #      agent_loop_detect, canned_responses, context_fit,
-    #      tool_latency, preference_pairs, conversation_branches);
+    #      tool_latency, preference_pairs, conversation_branches,
+    #      refusal_detect, truncation_detect);
     # then the r3-sampled entries (oldest driver evidence, refresh) and
-    # the r4-green entries last (freshest evidence). With 19 front
-    # slots, 31 of the 49 r3 entries also land in the 50-slot window.
+    # the r4-green entries last (freshest evidence). With 21 front
+    # slots, 29 of the 49 r3 entries also land in the 50-slot window.
     never_sampled = {
         "source_keywords", "dedup_report", "hash_embed",
         "dedup_text_semantic",
@@ -1299,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency",
         "preference_pairs",
         "conversation_branches",
+        "refusal_detect",
+        "truncation_detect",
     }
     front = never_sampled | red_r4 | new_r5
     return {
@@ -3201,6 +3272,15 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE 'und' END"
     )
+    # refusal_detect marker chain — generated from the SAME tuple the
+    # Spark side scans (engine.spark.agent.REFUSAL_MARKERS), with SQL
+    # single-quote escaping, so the marker lists cannot drift
+    from engine.spark.agent import REFUSAL_MARKERS
+
+    refusal_cond = " OR ".join(
+        "contains(low, '{}')".format(m.replace("'", "''"))
+        for m in REFUSAL_MARKERS
+    )
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -4573,6 +4653,84 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(max(mx) AS DOUBLE) / 1e6, 6)
                        AS max_latency_s
             FROM per_conv GROUP BY tool
+        """,
+        "refusal_detect": f"""
+            WITH src AS (
+                SELECT conv_id, turn_idx, role, text
+                FROM read_parquet('{_agent_synth_path()}/*.parquet')),
+            planted AS (
+                SELECT conv_id, turn_idx, role, text FROM src
+                UNION ALL
+                SELECT DISTINCT conv_id, 9999, 'assistant',
+                       '{_CANNED_TEXT}'
+                FROM src WHERE substr(md5(conv_id), 1, 1) = '3'),
+            low AS (
+                SELECT conv_id, turn_idx,
+                       lower(coalesce(text, '')) AS low
+                FROM planted WHERE role = 'assistant'),
+            b AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN {refusal_cond} THEN 1 ELSE 0 END
+                           AS is_refusal
+                FROM low)
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns_scanned,
+                   CAST(sum(is_refusal) AS BIGINT) AS n_refusals,
+                   round(CAST(sum(is_refusal) AS DOUBLE) / count(*), 6)
+                       AS refusal_rate,
+                   CAST(min(CASE WHEN is_refusal = 1 THEN turn_idx END)
+                        AS BIGINT) AS first_refusal_idx,
+                   sum(is_refusal) > 0 AS has_refusal
+            FROM b GROUP BY conv_id
+        """,
+        "truncation_detect": f"""
+            WITH src AS (
+                SELECT conv_id, role, text
+                FROM read_parquet('{_agent_synth_path()}/*.parquet')),
+            planted AS (
+                SELECT conv_id, role, text FROM src
+                UNION ALL
+                SELECT DISTINCT conv_id, 'assistant',
+                       '{_TRUNC_ELLIPSIS_TEXT}'
+                FROM src WHERE substr(md5(conv_id), 1, 1) = '4'
+                UNION ALL
+                SELECT DISTINCT conv_id, 'assistant',
+                       '{_TRUNC_FENCE_TEXT}'
+                FROM src WHERE substr(md5(conv_id), 1, 1) = '4'),
+            f AS (
+                SELECT conv_id,
+                       rtrim(coalesce(text, '')) AS tr,
+                       coalesce(text, '') AS t
+                FROM planted WHERE role = 'assistant'),
+            b AS (
+                SELECT conv_id,
+                       CASE WHEN length(tr) > 0 AND right(tr, 1) NOT IN
+                                ('.', '!', '?', '"', '''', ')', ']',
+                                 '}}', '>')
+                            THEN 1 ELSE 0 END AS mid_cut,
+                       CASE WHEN ((length(t)
+                                   - length(replace(t, '```', ''))) // 3)
+                                 % 2 = 1
+                            THEN 1 ELSE 0 END AS is_fence,
+                       CASE WHEN right(tr, 3) = '...' THEN 1 ELSE 0 END
+                           AS is_ellipsis
+                FROM f)
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns_scanned,
+                   CAST(sum(CASE WHEN mid_cut = 1 OR is_fence = 1
+                                      OR is_ellipsis = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_truncated,
+                   CAST(sum(is_fence) AS BIGINT) AS n_fence_broken,
+                   CAST(sum(is_ellipsis) AS BIGINT) AS n_ellipsis,
+                   round(CAST(sum(CASE WHEN mid_cut = 1 OR is_fence = 1
+                                            OR is_ellipsis = 1
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS trunc_rate,
+                   sum(CASE WHEN mid_cut = 1 OR is_fence = 1
+                                 OR is_ellipsis = 1
+                            THEN 1 ELSE 0 END) > 0 AS has_truncation
+            FROM b GROUP BY conv_id
         """,
         "conversation_timing": f"""
             WITH g AS (

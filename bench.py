@@ -248,7 +248,13 @@ def _bench_trajectory(
     The first run pays codegen; best-of-3 absorbs it."""
     from pyspark.sql import functions as F
 
-    from engine.spark.agent import canned_responses, context_fit, loop_detect
+    from engine.spark.agent import (
+        canned_responses,
+        context_fit,
+        loop_detect,
+        refusal_detect,
+        truncation_detect,
+    )
     from engine.spark.pipeline import conversation_branches, preference_pairs
 
     t = spark.read.parquet(path)
@@ -265,6 +271,8 @@ def _bench_trajectory(
         ("traj_canned_responses", canned_responses, t),
         ("traj_preference_pairs", preference_pairs, pt),
         ("traj_conversation_branches", conversation_branches, pt),
+        ("traj_refusal_detect", refusal_detect, t),
+        ("traj_truncation_detect", truncation_detect, t),
     ):
         out[name] = _time_noop_best_of_3(lambda fn=fn, frame=frame: fn(frame))
         spins[name] = round(_spin_probe(), 2)

@@ -315,6 +315,119 @@ def canned_responses(
     )
 
 
+#: lowercase refusal boilerplate markers (checked via substring
+#: containment over lower(text) — the DuckDB twin replays the exact
+#: contains() chain, no regex dialect to diverge on). Kept short and
+#: high-precision: these phrases are the canonical refusal openers and
+#: essentially never occur in genuine task prose.
+REFUSAL_MARKERS = (
+    "i cannot",
+    "i can't",
+    "i am unable",
+    "i'm unable",
+    "as an ai",
+    "i won't be able",
+)
+
+
+def refusal_detect(turns: "DataFrame", role: str = "assistant") -> "DataFrame":
+    """Refusal-boilerplate gate per conversation: what fraction of a
+    given role's turns open with refusal phrasing ("I cannot help
+    with…", "As an AI…"). Refusal-heavy trajectories are down-weighted
+    or dropped before SFT — over-sampling refusals teaches the model
+    to refuse — so this gate runs next to canned_responses (verbatim
+    templates) and loop_detect (stuck agents) in the curation pass.
+
+    Scale shape: the marker scan is map-only (a lower() + contains()
+    chain inside one codegen'd projection — text never leaves the
+    first projection, only a boolean does), followed by ONE conv-keyed
+    map-side-combined aggregate. The rate is one exact integer sum
+    divided once, so the DuckDB twin is bit-identical.
+
+    Output per conversation (rows only for conversations that have
+    ≥1 turn of ``role``): n_turns_scanned, n_refusals, refusal_rate,
+    first_refusal_idx (min turn_idx among refusal turns; null when
+    none), has_refusal."""
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    is_refusal = F.lit(False)
+    for m in REFUSAL_MARKERS:
+        is_refusal = is_refusal | low.contains(m)
+    base = turns.filter(F.col("role") == role).select(
+        "conv_id",
+        "turn_idx",
+        is_refusal.cast("long").alias("is_refusal"),
+    )
+    return base.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns_scanned"),
+        F.sum("is_refusal").cast("long").alias("n_refusals"),
+        F.round(F.sum("is_refusal") / F.count("*"), 6).alias("refusal_rate"),
+        F.min(F.when(F.col("is_refusal") == 1, F.col("turn_idx")))
+        .cast("long")
+        .alias("first_refusal_idx"),
+        (F.sum("is_refusal") > 0).alias("has_refusal"),
+    )
+
+
+#: terminal characters a COMPLETE turn is allowed to end on (after
+#: rtrim): sentence punctuation, closing quotes/brackets, and '>' for
+#: markup-shaped payloads. Anything else is a mid-generation cut.
+_TERMINAL_CHARS = (".", "!", "?", '"', "'", ")", "]", "}", ">")
+
+
+def truncation_detect(
+    turns: "DataFrame", role: str = "assistant"
+) -> "DataFrame":
+    """Mid-generation-truncation gate per conversation: turns of a
+    given role that were cut off before completing — the classic
+    max-tokens artifact (response ends mid-sentence, an opened
+    ``` code fence never closes, or the text trails off in '...').
+    Truncated targets teach the model to stop mid-thought, so curation
+    drops or repairs them before SFT.
+
+    Per-turn flags, all computed in one map-only projection (text
+    never shuffles — only three booleans and the conv key do):
+
+    - ``mid_cut``: non-empty text whose rtrim'd last character is not
+      terminal punctuation / a closing bracket (``_TERMINAL_CHARS``);
+    - ``fence_broken``: odd number of \\`\\`\\` fences (an opened code
+      block that never closes);
+    - ``ellipsis``: rtrim'd text ends in '...'.
+
+    One conv-keyed map-side-combined aggregate follows; the rate is
+    one exact integer sum divided once (bit-identical twin).
+
+    Output per conversation (rows only for conversations with ≥1 turn
+    of ``role``): n_turns_scanned, n_truncated (mid_cut ∨
+    fence_broken ∨ ellipsis), n_fence_broken, n_ellipsis, trunc_rate,
+    has_truncation."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    trimmed = F.rtrim(t)
+    last = F.substring(trimmed, -1, 1)
+    mid_cut = (F.length(trimmed) > 0) & ~last.isin(*_TERMINAL_CHARS)
+    # fence count: occurrences of ``` = removed length / 3 (exact
+    # integer — the removed length is always a multiple of 3)
+    n_fences = (
+        (F.length(t) - F.length(F.regexp_replace(t, "```", ""))) / 3
+    ).cast("long")
+    fence_broken = n_fences % 2 == 1
+    ellipsis = F.substring(trimmed, -3, 3) == "..."
+    is_trunc = mid_cut | fence_broken | ellipsis
+    base = turns.filter(F.col("role") == role).select(
+        "conv_id",
+        is_trunc.cast("long").alias("is_trunc"),
+        fence_broken.cast("long").alias("is_fence"),
+        ellipsis.cast("long").alias("is_ellipsis"),
+    )
+    return base.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns_scanned"),
+        F.sum("is_trunc").cast("long").alias("n_truncated"),
+        F.sum("is_fence").cast("long").alias("n_fence_broken"),
+        F.sum("is_ellipsis").cast("long").alias("n_ellipsis"),
+        F.round(F.sum("is_trunc") / F.count("*"), 6).alias("trunc_rate"),
+        (F.sum("is_trunc") > 0).alias("has_truncation"),
+    )
+
+
 def context_fit(turns: "DataFrame", limit: int = 512) -> "DataFrame":
     """Context-window fit: how much of each conversation's stable-order
     prefix fits a ``limit``-token context — the planning signal for

@@ -354,6 +354,109 @@ def test_canned_entry_planting_not_vacuous(spark):
     assert rows[0]["n_convs"] == rows[0]["n_uses"] >= 3
 
 
+def test_refusal_detect(spark):
+    """Golden refusal semantics: markers are case-folded substring
+    containment, only the requested role is scanned, the rate is an
+    exact sum/count, and conversations without any scanned turn emit
+    no row (nothing to rate)."""
+    from engine.spark.agent import refusal_detect
+
+    rows = [
+        # user turn containing a marker -> out of scope
+        ("a", 0, "user", "I cannot believe this works", None, _ts(0)),
+        ("a", 1, "assistant", "Sure, here is the answer.", None, _ts(1)),
+        ("a", 2, "assistant", "I'm sorry, but I CANNOT help with that.",
+         None, _ts(2)),
+        ("a", 3, "assistant", "As an AI, I must decline.", None, _ts(3)),
+        ("b", 0, "assistant", "All good.", None, _ts(0)),
+        ("c", 0, "user", "hi", None, _ts(0)),  # no assistant turns
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r for r in refusal_detect(df).collect()}
+    assert set(got) == {"a", "b"}
+    a = got["a"]
+    assert a["n_turns_scanned"] == 3 and a["n_refusals"] == 2
+    assert a["refusal_rate"] == pytest.approx(round(2 / 3, 6))
+    assert a["first_refusal_idx"] == 2 and a["has_refusal"]
+    b = got["b"]
+    assert b["n_refusals"] == 0 and not b["has_refusal"]
+    assert b["first_refusal_idx"] is None
+
+
+def test_refusal_entry_planting_not_vacuous(spark):
+    """The contract entry's planted refusal turns must be detected —
+    and (the generator's prose never contains a marker) must be the
+    ONLY detections: every refusal conversation has exactly one
+    refusal, at the planted turn_idx 9999."""
+    import __spark_entry__ as em
+
+    df = em.queries()["refusal_detect"](spark, "/root/testdata/sf0.01")
+    agg = df.agg(
+        F.sum(F.col("has_refusal").cast("long")).alias("r"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert 0 < agg["r"] < agg["n"]  # gate splits the corpus
+    bad = df.filter(
+        F.col("has_refusal")
+        & ((F.col("n_refusals") != 1) | (F.col("first_refusal_idx") != 9999))
+    )
+    assert bad.count() == 0
+
+
+def test_truncation_detect(spark):
+    """Golden truncation semantics: mid-sentence cut (non-terminal
+    last char after rtrim), unclosed ``` fence, trailing ellipsis;
+    balanced fences and whitespace-only turns are clean; only the
+    requested role is scanned."""
+    from engine.spark.agent import truncation_detect
+
+    rows = [
+        ("a", 0, "assistant", "This sentence is complete.", None, _ts(0)),
+        ("a", 1, "assistant", "cut off mid", None, _ts(1)),
+        ("a", 2, "assistant", "Trailing off...", None, _ts(2)),
+        ("a", 3, "assistant", "```python\nx = 1\n```\ndone.", None, _ts(3)),
+        ("a", 4, "assistant", "```python\ndef f():", None, _ts(4)),
+        ("a", 5, "assistant", "   ", None, _ts(5)),
+        ("b", 0, "assistant", "Closing bracket)", None, _ts(0)),
+        ("b", 1, "user", "not scanned at all", None, _ts(1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r for r in truncation_detect(df).collect()}
+    assert set(got) == {"a", "b"}
+    a = got["a"]
+    assert a["n_turns_scanned"] == 6
+    assert a["n_truncated"] == 3  # turns 1 (mid), 2 (ellipsis), 4 (fence)
+    assert a["n_fence_broken"] == 1 and a["n_ellipsis"] == 1
+    assert a["trunc_rate"] == pytest.approx(0.5)
+    assert a["has_truncation"]
+    b = got["b"]
+    assert b["n_truncated"] == 0 and not b["has_truncation"]
+
+
+def test_truncation_entry_planting_not_vacuous(spark):
+    """The planted fence/ellipsis arms must both fire (they never
+    occur naturally), and the natural mid-cut arm must fire too."""
+    import __spark_entry__ as em
+
+    df = em.queries()["truncation_detect"](spark, "/root/testdata/sf0.01")
+    agg = df.agg(
+        F.sum("n_fence_broken").alias("f"),
+        F.sum("n_ellipsis").alias("e"),
+        F.sum("n_truncated").alias("t"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg["f"] > 0 and agg["e"] > 0
+    # mid-cut fires naturally (invoices/plain docs end on digits), so
+    # total truncations exceed the two planted arms combined
+    assert agg["t"] > agg["f"] + agg["e"]
+
+
 def test_context_fit(spark):
     """Golden prefix-fit: est = floor(len/4)+1, the fit is the longest
     stable-order prefix whose running sum stays within the limit, and
