@@ -209,6 +209,21 @@ _CANNED_TEXT = (
 _TRUNC_ELLIPSIS_TEXT = "Let me walk through the remaining steps..."
 _TRUNC_FENCE_TEXT = "Here is the fix:\n```python\ndef handler(event):"
 
+# planted prompt/response pair both engines add for assistant_echo —
+# the response restates a long span of the prompt verbatim: 4 of its 6
+# distinct 5-grams appear in the prompt (hand-counted), so the planted
+# pair rates 4/6 ≈ 0.667 and trips the ≥0.5 high-echo arm, which the
+# generator's natural boilerplate echo never reaches (max natural
+# ≈0.32 at sf0.01). All-lowercase single-space words, so the
+# tokenizer is the identity on them.
+_ECHO_USER_TEXT = (
+    "please summarize the quarterly revenue figures for the north "
+    "region before friday morning"
+)
+_ECHO_ASSISTANT_TEXT = (
+    "the quarterly revenue figures for the north region as requested"
+)
+
 
 def _agent_synth_path() -> str:
     import os
@@ -1010,6 +1025,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _td(src.unionByName(planted))
 
+    def assistant_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # prompt-parroting gate. The generator's repeated per-kind
+        # boilerplate (document headers, invoice field labels) yields
+        # NATURAL low-grade echo between adjacent turns (max ≈0.32 at
+        # sf0.01) — real signal, kept; both engines additionally plant
+        # a KNOWN strong pair: md5-prefix-'5' conversations get an
+        # adjacent user(9998)/assistant(9999) pair whose response
+        # restates the prompt at exactly 4/6 grams, tripping the
+        # ≥0.5 high-echo arm that natural echo never reaches.
+        from engine.spark.agent import assistant_echo as _ae
+
+        src = spark.read.parquet(_agent_turns_parquet(spark))
+        convs = (
+            src.filter(F.substring(F.md5("conv_id"), 1, 1) == "5")
+            .select("conv_id")
+            .distinct()
+        )
+
+        def _turn(idx: int, role: str, text: str):
+            return convs.select(
+                "conv_id",
+                F.lit(idx).cast("int").alias("turn_idx"),
+                F.lit(role).alias("role"),
+                F.lit(text).alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+            )
+
+        planted = _turn(9998, "user", _ECHO_USER_TEXT).unionByName(
+            _turn(9999, "assistant", _ECHO_ASSISTANT_TEXT)
+        )
+        return _ae(src.unionByName(planted))
+
     full = {
         # relational / reference-semantics operators (SURVEY.md §2.4-2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1274,6 +1322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mid-generation truncation gate (mid-sentence cut / unclosed
         # ``` fence / trailing ellipsis), map-only flags
         "truncation_detect": truncation_detect,
+        # prompt-parroting rate (response 5-grams already present in
+        # the preceding user turn); per-turn gram arrays, one exchange
+        "assistant_echo": assistant_echo,
         "conversation_timing": conversation_timing,
         "conversation_wellformed": conversation_wellformed,
         # per-conversation language vote (turn scores summed conv-side)
@@ -1340,15 +1391,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the 2 round-4 red driver rows (transcript_prepare /
     #      transcript_curate — oracle-twin HUGEINT cast fixed this
     #      round) so CORRECTNESS_r05 re-records them;
-    #   3. the 15 oracled round-5 additions (dedup_text_semantic_adaptive,
+    #   3. the 16 oracled round-5 additions (dedup_text_semantic_adaptive,
     #      dedup_semantic_apply, quality_classifier, tokenizer_fertility,
     #      dedup_keep_best, token_budget_select, line_dedup_intra,
     #      agent_loop_detect, canned_responses, context_fit,
     #      tool_latency, preference_pairs, conversation_branches,
-    #      refusal_detect, truncation_detect);
+    #      refusal_detect, truncation_detect, assistant_echo);
     # then the r3-sampled entries (oldest driver evidence, refresh) and
-    # the r4-green entries last (freshest evidence). With 21 front
-    # slots, 29 of the 49 r3 entries also land in the 50-slot window.
+    # the r4-green entries last (freshest evidence). With 22 front
+    # slots, 28 of the 49 r3 entries also land in the 50-slot window.
     never_sampled = {
         "source_keywords", "dedup_report", "hash_embed",
         "dedup_text_semantic",
@@ -1370,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_branches",
         "refusal_detect",
         "truncation_detect",
+        "assistant_echo",
     }
     front = never_sampled | red_r4 | new_r5
     return {
@@ -4731,6 +4783,67 @@ def oracle_sql() -> dict[str, str]:
                                  OR is_ellipsis = 1
                             THEN 1 ELSE 0 END) > 0 AS has_truncation
             FROM b GROUP BY conv_id
+        """,
+        "assistant_echo": f"""
+            WITH src AS (
+                SELECT conv_id, turn_idx, ts, role, text
+                FROM read_parquet('{_agent_synth_path()}/*.parquet')),
+            planted AS (
+                SELECT conv_id, turn_idx, ts, role, text FROM src
+                UNION ALL
+                SELECT DISTINCT conv_id, 9998,
+                       TIMESTAMP '2025-01-01 00:00:00', 'user',
+                       '{_ECHO_USER_TEXT}'
+                FROM src WHERE substr(md5(conv_id), 1, 1) = '5'
+                UNION ALL
+                SELECT DISTINCT conv_id, 9999,
+                       TIMESTAMP '2025-01-01 00:00:00', 'assistant',
+                       '{_ECHO_ASSISTANT_TEXT}'
+                FROM src WHERE substr(md5(conv_id), 1, 1) = '5'),
+            wrd AS (
+                SELECT conv_id, turn_idx, ts, role,
+                       string_split(regexp_replace(
+                           lower(coalesce(text, '')), '\\s+', ' ', 'g'),
+                           ' ') AS w
+                FROM planted),
+            g AS (
+                SELECT conv_id, turn_idx, ts, role,
+                       CASE WHEN len(w) >= 5 THEN
+                           list_distinct(list_transform(
+                               range(1, len(w) - 3),
+                               i -> w[i] || ' ' || w[i+1] || ' '
+                                    || w[i+2] || ' ' || w[i+3] || ' '
+                                    || w[i+4]))
+                       ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM wrd),
+            p AS (
+                SELECT conv_id, role, grams,
+                       lag(role) OVER win AS prev_role,
+                       lag(grams) OVER win AS prev_grams
+                FROM g
+                WINDOW win AS (
+                    PARTITION BY conv_id ORDER BY turn_idx, ts)),
+            pairs AS (
+                SELECT conv_id,
+                       len(grams) AS ng,
+                       len(list_intersect(grams, prev_grams)) AS nm
+                FROM p
+                WHERE role = 'assistant' AND prev_role = 'user'
+                  AND len(grams) > 0)
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(ng) AS BIGINT) AS n_grams,
+                   CAST(sum(nm) AS BIGINT) AS n_echoed,
+                   round(CAST(sum(nm) AS DOUBLE)
+                         / CAST(sum(ng) AS DOUBLE), 6) AS echo_rate,
+                   round(max(CAST(nm AS DOUBLE) / CAST(ng AS DOUBLE)), 6)
+                       AS max_echo,
+                   CAST(sum(CASE WHEN CAST(nm AS DOUBLE)
+                                      / CAST(ng AS DOUBLE) >= 0.5
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_high_echo,
+                   sum(nm) > 0 AS has_echo
+            FROM pairs GROUP BY conv_id
         """,
         "conversation_timing": f"""
             WITH g AS (

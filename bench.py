@@ -249,6 +249,7 @@ def _bench_trajectory(
     from pyspark.sql import functions as F
 
     from engine.spark.agent import (
+        assistant_echo,
         canned_responses,
         context_fit,
         loop_detect,
@@ -273,6 +274,7 @@ def _bench_trajectory(
         ("traj_conversation_branches", conversation_branches, pt),
         ("traj_refusal_detect", refusal_detect, t),
         ("traj_truncation_detect", truncation_detect, t),
+        ("traj_assistant_echo", assistant_echo, t),
     ):
         out[name] = _time_noop_best_of_3(lambda fn=fn, frame=frame: fn(frame))
         spins[name] = round(_spin_probe(), 2)

@@ -428,6 +428,82 @@ def truncation_detect(
     )
 
 
+def assistant_echo(
+    turns: "DataFrame", n: int = 5, high: float = 0.5
+) -> "DataFrame":
+    """Prompt-parroting gate per conversation: for every assistant
+    turn whose immediately preceding stable-order turn is a user turn,
+    what fraction of the response's distinct word ``n``-grams already
+    appear in that prompt. High-echo responses (verbatim restatement
+    of the instruction) carry little training signal and inflate
+    likelihood cheaply, so curation down-weights them — the
+    conversational analogue of internal_ngram_overlap.
+
+    Scale shape: grams are built and deduped PER TURN map-side (the
+    boilerplate_ngrams array_distinct lesson), so there is no
+    corpus-wide gram table and no gram join — the ONE conv-keyed
+    exchange carries per-turn gram arrays (bounded by turn length,
+    same order of bytes as the text itself), the lag window pairs each
+    turn with its predecessor on that exchange, and the overlap is an
+    in-row array_intersect. Tokenization matches analytics._ngrams
+    (lower + whitespace-normalize + split). Turns shorter than ``n``
+    words carry no grams: as responses they are unmeasurable and emit
+    no pair; as prompts they contribute an empty array (echo 0).
+
+    Rates are exact integer sizes divided identically in both engines;
+    the ``high`` boundary (default 0.5) is IEEE-representable so the
+    ≥ gate cannot diverge.
+
+    Output per conversation (rows only where ≥1 measurable pair
+    exists): n_pairs, n_grams, n_echoed, echo_rate (micro-average
+    sum(echoed)/sum(grams)), max_echo, n_high_echo, has_echo."""
+    w = F.split(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+        ),
+        " ",
+    )
+    base = turns.select("conv_id", "turn_idx", "ts", "role", w.alias("w"))
+    grams = F.when(
+        F.size("w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("w", i + j + 1) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("conv_id", "turn_idx", "ts", "role", grams.alias("grams"))
+    paired = g.select(
+        "conv_id",
+        "role",
+        "grams",
+        F.lag("role").over(_w_conv()).alias("prev_role"),
+        F.lag("grams").over(_w_conv()).alias("prev_grams"),
+    )
+    pairs = paired.filter(
+        (F.col("role") == "assistant")
+        & (F.col("prev_role") == "user")
+        & (F.size("grams") > 0)
+    ).select(
+        "conv_id",
+        F.size("grams").alias("ng"),
+        F.size(F.array_intersect("grams", "prev_grams")).alias("nm"),
+    )
+    rate = F.col("nm") / F.col("ng")
+    return pairs.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("ng").cast("long").alias("n_grams"),
+        F.sum("nm").cast("long").alias("n_echoed"),
+        F.round(F.sum("nm") / F.sum("ng"), 6).alias("echo_rate"),
+        F.round(F.max(rate), 6).alias("max_echo"),
+        F.sum((rate >= high).cast("long")).alias("n_high_echo"),
+        (F.sum("nm") > 0).alias("has_echo"),
+    )
+
+
 def context_fit(turns: "DataFrame", limit: int = 512) -> "DataFrame":
     """Context-window fit: how much of each conversation's stable-order
     prefix fits a ``limit``-token context — the planning signal for

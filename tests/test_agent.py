@@ -457,6 +457,76 @@ def test_truncation_entry_planting_not_vacuous(spark):
     assert agg["t"] > agg["f"] + agg["e"]
 
 
+def test_assistant_echo(spark):
+    """Golden echo semantics: distinct 5-gram containment against the
+    IMMEDIATELY preceding user turn only; assistant-after-assistant is
+    not a pair; a sub-5-word response is unmeasurable and emits no
+    pair; a sub-5-word prompt yields a measurable pair with zero echo;
+    within-turn duplicate grams count once."""
+    from engine.spark.agent import assistant_echo
+
+    rows = [
+        # conv a
+        ("a", 0, "user", "alpha beta gamma delta epsilon zeta", None, _ts(0)),
+        ("a", 1, "assistant",
+         "alpha beta gamma delta epsilon new words arrive here now",
+         None, _ts(1)),  # 6 grams, 1 matches
+        ("a", 2, "assistant", "totally different response text here",
+         None, _ts(2)),  # prev is assistant -> not a pair
+        ("a", 3, "user", "short one", None, _ts(3)),  # no grams as prompt
+        ("a", 4, "assistant", "echo echo echo echo echo echo",
+         None, _ts(4)),  # 1 distinct gram, 0 matches
+        # conv b: verbatim restatement -> echo 1.0
+        ("b", 0, "user", "one two three four five six", None, _ts(0)),
+        ("b", 1, "assistant", "one two three four five six", None, _ts(1)),
+        ("b", 2, "user", "hello there my good friend", None, _ts(2)),
+        ("b", 3, "assistant", "ok", None, _ts(3)),  # <5 words -> no pair
+        # conv c: no assistant turns -> no row
+        ("c", 0, "user", "just a user turn sitting here", None, _ts(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r for r in assistant_echo(df).collect()}
+    assert set(got) == {"a", "b"}
+    a = got["a"]
+    assert a["n_pairs"] == 2
+    assert a["n_grams"] == 7 and a["n_echoed"] == 1
+    assert a["echo_rate"] == pytest.approx(round(1 / 7, 6))
+    assert a["max_echo"] == pytest.approx(round(1 / 6, 6))
+    assert a["n_high_echo"] == 0 and a["has_echo"]
+    b = got["b"]
+    assert b["n_pairs"] == 1 and b["n_grams"] == 2 and b["n_echoed"] == 2
+    assert b["echo_rate"] == 1.0 and b["max_echo"] == 1.0
+    assert b["n_high_echo"] == 1 and b["has_echo"]
+
+
+def test_assistant_echo_entry_planting_not_vacuous(spark):
+    """The generator's shared per-kind boilerplate (headers, invoice
+    labels) produces natural low-grade echo — real signal the gate
+    must keep — but the planted pair (4 of 6 response grams in the
+    prompt, hand-counted) is the ONLY high-echo (≥0.5) detection:
+    exactly the md5-prefix-'5' conversations trip it, at exactly
+    round(4/6, 6)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["assistant_echo"](spark, "/root/testdata/sf0.01")
+    agg = df.agg(
+        F.sum(F.col("has_echo").cast("long")).alias("e"),
+        F.sum(F.when(F.col("n_high_echo") > 0, 1).otherwise(0)).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert 0 < agg["e"] < agg["n"]  # the gate splits the corpus
+    assert 0 < agg["h"] < agg["e"]  # high-echo is rarer than any-echo
+    high = df.filter(F.col("n_high_echo") > 0)
+    # every high-echo conv is a planted one, peaking at the planted 4/6
+    assert high.filter(
+        (F.substring(F.md5("conv_id"), 1, 1) != "5")
+        | (F.col("max_echo") != round(4 / 6, 6))
+    ).count() == 0
+
+
 def test_context_fit(spark):
     """Golden prefix-fit: est = floor(len/4)+1, the fit is the longest
     stable-order prefix whose running sum stays within the limit, and
