@@ -1058,6 +1058,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _ae(src.unionByName(planted))
 
+    def turn_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ingest-invariant audit. The generator's conversations are
+        # perfect (unique contiguous turn_idx from 0, non-decreasing
+        # ts), so both engines plant identical violations:
+        # md5-prefix-'6' conversations get a duplicated turn_idx 9998
+        # (two ts), then turn 9999 with a ts BEFORE them — one dup,
+        # one regression, and the 9998 jump itself is the gap.
+        from engine.spark.agent import turn_integrity as _ti
+
+        src = spark.read.parquet(_agent_turns_parquet(spark))
+        convs = (
+            src.filter(F.substring(F.md5("conv_id"), 1, 1) == "6")
+            .select("conv_id")
+            .distinct()
+        )
+
+        def _turn(idx: int, ts: str):
+            return convs.select(
+                "conv_id",
+                F.lit(idx).cast("int").alias("turn_idx"),
+                F.lit("user").alias("role"),
+                F.lit("x").alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.lit(ts).cast("timestamp").alias("ts"),
+            )
+
+        planted = (
+            _turn(9998, "2026-06-01 00:00:01")
+            .unionByName(_turn(9998, "2026-06-01 00:00:02"))
+            .unionByName(_turn(9999, "2025-01-01 00:00:00"))
+        )
+        return _ti(src.unionByName(planted))
+
     full = {
         # relational / reference-semantics operators (SURVEY.md §2.4-2.7)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1325,6 +1358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prompt-parroting rate (response 5-grams already present in
         # the preceding user turn); per-turn gram arrays, one exchange
         "assistant_echo": assistant_echo,
+        # ingest-invariant audit (duplicate turn_idx / index gaps /
+        # ts regressions under stable order); narrow columns only
+        "turn_integrity": turn_integrity,
         "conversation_timing": conversation_timing,
         "conversation_wellformed": conversation_wellformed,
         # per-conversation language vote (turn scores summed conv-side)
@@ -1391,15 +1427,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the 2 round-4 red driver rows (transcript_prepare /
     #      transcript_curate — oracle-twin HUGEINT cast fixed this
     #      round) so CORRECTNESS_r05 re-records them;
-    #   3. the 16 oracled round-5 additions (dedup_text_semantic_adaptive,
+    #   3. the 17 oracled round-5 additions (dedup_text_semantic_adaptive,
     #      dedup_semantic_apply, quality_classifier, tokenizer_fertility,
     #      dedup_keep_best, token_budget_select, line_dedup_intra,
     #      agent_loop_detect, canned_responses, context_fit,
     #      tool_latency, preference_pairs, conversation_branches,
-    #      refusal_detect, truncation_detect, assistant_echo);
+    #      refusal_detect, truncation_detect, assistant_echo,
+    #      turn_integrity);
     # then the r3-sampled entries (oldest driver evidence, refresh) and
-    # the r4-green entries last (freshest evidence). With 22 front
-    # slots, 28 of the 49 r3 entries also land in the 50-slot window.
+    # the r4-green entries last (freshest evidence). With 23 front
+    # slots, 27 of the 49 r3 entries also land in the 50-slot window.
     never_sampled = {
         "source_keywords", "dedup_report", "hash_embed",
         "dedup_text_semantic",
@@ -1422,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refusal_detect",
         "truncation_detect",
         "assistant_echo",
+        "turn_integrity",
     }
     front = never_sampled | red_r4 | new_r5
     return {
@@ -4844,6 +4882,56 @@ def oracle_sql() -> dict[str, str]:
                        AS n_high_echo,
                    sum(nm) > 0 AS has_echo
             FROM pairs GROUP BY conv_id
+        """,
+        "turn_integrity": f"""
+            WITH src AS (
+                SELECT conv_id, turn_idx, ts
+                FROM read_parquet('{_agent_synth_path()}/*.parquet')),
+            planted AS (
+                SELECT conv_id, turn_idx, ts FROM src
+                UNION ALL
+                SELECT DISTINCT conv_id, 9998,
+                       TIMESTAMP '2026-06-01 00:00:01'
+                FROM src WHERE substr(md5(conv_id), 1, 1) = '6'
+                UNION ALL
+                SELECT DISTINCT conv_id, 9998,
+                       TIMESTAMP '2026-06-01 00:00:02'
+                FROM src WHERE substr(md5(conv_id), 1, 1) = '6'
+                UNION ALL
+                SELECT DISTINCT conv_id, 9999,
+                       TIMESTAMP '2025-01-01 00:00:00'
+                FROM src WHERE substr(md5(conv_id), 1, 1) = '6'),
+            g AS (
+                SELECT conv_id, turn_idx,
+                       lag(turn_idx) OVER win AS prev_idx,
+                       epoch_us(ts) < lag(epoch_us(ts)) OVER win
+                           AS ts_regress
+                FROM planted
+                WINDOW win AS (
+                    PARTITION BY conv_id
+                    ORDER BY turn_idx, epoch_us(ts))),
+            agg AS (
+                SELECT conv_id,
+                       CAST(count(*) AS BIGINT) AS n_turns,
+                       CAST(coalesce(sum(CASE WHEN turn_idx = prev_idx
+                                              THEN 1 END), 0) AS BIGINT)
+                           AS n_dup_idx,
+                       CAST(coalesce(sum(CASE WHEN turn_idx > prev_idx + 1
+                                              THEN 1 END), 0) AS BIGINT)
+                           AS n_gaps,
+                       CAST(coalesce(sum(CASE WHEN ts_regress
+                                              THEN 1 END), 0) AS BIGINT)
+                           AS n_ts_regressions,
+                       min(turn_idx) = 0 AS starts_at_zero,
+                       max(turn_idx) AS max_idx
+                FROM g GROUP BY conv_id)
+            SELECT conv_id, n_turns, n_dup_idx, n_gaps,
+                   n_ts_regressions, starts_at_zero,
+                   CAST(max_idx + 1 - (n_turns - n_dup_idx) AS BIGINT)
+                       AS n_missing,
+                   starts_at_zero AND n_dup_idx = 0 AND n_gaps = 0
+                       AND n_ts_regressions = 0 AS is_intact
+            FROM agg
         """,
         "conversation_timing": f"""
             WITH g AS (

@@ -255,6 +255,7 @@ def _bench_trajectory(
         loop_detect,
         refusal_detect,
         truncation_detect,
+        turn_integrity,
     )
     from engine.spark.pipeline import conversation_branches, preference_pairs
 
@@ -275,6 +276,7 @@ def _bench_trajectory(
         ("traj_refusal_detect", refusal_detect, t),
         ("traj_truncation_detect", truncation_detect, t),
         ("traj_assistant_echo", assistant_echo, t),
+        ("traj_turn_integrity", turn_integrity, t),
     ):
         out[name] = _time_noop_best_of_3(lambda fn=fn, frame=frame: fn(frame))
         spins[name] = round(_spin_probe(), 2)

@@ -428,6 +428,85 @@ def truncation_detect(
     )
 
 
+def turn_integrity(turns: "DataFrame") -> "DataFrame":
+    """Ingest-invariant checker per conversation: the stable-order
+    window (turn_idx, ts) that every downstream operator trusts is
+    only meaningful if turn_idx keys are unique, contiguous from 0,
+    and timestamps don't run backwards — this gate audits exactly
+    those invariants on raw ingested turns (the upstream twin of
+    conversation_wellformed's role-structure gate), so a broken
+    producer is caught before extraction pays per-byte.
+
+    Per-turn flags from ONE conv-keyed lag window (narrow columns
+    only — conv_id, turn_idx, integer-µs ts; text never read):
+
+    - ``dup_idx``: turn_idx equals its stable-order predecessor's
+      (every non-first row of an equal-idx run fires once, so
+      n_turns − n_dup_idx IS the distinct-idx count);
+    - ``gap``: turn_idx jumps by more than 1;
+    - ``ts_regress``: ts strictly earlier than the predecessor's.
+
+    Output per conversation: n_turns, n_dup_idx, n_gaps,
+    n_ts_regressions, starts_at_zero, n_missing (max_idx+1 minus
+    distinct idx count — exact integer arithmetic), is_intact."""
+    g = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.unix_micros("ts").alias("us"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.lag("turn_idx").over(_w_conv_us()).alias("prev_idx"),
+        (F.col("us") < F.lag("us").over(_w_conv_us())).alias("ts_regress"),
+    )
+    # each flag is null on a conversation's first row (no predecessor);
+    # sum() skips those, but a SINGLE-turn conversation would sum to
+    # null — coalesce to 0 so it reports as intact, like the twin
+    agg = g.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.coalesce(
+            F.sum((F.col("turn_idx") == F.col("prev_idx")).cast("long")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_dup_idx"),
+        F.coalesce(
+            F.sum((F.col("turn_idx") > F.col("prev_idx") + 1).cast("long")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_gaps"),
+        F.coalesce(F.sum(F.col("ts_regress").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_ts_regressions"),
+        (F.min("turn_idx") == 0).alias("starts_at_zero"),
+        F.max("turn_idx").cast("long").alias("max_idx"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_dup_idx",
+        "n_gaps",
+        "n_ts_regressions",
+        "starts_at_zero",
+        (F.col("max_idx") + 1 - (F.col("n_turns") - F.col("n_dup_idx")))
+        .cast("long")
+        .alias("n_missing"),
+        (
+            F.col("starts_at_zero")
+            & (F.col("n_dup_idx") == 0)
+            & (F.col("n_gaps") == 0)
+            & (F.col("n_ts_regressions") == 0)
+        ).alias("is_intact"),
+    )
+
+
+def _w_conv_us() -> "Window":
+    """Stable order for frames that carry ts as integer microseconds
+    (``us``) instead of the timestamp column."""
+    return Window.partitionBy("conv_id").orderBy("turn_idx", "us")
+
+
 def assistant_echo(
     turns: "DataFrame", n: int = 5, high: float = 0.5
 ) -> "DataFrame":

@@ -457,6 +457,68 @@ def test_truncation_entry_planting_not_vacuous(spark):
     assert agg["t"] > agg["f"] + agg["e"]
 
 
+def test_turn_integrity(spark):
+    """Golden invariant audit: duplicate turn_idx, index gaps, ts
+    regressions, a nonzero start, and single-turn conversations all
+    report exactly; n_missing is max_idx+1 minus the distinct-idx
+    count (a triple-repeat counts two dups, so distinct stays exact)."""
+    from engine.spark.agent import turn_integrity
+
+    rows = [
+        # conv a: pristine
+        ("a", 0, "user", "x", None, _ts(0)),
+        ("a", 1, "assistant", "y", None, _ts(1)),
+        # conv b: idx 1 tripled (2 dups), gap 2->5 (missing: 3,4),
+        # ts regression at idx 5
+        ("b", 0, "user", "x", None, _ts(0)),
+        ("b", 1, "user", "x", None, _ts(1)),
+        ("b", 1, "user", "x", None, _ts(2)),
+        ("b", 1, "user", "x", None, _ts(3)),
+        ("b", 2, "user", "x", None, _ts(4)),
+        ("b", 5, "user", "x", None, _ts(1)),  # gap AND ts regress
+        # conv c: starts at 3 (leading indices missing)
+        ("c", 3, "user", "x", None, _ts(0)),
+        ("c", 4, "user", "x", None, _ts(1)),
+        # conv d: single turn -> intact, zero counters (not null)
+        ("d", 0, "user", "x", None, _ts(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r for r in turn_integrity(df).collect()}
+    a, b, c, d = got["a"], got["b"], got["c"], got["d"]
+    assert a["is_intact"] and a["n_missing"] == 0
+    assert b["n_dup_idx"] == 2 and b["n_gaps"] == 1
+    assert b["n_ts_regressions"] == 1
+    assert b["n_missing"] == 2 and not b["is_intact"]
+    assert c["starts_at_zero"] is False and c["n_missing"] == 3
+    assert not c["is_intact"]
+    assert d["is_intact"] and d["n_dup_idx"] == 0 and d["n_turns"] == 1
+
+
+def test_turn_integrity_entry_planting_not_vacuous(spark):
+    """The generator's conversations are pristine, so exactly the
+    planted md5-prefix-'6' conversations report violations — one dup,
+    one gap (the 9998 jump), one regression each — and everything
+    else is intact."""
+    import __spark_entry__ as em
+
+    df = em.queries()["turn_integrity"](spark, "/root/testdata/sf0.01")
+    agg = df.agg(
+        F.sum((~F.col("is_intact")).cast("long")).alias("bad"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert 0 < agg["bad"] < agg["n"]
+    broken = df.filter(~F.col("is_intact"))
+    assert broken.filter(
+        (F.substring(F.md5("conv_id"), 1, 1) != "6")
+        | (F.col("n_dup_idx") != 1)
+        | (F.col("n_gaps") != 1)
+        | (F.col("n_ts_regressions") != 1)
+    ).count() == 0
+
+
 def test_assistant_echo(spark):
     """Golden echo semantics: distinct 5-gram containment against the
     IMMEDIATELY preceding user turn only; assistant-after-assistant is
